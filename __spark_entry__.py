@@ -1,38 +1,273 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (SURVEY.md §2) on the
+TPC-H-ish parquet tables; the matching ``oracle_sql()`` entry is the ANSI
+SQL equivalent DuckDB runs on the same bytes.
+
+Float convention: every floating-point output column is emitted as a
+fixed-precision scientific-notation STRING (C ``%.7e``; exact zero → "0")
+on BOTH sides. Spark's ``format_string`` and DuckDB's ``printf`` share C
+semantics (verified bit-for-bit), so the order-insensitive value-hash
+compares 8 significant digits instead of last-ulp float noise from
+differing aggregation orders (numpy-blocked partials vs sequential sums).
+Integer outputs are cast to BIGINT on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.algorithms.regression import (
+    dridge_table,
+    normal_equation_sums,
+)
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.sources.tables import (
+    LINEITEM_FEATURES,
+    lineitem_drm,
+    load_table,
+)
+
+# --------------------------------------------------------------------- #
+# float-output convention helpers
+# --------------------------------------------------------------------- #
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def sci(col: Column) -> Column:
+    return F.when(col == 0, F.lit("0")).otherwise(F.format_string("%.7e", col))
+
+
+def sci_sql(expr: str) -> str:
+    return f"CASE WHEN ({expr}) = 0 THEN '0' ELSE printf('%.7e', ({expr})) END"
+
+
+_LI_KEY_SQL = "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"
+
+# dridge fixture: predict l_extendedprice from (l_quantity, l_discount)
+_RIDGE_FEATS = ["l_quantity", "l_discount"]
+_RIDGE_Y = "l_extendedprice"
+_RIDGE_LAM = 0.1
+
+_AX_BETA = [2.0, 0.001, -1.5, 3.0]
+
+
+# --------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------- #
+
+
+def _q_colsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 drm.colSums() over the lineitem 4-wide matrix."""
+    cs = lineitem_drm(spark, sf_dir).colsums_df()
+    return cs.select(
+        F.col("pos").cast("long").alias("pos"),
+        sci(F.col("col_sum")).alias("col_sum"),
+    )
+
+
+def _q_rowsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 per-row sums (SQL `aggregate` fold — codegen'd)."""
+    d = lineitem_drm(spark, sf_dir)
+    return d.rowsums().select("row_id", sci(F.col("row_sum")).alias("row_sum"))
+
+
+def _q_ax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 drmA %*% beta (broadcast vector) via zip_with/aggregate."""
+    d = lineitem_drm(spark, sf_dir)
+    import numpy as np
+
+    out = d.ax(np.array(_AX_BETA))
+    return out.df.select(
+        "row_id", sci(F.col("features")[0]).alias("dot")
+    )
+
+
+def _q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 Gram XᵀX upper triangle via Arrow block partials."""
+    g = lineitem_drm(spark, sf_dir).gram_df()
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        sci(F.col("v")).alias("v"),
+    )
+
+
+def _q_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 component: one-pass normal-equation sums (bias + 2 features + y)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ne = normal_equation_sums(li, _RIDGE_FEATS, _RIDGE_Y)
+    return ne.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        sci(F.col("v")).alias("v"),
+    )
+
+
+def _q_dridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 dridge: ridge β via normal equations + driver LAPACK solve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    beta = dridge_table(li, _RIDGE_FEATS, _RIDGE_Y, lam=_RIDGE_LAM)
+    return spark.createDataFrame(
+        [(i, f"%.7e" % b if b != 0 else "0") for i, b in enumerate(beta)],
+        "pos long, beta string",
+    )
+
+
+def _q_abs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 column slice + B8 scalar op + A19 dabs, exploded to scalars."""
+    d = lineitem_drm(spark, sf_dir).slice_cols(1, 4).scalar_op("-", 1.0).abs()
+    return d.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "drm_colsums": _q_colsums,
+        "drm_rowsums": _q_rowsums,
+        "drm_ax": _q_ax,
+        "drm_gram": _q_gram,
+        "drm_normal_eq": _q_normal_eq,
+        "dridge": _q_dridge,
+        "drm_abs_slice": _q_abs_slice,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------- #
+# oracles
+# --------------------------------------------------------------------- #
+
+
+def _oracle_colsums() -> str:
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS pos, {sci_sql(f'sum({c})')} AS col_sum FROM lineitem"
+        for i, c in enumerate(LINEITEM_FEATURES)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_rowsums() -> str:
+    # left-assoc add order mirrors the Spark `aggregate` fold
+    total = " + ".join(["0.0"] + LINEITEM_FEATURES)
+    return (
+        f"SELECT {_LI_KEY_SQL} AS row_id, {sci_sql(total)} AS row_sum FROM lineitem"
+    )
+
+
+def _oracle_ax() -> str:
+    dot = " + ".join(
+        ["0.0"] + [f"{c} * {b!r}" for c, b in zip(LINEITEM_FEATURES, _AX_BETA)]
+    )
+    return f"SELECT {_LI_KEY_SQL} AS row_id, {sci_sql(dot)} AS dot FROM lineitem"
+
+
+def _oracle_gram() -> str:
+    cols = LINEITEM_FEATURES
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+        f"{sci_sql(f'sum({cols[i]} * {cols[j]})')} AS v FROM lineitem"
+        for i in range(len(cols))
+        for j in range(i, len(cols))
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_normal_eq() -> str:
+    cols = ["1.0"] + _RIDGE_FEATS
+    n = len(cols)
+    parts = []
+    for i in range(n):
+        for j in range(i, n):
+            parts.append(
+                f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+                f"{sci_sql(f'sum({cols[i]} * {cols[j]})')} AS v FROM lineitem"
+            )
+        parts.append(
+            f"SELECT CAST({i} AS BIGINT) AS i, CAST({n} AS BIGINT) AS j, "
+            f"{sci_sql(f'sum({cols[i]} * {_RIDGE_Y})')} AS v FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_dridge() -> str:
+    """Closed-form 3×3 ridge solve via Cramer's rule, entirely in SQL.
+
+    β = (XᵀX + λI)⁻¹ Xᵀy for X = [1 | l_quantity | l_discount],
+    y = l_extendedprice, λ = 0.1. Agreement with the engine's LAPACK
+    solve is far inside the %.7e granularity for this conditioning.
     """
-    return {}
+    lam = _RIDGE_LAM
+    c = ["1.0", *_RIDGE_FEATS]
+    sums = ",\n    ".join(
+        [
+            f"sum({c[i]} * {c[j]}){' + ' + repr(lam) if i == j else ''} AS a{i}{j}"
+            for i in range(3)
+            for j in range(i, 3)
+        ]
+        + [f"sum({c[i]} * {_RIDGE_Y}) AS b{i}" for i in range(3)]
+    )
+    det = (
+        "a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) "
+        "+ a02*(a01*a12 - a11*a02)"
+    )
+    det0 = (
+        "b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2) "
+        "+ a02*(b1*a12 - a11*b2)"
+    )
+    det1 = (
+        "a00*(b1*a22 - a12*b2) - b0*(a01*a22 - a12*a02) "
+        "+ a02*(a01*b2 - b1*a02)"
+    )
+    det2 = (
+        "a00*(a11*b2 - b1*a12) - a01*(a01*b2 - b1*a02) "
+        "+ b0*(a01*a12 - a11*a02)"
+    )
+    return f"""
+WITH s AS (
+  SELECT
+    {sums}
+  FROM lineitem
+)
+SELECT CAST(0 AS BIGINT) AS pos, {sci_sql(f'({det0}) / ({det})')} AS beta FROM s
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS pos, {sci_sql(f'({det1}) / ({det})')} AS beta FROM s
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS pos, {sci_sql(f'({det2}) / ({det})')} AS beta FROM s
+"""
+
+
+def _oracle_abs_slice() -> str:
+    cols = LINEITEM_FEATURES[1:4]
+    parts = [
+        f"SELECT {_LI_KEY_SQL} AS row_id, CAST({i} AS BIGINT) AS pos, "
+        f"{sci_sql(f'abs({c} - 1.0)')} AS v FROM lineitem"
+        for i, c in enumerate(cols)
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "drm_colsums": _oracle_colsums(),
+        "drm_rowsums": _oracle_rowsums(),
+        "drm_ax": _oracle_ax(),
+        "drm_gram": _oracle_gram(),
+        "drm_normal_eq": _oracle_normal_eq(),
+        "dridge": _oracle_dridge(),
+        "drm_abs_slice": _oracle_abs_slice(),
+    }
+
+
+# --------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------- #
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: distributed ridge regression (C2 — LinearRegression
+    .scala:17-34) over sf0.001 lineitem via one-pass normal-equation
+    aggregation + driver solve."""
+    return _q_dridge(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,131 @@
+"""Distributed ridge/OLS regression + coefficient t-tests (SURVEY §2C
+C2-C5; reference ``myMahoutApp/.../LinearRegression.scala:17-97``).
+
+Two physical strategies, same math:
+
+- :func:`dridge` — DRM path: bias column (A11) → Gram ``XᵀX`` via Arrow
+  partials (A7, never materializing Xᵀ) → ``Xᵀy`` (A8) → driver LAPACK
+  solve. Mirrors the reference's plan (SURVEY §3 entry point 1).
+- :func:`dridge_table` — relational path for narrow feature sets straight
+  off a table: ALL normal-equation sums (upper triangle of XᵀX plus Xᵀy)
+  computed in ONE codegen'd aggregation pass over the table — zero
+  explodes, zero joins, one partial+final agg. This is the formulation
+  the DuckDB oracle checks, and the fastest plan at 100 TB for ncol ≤
+  a few hundred (ncol² partial aggregates per task, single tiny shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.kernels.incore import solve
+from mahout_samsara_book_spark.kernels.stats import student_t_sf
+
+
+def dridge(drm_x: Drm, y: np.ndarray, lam: float = 0.0) -> np.ndarray:
+    """β = (XᵦᵀXᵦ + λI)⁻¹ Xᵦᵀy with Xᵦ = [1 | X]
+    (``LinearRegression.scala:17-34``; bias prepended like ``1 cbind drmX``
+    :23; λ added to the whole diagonal incl. bias, :27)."""
+    xb = drm_x.cbind_ones(prepend=True)
+    a = xb.gram()
+    if lam:
+        a[np.diag_indices_from(a)] += lam
+    b = xb.atx(np.asarray(y, dtype=np.float64))
+    return solve(a, b)
+
+
+def ssr(drm_x: Drm, beta: np.ndarray, y: np.ndarray) -> float:
+    """Sum of squared residuals ‖Xᵦβ − y‖² (``LinearRegression.scala:37-47``).
+    Fully distributed: predictions via A9, residuals against the broadcast
+    y inside a block map, one scalar back to the driver."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    pred = drm_x.cbind_ones(prepend=True).ax(np.asarray(beta, dtype=np.float64))
+    bc = pred.spark.sparkContext.broadcast(y)
+
+    def resid_sq(keys, block):
+        r = block[:, 0] - bc.value[keys]
+        return keys, (r * r)[:, None]
+
+    return float(pred.map_block(resid_sq, ncol=1).colsums()[0])
+
+
+def reg_var_estimate(ssr_value: float, m: int, n: int) -> float:
+    """σ̂² = SSR / (m − n) (``LinearRegression.scala:50-57``); n counts the
+    bias column."""
+    return ssr_value / float(m - n)
+
+
+def test_beta(
+    drm_x: Drm, y: np.ndarray, lam: float = 0.0
+) -> dict[str, np.ndarray | float]:
+    """Coefficient t-tests (``LinearRegression.scala:59-97``):
+    C = (XᵀX)⁻¹, SE_i = √(σ̂²·C_ii), t_i = β_i/SE_i,
+    p_i = 2(1 − F_t(|t_i|; df)), df = m − n."""
+    y = np.asarray(y, dtype=np.float64).ravel()
+    xb = drm_x.cbind_ones(prepend=True).checkpoint()
+    a = xb.gram()
+    if lam:
+        a[np.diag_indices_from(a)] += lam
+    c_inv = solve(a)
+    beta = c_inv @ xb.atx(y)
+    m, n = xb.nrow, xb.ncol
+    rss = ssr(drm_x, beta, y)
+    sigma2 = reg_var_estimate(rss, m, n)
+    se = np.sqrt(sigma2 * np.diag(c_inv))
+    t = beta / se
+    p = student_t_sf(t, df=m - n)
+    xb.unpersist()
+    return {"beta": beta, "se": se, "t": t, "p": p, "df": m - n, "sigma2": sigma2}
+
+
+def normal_equation_sums(
+    df: DataFrame, feature_cols: list[str], y_col: str
+) -> DataFrame:
+    """Upper triangle of XᵦᵀXᵦ and XᵦᵀY as triplets ``(i, j, v)`` (j = ncol
+    ⇒ the Xᵀy entry), computed in one aggregation pass. Relational, hence
+    oracle-checkable; bias column is index 0."""
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    n = len(cols)
+    aggs, names = [], []
+    for i in range(n):
+        for j in range(i, n):
+            nm = f"s_{i}_{j}"
+            aggs.append(F.sum(cols[i] * cols[j]).alias(nm))
+            names.append((i, j, nm))
+        nm = f"s_{i}_{n}"
+        aggs.append(F.sum(cols[i] * F.col(y_col).cast("double")).alias(nm))
+        names.append((i, n, nm))
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"), F.col(nm).alias("v"))
+            for i, j, nm in names
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.v").alias("v")
+    )
+
+
+def dridge_table(
+    df: DataFrame, feature_cols: list[str], y_col: str, lam: float = 0.0
+) -> np.ndarray:
+    """Ridge over a relational table: one-pass normal-equation sums →
+    driver solve. β[0] is the bias."""
+    n = len(feature_cols) + 1
+    pdf = normal_equation_sums(df, feature_cols, y_col).toPandas()
+    a = np.zeros((n, n), dtype=np.float64)
+    b = np.zeros(n, dtype=np.float64)
+    for _, r in pdf.iterrows():
+        i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
+        if j == n:
+            b[i] = v
+        else:
+            a[i, j] = v
+            a[j, i] = v
+    if lam:
+        a[np.diag_indices_from(a)] += lam
+    return solve(a, b)

@@ -1,0 +1,650 @@
+"""Distributed Row Matrix (DRM) on DataFrames — the engine's dataflow layer.
+
+Reproduces the Samsara DRM operator surface exercised by the reference
+(SURVEY.md §2A; use-site citations per method) on an idiomatic Spark
+representation: a DataFrame ``(row_id: long, features: array<double>)``
+with the matrix width carried as engine metadata (``ArrayType`` does not
+encode length — SURVEY §1.2).
+
+Design rules (SURVEY §7, 100 TB posture):
+
+- Every operator is a *lazy* DataFrame transformation; like Samsara, nothing
+  executes until an action (``collect``, ``colsums``, ``gram``, ``nrow``,
+  ``checkpoint``). Catalyst then owns the physical plan.
+- Operators are pure Spark SQL expressions wherever the semantics allow
+  (``transform`` / ``aggregate`` / ``zip_with`` / ``slice`` /
+  ``posexplode`` + groupBy) so plans stay inside whole-stage codegen and
+  are relationally checkable against the DuckDB oracle.
+- Arrow record batches via ``mapInPandas`` are the analog of Samsara's
+  vertical blockification (``(keys, block)`` closures): numpy 2-D blocks
+  in, numpy 2-D blocks out. Used only where SQL genuinely can't express
+  the op (gram partials, arbitrary block functions).
+- ``collect``-shaped results are only legal for *declared-small* outputs
+  (gram matrices, sketches, models) — everything row-scaled stays
+  distributed.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+KEY = "row_id"
+FEAT = "features"
+
+# Widths at/below this use ncol-wide column expressions (one pass, no
+# explode); above it, explode-based plans or Arrow blocks take over.
+_NARROW_NCOL = 64
+
+
+def _rows_to_pdf(keys: np.ndarray, block: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame({KEY: keys, FEAT: [row.tolist() for row in block]})
+
+
+def _pdf_to_block(pdf: pd.DataFrame, ncol: int) -> tuple[np.ndarray, np.ndarray]:
+    keys = pdf[KEY].to_numpy()
+    if len(pdf) == 0:
+        return keys, np.zeros((0, ncol), dtype=np.float64)
+    block = np.array(pdf[FEAT].tolist(), dtype=np.float64)
+    return keys, block
+
+
+def drm_broadcast(spark: SparkSession, value: np.ndarray):
+    """``drmBroadcast(v)`` — ship an in-core vector/matrix to all tasks
+    (TWCNB.scala:118,135; BahmaniSketch.scala:104). Thin wrapper so user
+    code mirrors the reference; pandas-UDF closures deref with ``.value``.
+    """
+    return spark.sparkContext.broadcast(np.asarray(value, dtype=np.float64))
+
+
+class Drm:
+    """A distributed row matrix: ``(row_id: long, features: array<double>)``
+    plus ``ncol`` metadata. Row keys are int64; positional (0..nrow-1) for
+    matrices created from in-core data, arbitrary int64 for keyed matrices
+    (e.g. class labels — TWCNB's relabeling, TWCNBSuite.scala:66-74).
+    """
+
+    def __init__(self, df: DataFrame, ncol: int, nrow: int | None = None):
+        self.df = df
+        self.ncol = int(ncol)
+        self._nrow = nrow
+        self._transpose_of: Drm | None = None
+        self._persisted = False
+
+    # ------------------------------------------------------------------ #
+    # sources / sinks
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_numpy(
+        cls, spark: SparkSession, mx: np.ndarray, num_partitions: int | None = None
+    ) -> Drm:
+        """``drmParallelize(mx, numPartitions)`` (A1 — TWCNB.scala:89,
+        MyAppSuite.scala:83)."""
+        mx = np.asarray(mx, dtype=np.float64)
+        if mx.ndim == 1:
+            mx = mx[:, None]
+        pdf = _rows_to_pdf(np.arange(mx.shape[0], dtype=np.int64), mx)
+        df = spark.createDataFrame(pdf, schema=f"{KEY} long, {FEAT} array<double>")
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        return cls(df, ncol=mx.shape[1], nrow=mx.shape[0])
+
+    @classmethod
+    def from_df(cls, df: DataFrame, ncol: int, nrow: int | None = None) -> Drm:
+        return cls(df.select(F.col(KEY).cast("long"), F.col(FEAT)), ncol, nrow)
+
+    @classmethod
+    def from_columns(
+        cls, df: DataFrame, key: Column | str, cols: Sequence[Column | str]
+    ) -> Drm:
+        """Pack numeric table columns into a DRM — the bridge from the
+        relational layer (TESTDATA tables) to the matrix layer
+        (FIXTURES.md 'Mapping onto the driver's TPC-H-ish tables')."""
+        key_col = F.col(key) if isinstance(key, str) else key
+        feats = [
+            (F.col(c) if isinstance(c, str) else c).cast("double") for c in cols
+        ]
+        out = df.select(
+            key_col.cast("long").alias(KEY), F.array(*feats).alias(FEAT)
+        )
+        return cls(out, ncol=len(cols))
+
+    def collect(self) -> np.ndarray:
+        """``drm.collect`` (A2 — TWCNBSuite.scala:86,116). Driver-bound:
+        only for declared-small matrices."""
+        pdf = self.df.orderBy(KEY).toPandas()
+        if len(pdf) == 0:
+            return np.zeros((0, self.ncol), dtype=np.float64)
+        return np.array(pdf[FEAT].tolist(), dtype=np.float64)
+
+    def collect_keys_matrix(self) -> tuple[np.ndarray, np.ndarray]:
+        pdf = self.df.orderBy(KEY).toPandas()
+        return _pdf_to_block(pdf, self.ncol)
+
+    def collect_col(self, j: int) -> np.ndarray:
+        """``drm.collect(::, j)`` (A3 — LinearRegression.scala:30,46,74):
+        one column to the driver; only column ``j`` crosses the wire."""
+        pdf = (
+            self.df.select(KEY, F.col(FEAT)[j].alias("v")).orderBy(KEY).toPandas()
+        )
+        return pdf["v"].to_numpy(dtype=np.float64)
+
+    def checkpoint(self) -> Drm:
+        """``drm.checkpoint()`` (A4 — TWCNB.scala:50,104; LinearRegression
+        .scala:23,71): optimizer barrier + cache. Catalyst does not
+        auto-cache shared subplans (SURVEY §4), so reused subexpressions
+        persist here; the count() forces materialization like Samsara's
+        checkpoint action."""
+        if not self._persisted:
+            self.df = self.df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted = True
+        self._nrow = self.df.count()
+        return self
+
+    def unpersist(self) -> Drm:
+        if self._persisted:
+            self.df.unpersist()
+            self._persisted = False
+        return self
+
+    # ------------------------------------------------------------------ #
+    # geometry (A21)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def nrow(self) -> int:
+        """``drm.nrow`` (A21 — LinearRegression.scala:19,39). Counted once
+        and cached."""
+        if self._nrow is None:
+            self._nrow = self.df.count()
+        return self._nrow
+
+    @property
+    def spark(self) -> SparkSession:
+        """``drm.context`` analog (A22 — TWCNB.scala:30)."""
+        return self.df.sparkSession
+
+    # ------------------------------------------------------------------ #
+    # structural ops
+    # ------------------------------------------------------------------ #
+
+    def cbind_ones(self, prepend: bool = True) -> Drm:
+        """``1 cbind drmX`` (A11 — LinearRegression.scala:23,46,71):
+        constant bias column. Pure projection — no shuffle."""
+        one = F.array(F.lit(1.0))
+        expr = (
+            F.concat(one, F.col(FEAT)) if prepend else F.concat(F.col(FEAT), one)
+        )
+        return Drm(
+            self.df.select(KEY, expr.alias(FEAT)), self.ncol + 1, self._nrow
+        )
+
+    def cbind(self, other: Drm) -> Drm:
+        """General cbind of two DRMs: equi-join on row key + concat.
+        Co-partitioned inputs avoid a shuffle; otherwise Catalyst plans a
+        sort-merge join on row_id."""
+        right = other.df.withColumnRenamed(FEAT, "_rfeat")
+        out = self.df.join(right, KEY).select(
+            KEY, F.concat(F.col(FEAT), F.col("_rfeat")).alias(FEAT)
+        )
+        return Drm(out, self.ncol + other.ncol, self._nrow)
+
+    def rbind(self, other: Drm) -> Drm:
+        """``drmA rbind drmB`` (A20 — reduce fns TWCNB.scala:81,
+        BahmaniSketch.scala:91,95): vertical stack with re-keying so row
+        ids stay unique."""
+        if other.ncol != self.ncol:
+            raise ValueError(f"ncol mismatch: {self.ncol} vs {other.ncol}")
+        offset = self.nrow
+        shifted = other.df.select(
+            (F.col(KEY) + F.lit(offset)).alias(KEY), FEAT
+        )
+        return Drm(
+            self.df.unionByName(shifted),
+            self.ncol,
+            None if other._nrow is None else offset + other._nrow,
+        )
+
+    def slice_cols(self, start: int, stop: int) -> Drm:
+        """``drmY(::, a until b)`` (A16 — BahmaniSketch.scala:59): column
+        range projection via ``F.slice`` — narrow, codegen'd."""
+        n = stop - start
+        return Drm(
+            self.df.select(KEY, F.slice(FEAT, start + 1, n).alias(FEAT)),
+            n,
+            self._nrow,
+        )
+
+    def sample_k_rows(self, k: int, seed: int) -> np.ndarray:
+        """``drmSampleKRows(drm, k)`` (A17 — BahmaniSketch.scala:48),
+        deterministic variant: order by a seeded hash of the row key
+        (stable across retries, unlike ``orderBy(rand())`` — SURVEY §7
+        risk register), take k. Top-k is a treeified limit, not a global
+        sort of all rows."""
+        sampled = (
+            self.df.orderBy(F.xxhash64(F.col(KEY), F.lit(seed)))
+            .limit(k)
+            .toPandas()
+        )
+        _, block = _pdf_to_block(sampled, self.ncol)
+        return block
+
+    # ------------------------------------------------------------------ #
+    # elementwise / scalar-function ops (A19, B7/B8 distributed subset)
+    # ------------------------------------------------------------------ #
+
+    def map_elements(self, fn: Callable[[Column], Column]) -> Drm:
+        """Cell-wise transform as a SQL lambda (B7 distributed analog) —
+        stays in whole-stage codegen."""
+        return Drm(
+            self.df.select(
+                KEY, F.transform(F.col(FEAT), fn).alias(FEAT)
+            ),
+            self.ncol,
+            self._nrow,
+        )
+
+    def abs(self) -> Drm:
+        """``dabs(drm)`` (A19 — TWCNB.scala:134)."""
+        return self.map_elements(lambda x: F.abs(x))
+
+    def scalar_op(self, op: str, s: float) -> Drm:
+        """Scalar broadcast arithmetic (B8: ``mxC /= 4``, ``vec += alpha``)."""
+        ops = {
+            "+": lambda x: x + F.lit(s),
+            "-": lambda x: x - F.lit(s),
+            "*": lambda x: x * F.lit(s),
+            "/": lambda x: x / F.lit(s),
+            "^": lambda x: F.pow(x, F.lit(s)),
+        }
+        return self.map_elements(ops[op])
+
+    def ewise(self, other: Drm, op: str) -> Drm:
+        """Elementwise +,-,*,/ of two conforming DRMs via ``zip_with``
+        after a key join (B8 distributed)."""
+        ops = {
+            "+": lambda a, b: a + b,
+            "-": lambda a, b: a - b,
+            "*": lambda a, b: a * b,
+            "/": lambda a, b: a / b,
+        }
+        right = other.df.withColumnRenamed(FEAT, "_rfeat")
+        out = self.df.join(right, KEY).select(
+            KEY,
+            F.zip_with(F.col(FEAT), F.col("_rfeat"), ops[op]).alias(FEAT),
+        )
+        return Drm(out, self.ncol, self._nrow)
+
+    # ------------------------------------------------------------------ #
+    # aggregations (A14, A15)
+    # ------------------------------------------------------------------ #
+
+    def rowsums_col(self) -> Column:
+        """Per-row sum as a SQL expression (A15 — TWCNB.scala:110)."""
+        return F.aggregate(
+            F.col(FEAT), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def rowsums(self) -> DataFrame:
+        return self.df.select(KEY, self.rowsums_col().alias("row_sum"))
+
+    def colsums_df(self) -> DataFrame:
+        """Column sums as ``(pos, col_sum)`` — distributed result."""
+        if self.ncol <= _NARROW_NCOL:
+            # One codegen'd pass, ncol partial aggregates, no explode.
+            aggs = [
+                F.sum(F.col(FEAT)[i]).alias(f"c{i}") for i in range(self.ncol)
+            ]
+            row = self.df.agg(*aggs)
+            cols = F.array(*[F.col(f"c{i}") for i in range(self.ncol)])
+            return row.select(
+                F.posexplode(cols).alias("pos", "col_sum")
+            )
+        exploded = self.df.select(
+            F.posexplode(F.col(FEAT)).alias("pos", "v")
+        )
+        return exploded.groupBy("pos").agg(F.sum("v").alias("col_sum"))
+
+    def colsums(self) -> np.ndarray:
+        """``drm.colSums()`` (A14 — TWCNB.scala:117,134) → driver vector."""
+        pdf = self.colsums_df().toPandas()
+        out = np.zeros(self.ncol, dtype=np.float64)
+        out[pdf["pos"].to_numpy()] = pdf["col_sum"].to_numpy(dtype=np.float64)
+        return out
+
+    def colmeans(self) -> np.ndarray:
+        return self.colsums() / float(self.nrow)
+
+    # ------------------------------------------------------------------ #
+    # linear algebra (A5-A10)
+    # ------------------------------------------------------------------ #
+
+    def t(self, width: int | None = None) -> Drm:
+        """``drm.t`` (A5 — TWCNB.scala:50,102; LinearRegression.scala:26).
+
+        Logical transpose m×n → n×m via COO explode + groupBy, assembling
+        dense rows with a key→value map (zeros dropped before the shuffle,
+        refilled on assembly — sparse-friendly). Duplicate row keys SUM
+        into one column, matching Samsara's aggregate-by-key transpose
+        semantics (§1.2); for the pure aggregation use-case prefer
+        :meth:`aggregate_rows_by_key` (one groupBy, no transpose).
+
+        Double transpose is peephole-eliminated (SURVEY §4: Samsara's
+        ``A.t.t`` collapse): the returned Drm remembers its parent and
+        ``t()`` on it returns the parent untouched.
+        """
+        if self._transpose_of is not None and width is None:
+            return self._transpose_of
+        w = width if width is not None else self.nrow
+        exploded = (
+            self.df.select(KEY, F.posexplode(F.col(FEAT)).alias("pos", "v"))
+            .filter(F.col("v") != 0.0)
+            .groupBy("pos", KEY)
+            .agg(F.sum("v").alias("v"))
+        )
+        assembled = (
+            exploded.groupBy("pos")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col(KEY), F.col("v")))
+                ).alias("m")
+            )
+            .select(
+                F.col("pos").cast("long").alias(KEY),
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.lit(w - 1).cast("long")),
+                    lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
+                ).alias(FEAT),
+            )
+        )
+        out = Drm(assembled, ncol=w, nrow=self.ncol)
+        out._transpose_of = self
+        return out
+
+    def aggregate_rows_by_key(self) -> Drm:
+        """The clean form of the reference's 'transpose trick' (§1.2:
+        TWCNB.scala:48-50, TWCNBSuite.scala:82-85 — re-key rows by class
+        label, transpose twice to get per-key sums): one relational
+        ``groupBy(key).agg(elementwise_sum)``, a single shuffle with
+        map-side partial aggregation. Geometry deviates deliberately from
+        the reference (no retained empty rows — the reference itself
+        strips them as a workaround, TWCNB.scala:52-83)."""
+        if self.ncol <= _NARROW_NCOL:
+            aggs = [
+                F.sum(F.col(FEAT)[i]).alias(f"c{i}") for i in range(self.ncol)
+            ]
+            grouped = self.df.groupBy(KEY).agg(*aggs)
+            out = grouped.select(
+                KEY,
+                F.array(*[F.col(f"c{i}") for i in range(self.ncol)]).alias(FEAT),
+            )
+            return Drm(out, self.ncol)
+        exploded = self.df.select(
+            KEY, F.posexplode(F.col(FEAT)).alias("pos", "v")
+        ).filter(F.col("v") != 0.0)
+        summed = exploded.groupBy(KEY, "pos").agg(F.sum("v").alias("v"))
+        assembled = (
+            summed.groupBy(KEY)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("pos").cast("long"), F.col("v")))
+                ).alias("m")
+            )
+            .select(
+                KEY,
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"), F.lit(self.ncol - 1).cast("long")
+                    ),
+                    lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
+                ).alias(FEAT),
+            )
+        )
+        return Drm(assembled, self.ncol)
+
+    def gram_df(self) -> DataFrame:
+        """Upper triangle of ``XᵀX`` as triplets ``(i, j, v)`` — the
+        distributed half of :meth:`gram`, exposed as a DataFrame so the
+        relational oracle can check it."""
+        n = self.ncol
+
+        def partials(batches):
+            acc = np.zeros((n, n), dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                _, block = _pdf_to_block(pdf, n)
+                if block.shape[0]:
+                    acc += block.T @ block
+                    seen = True
+            if seen:
+                iu = np.triu_indices(n)
+                yield pd.DataFrame(
+                    {"i": iu[0], "j": iu[1], "v": acc[iu]}
+                )
+
+        triplets = self.df.mapInPandas(partials, schema="i int, j int, v double")
+        return triplets.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+    def gram(self) -> np.ndarray:
+        """``drmA.t %*% drmA`` collected in-core (A7 — LinearRegression
+        .scala:26,80): the AtA fusion from SURVEY §4. One pass of
+        per-partition ``blockᵀ @ block`` partials over Arrow batches —
+        Xᵀ is never materialized, no transpose shuffle — then a tiny
+        (ncol²-row) partial+final aggregation. This is the
+        ``RowMatrix.computeGramianMatrix`` shape, DataFrame-native."""
+        n = self.ncol
+        pdf = self.gram_df().toPandas()
+        out = np.zeros((n, n), dtype=np.float64)
+        out[pdf["i"], pdf["j"]] = pdf["v"]
+        iu = np.triu_indices(n, k=1)
+        out[(iu[1], iu[0])] = out[iu]
+        return out
+
+    def atx(self, y: np.ndarray) -> np.ndarray:
+        """``drmA.t %*% y`` → driver vector (A8 — LinearRegression.scala:30).
+        y is broadcast; per-partition partials ``blockᵀ @ y[keys]`` are
+        summed — map-side only, single-row-per-partition shuffle. Requires
+        positional int keys (0..nrow-1), like the reference's
+        ``DrmLike[Int]`` contract."""
+        y = np.asarray(y, dtype=np.float64).ravel()
+        bc = self.spark.sparkContext.broadcast(y)
+        n = self.ncol
+
+        def partials(batches):
+            acc = np.zeros(n, dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                keys, block = _pdf_to_block(pdf, n)
+                if block.shape[0]:
+                    acc += block.T @ bc.value[keys]
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"pos": np.arange(n), "v": acc})
+
+        pdf = (
+            self.df.mapInPandas(partials, schema="pos int, v double")
+            .groupBy("pos")
+            .agg(F.sum("v").alias("v"))
+            .toPandas()
+        )
+        out = np.zeros(n, dtype=np.float64)
+        out[pdf["pos"].to_numpy()] = pdf["v"].to_numpy(dtype=np.float64)
+        return out
+
+    def ax(self, beta: np.ndarray) -> Drm:
+        """``drmA %*% beta`` → DRM m×1 (A9 — LinearRegression.scala:46,74).
+        Narrow matrices: pure SQL ``zip_with`` + ``aggregate`` against an
+        array literal (codegen'd, duckdb-checkable). Wide: broadcast numpy
+        dot inside an Arrow batch map."""
+        beta = np.asarray(beta, dtype=np.float64).ravel()
+        if len(beta) != self.ncol:
+            raise ValueError(f"beta has {len(beta)} elems, ncol={self.ncol}")
+        if self.ncol <= _NARROW_NCOL:
+            lit = F.array(*[F.lit(float(b)) for b in beta])
+            dot = F.aggregate(
+                F.zip_with(F.col(FEAT), lit, lambda x, b: x * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            out = self.df.select(KEY, F.array(dot).alias(FEAT))
+            return Drm(out, 1, self._nrow)
+        bc = self.spark.sparkContext.broadcast(beta)
+        n = self.ncol
+
+        def op(batches):
+            for pdf in batches:
+                keys, block = _pdf_to_block(pdf, n)
+                yield _rows_to_pdf(keys, (block @ bc.value)[:, None])
+
+        out = self.df.mapInPandas(op, schema=f"{KEY} long, {FEAT} array<double>")
+        return Drm(out, 1, self._nrow)
+
+    def mmul(self, other: Drm | np.ndarray) -> Drm:
+        """``drmA %*% drmB`` (A6/A10 — TWCNBSuite.scala:115).
+
+        numpy / small right operand → broadcast matmul: one narrow Arrow
+        pass, no shuffle (the A10 scoring shape: model is terms×classes).
+        DRM right operand → COO equi-join + aggregate: both sides explode
+        to (i,k,v)/(k,j,v) dropping zeros, join on k, groupBy (i,j) sum —
+        the pure relational formulation Catalyst can shuffle-plan and AQE
+        can skew-split.
+        """
+        if isinstance(other, np.ndarray):
+            b = np.asarray(other, dtype=np.float64)
+            if b.shape[0] != self.ncol:
+                raise ValueError(f"shape mismatch: {self.ncol} vs {b.shape[0]}")
+            bc = self.spark.sparkContext.broadcast(b)
+            n = self.ncol
+
+            def op(batches):
+                for pdf in batches:
+                    keys, block = _pdf_to_block(pdf, n)
+                    yield _rows_to_pdf(keys, block @ bc.value)
+
+            out = self.df.mapInPandas(
+                op, schema=f"{KEY} long, {FEAT} array<double>"
+            )
+            return Drm(out, b.shape[1], self._nrow)
+
+        if other.ncol is None or self.ncol is None:
+            raise ValueError("mmul requires known geometry")
+        a_coo = self.df.select(
+            F.col(KEY).alias("i"), F.posexplode(F.col(FEAT)).alias("k", "va")
+        ).filter(F.col("va") != 0.0)
+        b_coo = other.df.select(
+            F.col(KEY).alias("k2"), F.posexplode(F.col(FEAT)).alias("j", "vb")
+        ).filter(F.col("vb") != 0.0)
+        prod = (
+            a_coo.join(b_coo, a_coo["k"] == b_coo["k2"])
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("v"))
+        )
+        assembled = (
+            prod.groupBy("i")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("j").cast("long"), F.col("v")))
+                ).alias("m")
+            )
+            .select(
+                F.col("i").cast("long").alias(KEY),
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"), F.lit(other.ncol - 1).cast("long")
+                    ),
+                    lambda idx: F.coalesce(F.element_at("m", idx), F.lit(0.0)),
+                ).alias(FEAT),
+            )
+        )
+        return Drm(assembled, other.ncol, self._nrow)
+
+    # ------------------------------------------------------------------ #
+    # block API (A12, A13)
+    # ------------------------------------------------------------------ #
+
+    def map_block(
+        self,
+        fn: Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]],
+        ncol: int | None = None,
+    ) -> Drm:
+        """``mapBlock(ncol?)(fn)`` (A12 — TWCNB.scala:90-147,
+        BahmaniSketch.scala:23-26): per-block functional transform. ``fn``
+        receives ``(keys: int64[b], block: float64[b, ncol])`` numpy views
+        of one Arrow batch (the vertical block — SURVEY §1.2) and returns
+        possibly re-keyed / re-shaped ``(keys', block')``. Narrow unless
+        ``fn`` itself changes geometry."""
+        out_ncol = ncol if ncol is not None else self.ncol
+        in_ncol = self.ncol
+
+        def op(batches):
+            for pdf in batches:
+                keys, block = _pdf_to_block(pdf, in_ncol)
+                if block.shape[0] == 0:
+                    continue
+                keys2, block2 = fn(keys, block)
+                if block2.shape[1] != out_ncol:
+                    raise ValueError(
+                        f"mapBlock fn returned width {block2.shape[1]}, "
+                        f"declared ncol={out_ncol}"
+                    )
+                yield _rows_to_pdf(np.asarray(keys2, dtype=np.int64), block2)
+
+        out = self.df.mapInPandas(op, schema=f"{KEY} long, {FEAT} array<double>")
+        return Drm(out, out_ncol, self._nrow if out_ncol == in_ncol else None)
+
+    def allreduce_block(
+        self,
+        map_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+        reduce_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    ) -> np.ndarray:
+        """``allreduceBlock(mapFn, reduceFn)`` (A13 — TWCNB.scala:54-83,
+        BahmaniSketch.scala:63-92): map each partition's block to an
+        arbitrary in-core matrix, associatively reduce to ONE driver-side
+        matrix. Partition-side the blocks of one task are concatenated so
+        ``map_fn`` sees the whole partition (matching Samsara's
+        one-block-per-partition contract); partials come back as rows and
+        reduce on the driver — legal because allreduce results are
+        declared-small by contract."""
+        in_ncol = self.ncol
+
+        def op(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            chunks_k, chunks_b = [], []
+            for pdf in batches:
+                keys, block = _pdf_to_block(pdf, in_ncol)
+                if block.shape[0]:
+                    chunks_k.append(keys)
+                    chunks_b.append(block)
+            if not chunks_b:
+                return
+            keys = np.concatenate(chunks_k)
+            block = np.vstack(chunks_b)
+            partial = np.asarray(map_fn(keys, block), dtype=np.float64)
+            if partial.ndim == 1:
+                partial = partial[None, :]
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "ridx": np.arange(partial.shape[0]),
+                    FEAT: [r.tolist() for r in partial],
+                }
+            )
+
+        pdf = self.df.mapInPandas(
+            op, schema=f"pid int, ridx int, {FEAT} array<double>"
+        ).toPandas()
+        if len(pdf) == 0:
+            raise ValueError("allreduce_block over an empty DRM")
+        partials = []
+        for _, grp in pdf.sort_values(["pid", "ridx"]).groupby("pid", sort=True):
+            partials.append(np.array(grp[FEAT].tolist(), dtype=np.float64))
+        return functools.reduce(reduce_fn, partials)

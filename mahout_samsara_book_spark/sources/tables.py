@@ -1,0 +1,48 @@
+"""Table readers: the bridge from the driver's TPC-H-ish parquet tables
+(TESTDATA.md) to the DRM matrix layer (FIXTURES.md 'Mapping onto the
+driver's TPC-H-ish tables').
+
+Parquet is the only real source needed (the reference's SequenceFile
+dictionary/df-count pairs, ``NaiveBayesServlet.scala:45-53``, are remodeled
+as two-column parquet tables per SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.drm.drm import Drm
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+LINEITEM_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def lineitem_key() -> F.Column:
+    """Stable int64 row key for lineitem: (orderkey, linenumber) packed.
+    TPC-H linenumber ∈ 1..7, so *8 is collision-free. Deterministic across
+    runs/partitionings (unlike monotonically_increasing_id)."""
+    return (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+
+
+def lineitem_drm(spark: SparkSession, sf_dir: str) -> Drm:
+    """lineitem numerics as a 4-wide DRM keyed by the packed key —
+    the standard matrix fixture for A6-A15 oracle checks (FIXTURES.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return Drm.from_columns(li, lineitem_key(), LINEITEM_FEATURES)

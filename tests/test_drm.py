@@ -1,0 +1,179 @@
+import numpy as np
+import pytest
+
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.kernels.incore import symmetric_uniform_view
+
+
+@pytest.fixture(scope="module")
+def mx():
+    return symmetric_uniform_view(40, 6, 1234)
+
+
+@pytest.fixture(scope="module")
+def drm(spark, mx):
+    return Drm.from_numpy(spark, mx, num_partitions=4).checkpoint()
+
+
+def test_roundtrip(drm, mx):
+    assert drm.nrow == 40 and drm.ncol == 6
+    assert np.allclose(drm.collect(), mx)
+
+
+def test_collect_col(drm, mx):
+    assert np.allclose(drm.collect_col(2), mx[:, 2])
+
+
+def test_cbind_ones(drm, mx):
+    out = drm.cbind_ones(prepend=True).collect()
+    assert out.shape == (40, 7)
+    assert np.all(out[:, 0] == 1.0)
+    assert np.allclose(out[:, 1:], mx)
+
+
+def test_cbind_two_drms(spark, mx):
+    a = Drm.from_numpy(spark, mx[:, :2])
+    b = Drm.from_numpy(spark, mx[:, 2:])
+    assert np.allclose(a.cbind(b).collect(), mx)
+
+
+def test_rbind(spark, mx):
+    a = Drm.from_numpy(spark, mx[:10])
+    b = Drm.from_numpy(spark, mx[10:25])
+    out = a.rbind(b)
+    assert np.allclose(out.collect(), mx[:25])
+    assert out.nrow == 25
+
+
+def test_slice_cols(drm, mx):
+    assert np.allclose(drm.slice_cols(1, 4).collect(), mx[:, 1:4])
+
+
+def test_abs_and_scalar_ops(drm, mx):
+    assert np.allclose(drm.abs().collect(), np.abs(mx))
+    assert np.allclose(drm.scalar_op("*", 2.5).collect(), mx * 2.5)
+    assert np.allclose(drm.scalar_op("^", 2.0).collect(), mx**2)
+
+
+def test_ewise(spark, mx):
+    a = Drm.from_numpy(spark, mx)
+    b = Drm.from_numpy(spark, mx * 0.5 + 1)
+    assert np.allclose(a.ewise(b, "-").collect(), mx - (mx * 0.5 + 1))
+    assert np.allclose(a.ewise(b, "*").collect(), mx * (mx * 0.5 + 1))
+
+
+def test_colsums_rowsums(drm, mx):
+    assert np.allclose(drm.colsums(), mx.sum(axis=0))
+    rs = drm.rowsums().orderBy("row_id").toPandas()["row_sum"].to_numpy()
+    assert np.allclose(rs, mx.sum(axis=1))
+    assert np.allclose(drm.colmeans(), mx.mean(axis=0))
+
+
+def test_colsums_wide(spark):
+    wide = symmetric_uniform_view(30, 100, 9)  # > narrow threshold
+    d = Drm.from_numpy(spark, wide)
+    assert np.allclose(d.colsums(), wide.sum(axis=0))
+
+
+def test_transpose(spark, mx):
+    d = Drm.from_numpy(spark, mx, num_partitions=3)
+    t = d.t()
+    assert (t.nrow, t.ncol) == (6, 40)
+    assert np.allclose(t.collect(), mx.T)
+    # peephole: A.t.t is A, no plan built
+    assert t.t() is d
+
+
+def test_transpose_aggregates_duplicate_keys(spark, mx):
+    # Samsara semantics (SURVEY §1.2): duplicate Int keys sum on transpose.
+    labels = np.arange(40) % 4
+
+    def relabel(keys, block):
+        return labels[keys], block
+
+    d = Drm.from_numpy(spark, mx, num_partitions=3).map_block(relabel)
+    t = d.t(width=4)
+    expect = np.zeros((6, 4))
+    for lbl in range(4):
+        expect[:, lbl] = mx[labels == lbl].sum(axis=0)
+    assert np.allclose(t.collect(), expect)
+
+
+def test_aggregate_rows_by_key(spark, mx):
+    labels = np.arange(40) % 4
+    d = Drm.from_numpy(spark, mx, num_partitions=3).map_block(
+        lambda keys, block: (labels[keys], block)
+    )
+    agg = d.aggregate_rows_by_key()
+    out_keys, out = agg.collect_keys_matrix()
+    expect = np.vstack([mx[labels == k].sum(axis=0) for k in sorted(set(labels))])
+    assert np.allclose(out, expect)
+    assert list(out_keys) == [0, 1, 2, 3]
+
+
+def test_gram(drm, mx):
+    assert np.allclose(drm.gram(), mx.T @ mx, atol=1e-10)
+
+
+def test_atx(drm, mx):
+    y = np.arange(40, dtype=np.float64)
+    assert np.allclose(drm.atx(y), mx.T @ y, atol=1e-10)
+
+
+def test_ax_narrow_and_wide(spark, mx):
+    beta = np.linspace(-1, 1, 6)
+    d = Drm.from_numpy(spark, mx)
+    assert np.allclose(d.ax(beta).collect()[:, 0], mx @ beta)
+    wide = symmetric_uniform_view(20, 100, 3)
+    bw = np.linspace(0, 1, 100)
+    dw = Drm.from_numpy(spark, wide)
+    assert np.allclose(dw.ax(bw).collect()[:, 0], wide @ bw)
+
+
+def test_mmul_broadcast(spark, mx):
+    b = symmetric_uniform_view(6, 3, 77)
+    d = Drm.from_numpy(spark, mx)
+    assert np.allclose(d.mmul(b).collect(), mx @ b, atol=1e-10)
+
+
+def test_mmul_drm(spark, mx):
+    b = symmetric_uniform_view(6, 5, 78)
+    da = Drm.from_numpy(spark, mx, num_partitions=3)
+    db = Drm.from_numpy(spark, b, num_partitions=2)
+    assert np.allclose(da.mmul(db).collect(), mx @ b, atol=1e-10)
+
+
+def test_map_block_width_change(spark, mx):
+    d = Drm.from_numpy(spark, mx)
+
+    def add_rowsum(keys, block):
+        return keys, np.hstack([block, block.sum(axis=1, keepdims=True)])
+
+    out = d.map_block(add_rowsum, ncol=7).collect()
+    assert np.allclose(out[:, :6], mx)
+    assert np.allclose(out[:, 6], mx.sum(axis=1))
+
+
+def test_allreduce_block(spark, mx):
+    d = Drm.from_numpy(spark, mx, num_partitions=4)
+    # rbind-reduce shape (TWCNB.scala:54-83): keep rows with rowsum > 0
+    out = d.allreduce_block(
+        lambda keys, block: block[block.sum(axis=1) > 0],
+        lambda a, b: np.vstack([a, b]),
+    )
+    expect = mx[mx.sum(axis=1) > 0]
+    assert out.shape == expect.shape
+    assert np.allclose(np.sort(out.sum(axis=1)), np.sort(expect.sum(axis=1)))
+    # sum-reduce shape (gram-like)
+    g = d.allreduce_block(lambda k, b: b.T @ b, lambda a, b: a + b)
+    assert np.allclose(g, mx.T @ mx, atol=1e-10)
+
+
+def test_sample_k_rows_deterministic(spark, mx):
+    d = Drm.from_numpy(spark, mx, num_partitions=4)
+    s1 = d.sample_k_rows(5, seed=123)
+    s2 = d.sample_k_rows(5, seed=123)
+    assert s1.shape == (5, 6)
+    assert np.allclose(s1, s2)
+    s3 = d.sample_k_rows(5, seed=124)
+    assert not np.allclose(s1, s3)

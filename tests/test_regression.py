@@ -1,0 +1,92 @@
+"""Reproduces the reference's regression gates (BASELINE.md):
+OLS parameter recovery L1 < 1e-1 on the F2 fixture (MyAppSuite.scala:72-87)
+and the coefficient t-test surface (MyAppSuite.scala:89-112)."""
+
+import numpy as np
+import pytest
+
+from mahout_samsara_book_spark.algorithms import regression as reg
+from mahout_samsara_book_spark.algorithms.regression import (
+    dridge,
+    dridge_table,
+    reg_var_estimate,
+    ssr,
+)
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.kernels.incore import (
+    gaussian_view,
+    symmetric_uniform_view,
+)
+
+BETA_TRUE = np.array([3.0, 25.0, 10.0, -4.0])  # bias first — MyAppSuite.scala:78
+
+
+def sim_data(m=250, sigma=0.04, seed_x=1234, seed_e=1245):
+    """F2 fixture: X ~ U[-1,1), y = [1|X]·β + σ·N(0,1) (MyAppSuite.scala:28-44)."""
+    x = symmetric_uniform_view(m, 3, seed_x)
+    eps = gaussian_view(m, 1, seed_e)[:, 0]
+    y = BETA_TRUE[0] + x @ BETA_TRUE[1:] + sigma * eps
+    return x, y
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    x, y = sim_data()
+    return Drm.from_numpy(spark, x, num_partitions=2), x, y
+
+
+def test_ols_recovers_beta(fixture):
+    drm_x, _, y = fixture
+    beta = dridge(drm_x, y, lam=0.0)
+    assert np.abs(beta - BETA_TRUE).sum() < 1e-1  # MyAppSuite.scala:86 gate
+
+
+def test_ridge_matches_closed_form(fixture):
+    drm_x, x, y = fixture
+    lam = 0.7
+    xb = np.hstack([np.ones((x.shape[0], 1)), x])
+    expect = np.linalg.solve(xb.T @ xb + lam * np.eye(4), xb.T @ y)
+    assert np.allclose(dridge(drm_x, y, lam), expect, atol=1e-8)
+
+
+def test_ssr_and_var(fixture):
+    drm_x, x, y = fixture
+    beta = dridge(drm_x, y)
+    xb = np.hstack([np.ones((x.shape[0], 1)), x])
+    expect = float(np.sum((xb @ beta - y) ** 2))
+    got = ssr(drm_x, beta, y)
+    assert np.isclose(got, expect, rtol=1e-8)
+    assert np.isclose(reg_var_estimate(got, 250, 4), expect / 246.0)
+
+
+def test_beta_stats(spark):
+    # case b (MyAppSuite.scala:93-94): beta=(-4,3,25,12), sigma=10
+    beta_true = np.array([-4.0, 3.0, 25.0, 12.0])
+    x = symmetric_uniform_view(250, 3, 1234)
+    y = beta_true[0] + x @ beta_true[1:] + 10.0 * gaussian_view(250, 1, 1245)[:, 0]
+    drm_x = Drm.from_numpy(spark, x, num_partitions=2)
+    res = reg.test_beta(drm_x, y)
+    assert res["df"] == 246
+    assert np.all(res["se"] > 0)
+    assert np.all((res["p"] >= 0) & (res["p"] <= 1))
+    # numpy oracle for SE/t
+    xb = np.hstack([np.ones((250, 1)), x])
+    c = np.linalg.inv(xb.T @ xb)
+    beta_hat = c @ (xb.T @ y)
+    sigma2 = np.sum((xb @ beta_hat - y) ** 2) / 246.0
+    se = np.sqrt(sigma2 * np.diag(c))
+    assert np.allclose(res["beta"], beta_hat, atol=1e-8)
+    assert np.allclose(res["se"], se, atol=1e-8)
+    assert np.allclose(res["t"], beta_hat / se, atol=1e-8)
+
+
+def test_dridge_table_matches_drm_path(spark, fixture):
+    drm_x, x, y = fixture
+    import pandas as pd
+
+    pdf = pd.DataFrame({f"x{i}": x[:, i] for i in range(3)})
+    pdf["y"] = y
+    df = spark.createDataFrame(pdf)
+    beta_sql = dridge_table(df, ["x0", "x1", "x2"], "y")
+    beta_drm = dridge(drm_x, y)
+    assert np.allclose(beta_sql, beta_drm, atol=1e-8)
