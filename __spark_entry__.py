@@ -36,12 +36,27 @@ from mahout_samsara_book_spark.sources.tables import (
 # --------------------------------------------------------------------- #
 
 
+# Both engines format the SAME double (IEEE multiply is deterministic), but
+# Java's %.7e rounds the shortest decimal repr HALF_UP while C/DuckDB rounds
+# the exact binary value half-even — they disagree exactly when the cut
+# position lands on a trailing '5' of a nice decimal (ubiquitous with
+# 2-decimal money columns). The relative 1e-13 nudge pushes values off those
+# half boundaries (format tolerance is 1e-8 rel, so the nudge is invisible)
+# without breaking the equal-doubles-in precondition.
+_NUDGE = "1.0000000000001"
+
+
 def sci(col: Column) -> Column:
-    return F.when(col == 0, F.lit("0")).otherwise(F.format_string("%.7e", col))
+    return F.when(col == 0, F.lit("0")).otherwise(
+        F.format_string("%.7e", col * F.lit(float(_NUDGE)))
+    )
 
 
 def sci_sql(expr: str) -> str:
-    return f"CASE WHEN ({expr}) = 0 THEN '0' ELSE printf('%.7e', ({expr})) END"
+    return (
+        f"CASE WHEN ({expr}) = 0 THEN '0' "
+        f"ELSE printf('%.7e', ({expr}) * {_NUDGE}) END"
+    )
 
 
 _LI_KEY_SQL = "CAST(l_orderkey * 8 + l_linenumber AS BIGINT)"
@@ -111,7 +126,10 @@ def _q_dridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     beta = dridge_table(li, _RIDGE_FEATS, _RIDGE_Y, lam=_RIDGE_LAM)
     return spark.createDataFrame(
-        [(i, f"%.7e" % b if b != 0 else "0") for i, b in enumerate(beta)],
+        [
+            (i, "%.7e" % (b * float(_NUDGE)) if b != 0 else "0")
+            for i, b in enumerate(beta)
+        ],
         "pos long, beta string",
     )
 
@@ -124,6 +142,71 @@ def _q_abs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
 
 
+def _li_drm_keyed_by_linenumber(spark: SparkSession, sf_dir: str) -> Drm:
+    """lineitem matrix keyed by l_linenumber-1 (keys 0..6) — a DRM with
+    deliberately DUPLICATE keys to exercise the aggregate-by-key semantics
+    (SURVEY §1.2 'transpose trick')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return Drm.from_columns(
+        li, F.col("l_linenumber") - 1, LINEITEM_FEATURES
+    )
+
+
+def _q_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 aggregating semantics, clean form: groupBy(key) elementwise sum
+    (one shuffle w/ map-side partial agg) — the TWCNB per-class aggregation."""
+    agg = _li_drm_keyed_by_linenumber(spark, sf_dir).aggregate_rows_by_key()
+    return agg.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
+
+
+def _q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 drm.t with duplicate int keys: per-key sums land in columns
+    (COO explode → groupBy → dense reassembly)."""
+    d = _li_drm_keyed_by_linenumber(spark, sf_dir)
+    t = d.t(width=7)  # keys 0..6
+    return t.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
+
+
+_MMUL_B = [
+    [1.0, 0.5, -1.0],
+    [2.0, -0.25, 0.0],
+    [-3.0, 1.5, 4.0],
+    [0.0, 2.0, -0.5],
+]
+
+
+def _q_mmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 DRM %*% DRM via the COO equi-join + aggregate strategy. The
+    synthetic lineitem has duplicate packed keys — those rows SUM into one
+    output row, Samsara's aggregate-by-key contract (SURVEY §1.2)."""
+    import numpy as np
+
+    a = lineitem_drm(spark, sf_dir)
+    b = Drm.from_numpy(spark, np.array(_MMUL_B))
+    out = a.mmul(b)
+    return out.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
+
+
+def _q_rbind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 rbind: vertical stack of two column-slices; positional re-key
+    of the second block by nrow offset (reference's Int-key contract,
+    restored via reindex)."""
+    d = lineitem_drm(spark, sf_dir).reindex()
+    a, b = d.slice_cols(0, 2), d.slice_cols(2, 4)
+    stacked = a.rbind(b)
+    return stacked.df.select(
+        "row_id",
+        sci(F.col("features")[0]).alias("f0"),
+        sci(F.col("features")[1]).alias("f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "drm_colsums": _q_colsums,
@@ -133,6 +216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_normal_eq": _q_normal_eq,
         "dridge": _q_dridge,
         "drm_abs_slice": _q_abs_slice,
+        "drm_group_sum": _q_group_sum,
+        "drm_transpose": _q_transpose,
+        "drm_mmul": _q_mmul,
+        "drm_rbind": _q_rbind,
     }
 
 
@@ -249,8 +336,61 @@ def _oracle_abs_slice() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _oracle_group_sum() -> str:
+    parts = [
+        f"SELECT CAST(l_linenumber - 1 AS BIGINT) AS row_id, CAST({i} AS BIGINT) AS pos, "
+        f"{sci_sql(f'sum({c})')} AS v FROM lineitem GROUP BY 1"
+        for i, c in enumerate(LINEITEM_FEATURES)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_transpose() -> str:
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS row_id, CAST(l_linenumber - 1 AS BIGINT) AS pos, "
+        f"{sci_sql(f'sum({c})')} AS v FROM lineitem GROUP BY 2"
+        for i, c in enumerate(LINEITEM_FEATURES)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_mmul() -> str:
+    parts = []
+    for j in range(3):
+        dot = " + ".join(
+            f"{c} * {_MMUL_B[k][j]!r}" for k, c in enumerate(LINEITEM_FEATURES)
+        )
+        parts.append(
+            f"SELECT {_LI_KEY_SQL} AS row_id, CAST({j} AS BIGINT) AS pos, "
+            f"{sci_sql(f'sum({dot})')} AS v FROM lineitem GROUP BY 1"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _oracle_rbind() -> str:
+    return f"""
+WITH r AS (
+  SELECT row_number() OVER (
+    ORDER BY {_LI_KEY_SQL}, l_quantity, l_extendedprice, l_discount, l_tax
+  ) - 1 AS rid, *
+  FROM lineitem
+)
+SELECT CAST(rid AS BIGINT) AS row_id,
+       {sci_sql('l_quantity')} AS f0, {sci_sql('l_extendedprice')} AS f1
+FROM r
+UNION ALL
+SELECT CAST(rid + (SELECT count(*) FROM r) AS BIGINT) AS row_id,
+       {sci_sql('l_discount')} AS f0, {sci_sql('l_tax')} AS f1
+FROM r
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "drm_group_sum": _oracle_group_sum(),
+        "drm_transpose": _oracle_transpose(),
+        "drm_mmul": _oracle_mmul(),
+        "drm_rbind": _oracle_rbind(),
         "drm_colsums": _oracle_colsums(),
         "drm_rowsums": _oracle_rowsums(),
         "drm_ax": _oracle_ax(),

@@ -212,6 +212,23 @@ class Drm:
             None if other._nrow is None else offset + other._nrow,
         )
 
+    def reindex(self) -> Drm:
+        """Re-key rows to positional ids 0..nrow-1, ordered by the current
+        key (deterministic). Restores the positional-Int-key contract the
+        reference's DRMs carry (``DrmLike[Int]``) after keys became sparse
+        or non-positional. Costs a global ordering — a fixture-alignment
+        tool, not a hot-path operator."""
+        from pyspark.sql import Window
+
+        # Total order on (key, features): ties on key are broken by the
+        # row values, so the id assignment is deterministic up to
+        # interchangeable identical rows.
+        w = Window.orderBy(KEY, FEAT)
+        df = self.df.select(
+            (F.row_number().over(w) - 1).cast("long").alias(KEY), FEAT
+        )
+        return Drm(df, self.ncol, self._nrow)
+
     def slice_cols(self, start: int, stop: int) -> Drm:
         """``drmY(::, a until b)`` (A16 — BahmaniSketch.scala:59): column
         range projection via ``F.slice`` — narrow, codegen'd."""
