@@ -207,8 +207,98 @@ def _q_rbind(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_twcnb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 TWCNB training on the lineitem matrix with l_linenumber-1 as the
+    class key (7 classes × 4 'terms'): one groupBy shuffle + tiny driver
+    model assembly. Emits both the raw θ and the weight-normalized form."""
+    from mahout_samsara_book_spark.algorithms.twcnb import twcnb_train
+
+    model = twcnb_train(_li_drm_keyed_by_linenumber(spark, sf_dir), alpha=1.0)
+    nudge = float(_NUDGE)
+    rows = []
+    for ci, lbl in enumerate(model.labels):
+        for t in range(model.theta.shape[0]):
+            th, w = model.theta[t, ci], model.weights[t, ci]
+            rows.append(
+                (
+                    int(lbl),
+                    t,
+                    "%.7e" % (th * nudge) if th != 0 else "0",
+                    "%.7e" % (w * nudge) if w != 0 else "0",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "label long, pos long, theta string, w string"
+    )
+
+
+def _q_point_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 computePointWeights shape (BahmaniSketch.scala:159-174):
+    normalized assignment histogram = groupBy(label).count() / total."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    hist = ev.groupBy(
+        (F.col("user_id") % 16).cast("long").alias("label")
+    ).count()
+    return hist.select(
+        "label", sci(F.col("count") / F.lit(float(total))).alias("weight")
+    )
+
+
+def _q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 drmSampleKRows: deterministic seeded-hash top-k (rows-only —
+    the sampling order is engine-defined)."""
+    block = lineitem_drm(spark, sf_dir).sample_k_rows(10, seed=42)
+    rows = [tuple(float(x) for x in r) for r in block]
+    return spark.createDataFrame(rows, "f0 double, f1 double, f2 double, f3 double")
+
+
+def _q_bfgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 BFGS on the F6 paraboloid fixture (driver-side by design;
+    rows-only — iterative, not SQL-expressible)."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.bfgs import bfgs
+
+    c = np.array([3.0, 5.0])
+    q = np.diag([2.0, 0.5])
+    x = bfgs(
+        lambda v: float((v - c) @ q @ (v - c)) - 3.5,
+        lambda v: 2.0 * (q @ (v - c)),
+        np.array([45.0, -32.0]),
+        max_iter=40,
+        epsilon=1e-7,
+    )
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(x)], "pos long, x double"
+    )
+
+
+def _q_bahmani(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 Bahmani k-means|| sketch over the embeddings table (rows-only —
+    seeded-stochastic iterative algorithm)."""
+    from mahout_samsara_book_spark.algorithms.bahmani import (
+        compute_point_weights,
+        d_sample,
+    )
+    from mahout_samsara_book_spark.sources.tables import embeddings_drm
+
+    centers, y = d_sample(
+        embeddings_drm(spark, sf_dir), sketch_size=20, iterations=3, seed=42
+    )
+    w = compute_point_weights(y, centers.shape[0])
+    y.unpersist()
+    rows = [(i, round(float(wi), 9)) for i, wi in enumerate(w)]
+    return spark.createDataFrame(rows, "center long, weight double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "twcnb_train": _q_twcnb_train,
+        "point_weights": _q_point_weights,
+        "drm_sample_k": _q_sample_k,
+        "bfgs_argmin": _q_bfgs,
+        "bahmani_weights": _q_bahmani,
         "drm_colsums": _q_colsums,
         "drm_rowsums": _q_rowsums,
         "drm_ax": _q_ax,
@@ -385,8 +475,52 @@ FROM r
 """
 
 
+def _oracle_twcnb() -> str:
+    n = len(LINEITEM_FEATURES)
+    fs = ", ".join(f"sum({c}) AS f{i}" for i, c in enumerate(LINEITEM_FEATURES))
+    ts = ", ".join(f"sum(f{i}) AS t{i}" for i in range(n))
+    cs = ", ".join(f"t{i} - f{i} AS c{i}" for i in range(n))
+    csum = " + ".join(f"c{i}" for i in range(n))
+    ths = ", ".join(
+        f"ln((c{i} + 1.0) / ({csum} + {float(n)!r})) AS th{i}" for i in range(n)
+    )
+    allth = ", ".join(f"th{i}" for i in range(n))
+    z = " + ".join(f"abs(th{i})" for i in range(n))
+    parts = [
+        f"SELECT label, CAST({i} AS BIGINT) AS pos, "
+        f"{sci_sql(f'th{i}')} AS theta, {sci_sql(f'th{i} / z')} AS w FROM nz"
+        for i in range(n)
+    ]
+    return f"""
+WITH pc AS (
+  SELECT CAST(l_linenumber - 1 AS BIGINT) AS label, {fs}
+  FROM lineitem GROUP BY 1
+),
+tt AS (SELECT {ts} FROM pc),
+comp AS (SELECT label, {cs} FROM pc, tt),
+th AS (SELECT label, {ths} FROM comp),
+nz AS (SELECT label, {z} AS z, {allth} FROM th)
+{' UNION ALL '.join(parts)}
+"""
+
+
+def _oracle_point_weights() -> str:
+    return """
+SELECT CAST(user_id % 16 AS BIGINT) AS label,
+       CASE WHEN count(*) = 0 THEN '0'
+            ELSE printf('%.7e',
+                 CAST(count(*) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM events) AS DOUBLE)
+                 * 1.0000000000001)
+       END AS weight
+FROM events GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "twcnb_train": _oracle_twcnb(),
+        "point_weights": _oracle_point_weights(),
         "drm_group_sum": _oracle_group_sum(),
         "drm_transpose": _oracle_transpose(),
         "drm_mmul": _oracle_mmul(),

@@ -1,0 +1,113 @@
+"""Bahmani et al. k-means|| oversampling sketch (SURVEY §2C C8/C9;
+reference ``myMahoutApp/.../BahmaniSketch.scala:37-174``; paper:
+"Scalable K-Means++", VLDB 2012 — the same published algorithm behind
+MLlib's ``KMeans(initMode='k-means||')``).
+
+State layout mirrors the reference: a DRM ``Y = [label, d², features]``
+(width ncol+2, ``BahmaniSketch.scala:23-26``). Per iteration:
+
+- φ = Σ d²  — one column-sum over the d² slice (``:59``)
+- each point is sampled w.p. ℓ·d²/φ with a per-partition deterministic
+  RNG seeded by (seed, iteration, first key in partition) — the
+  reference's ``new Random(subseed * keys(0).hashCode)`` pattern (``:71``)
+- sampled rows become new candidate centers (allreduce rbind, ``:63-92``)
+- distances/labels update against the NEW centers only, keeping the
+  running min — broadcast centers + vectorized numpy block kernel
+  (the reference's Elkan triangle pruning, ``:128-142``, is an in-core
+  skip-list optimization; the vectorized ``dist`` kernel computes the
+  same result in one BLAS call per block)
+
+Each iteration persists Y (reference checkpoints, ``:46,51,94``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.kernels.incore import dist
+
+
+def _iter_seed(seed: int, iteration: int, first_key: int) -> int:
+    return (seed * 1_000_003 + iteration * 10_007 + int(first_key) * 31) % (2**63)
+
+
+def d_sample(
+    drm_a: Drm, sketch_size: int, iterations: int = 5, seed: int = 12345
+) -> tuple[np.ndarray, Drm]:
+    """Returns (sketch centers matrix ~sketch_size × ncol, final Y DRM).
+
+    Per-round oversampling factor ℓ = sketch_size / iterations, so the
+    expected candidate count over all rounds ≈ sketch_size.
+    """
+    n = drm_a.ncol
+    spark = drm_a.spark
+    ell = max(1.0, sketch_size / float(iterations))
+
+    # seed center: one deterministic row (drmSampleKRows, scala:48)
+    c0 = drm_a.sample_k_rows(1, seed=seed)
+    centers = c0.copy()
+    bc = spark.sparkContext.broadcast(c0)
+
+    def init_y(keys, block):
+        d2 = dist(block, bc.value)[:, 0]
+        return keys, np.hstack(
+            [np.zeros((block.shape[0], 1)), d2[:, None], block]
+        )
+
+    y = drm_a.map_block(init_y, ncol=n + 2).checkpoint()
+
+    for it in range(1, iterations + 1):
+        phi = float(y.slice_cols(1, 2).colsums()[0])
+        if phi <= 0:
+            break
+
+        def sample_fn(keys, block, _it=it, _phi=phi):
+            rng = np.random.Generator(
+                np.random.PCG64(_iter_seed(seed, _it, keys[0]))
+            )
+            p = np.minimum(1.0, ell * block[:, 1] / _phi)
+            mask = rng.random(block.shape[0]) < p
+            return block[mask, 2:]
+
+        sampled = y.allreduce_block(
+            sample_fn, lambda a, b: np.vstack([a, b])
+        )
+        if sampled.shape[0] == 0:
+            continue
+        offset = centers.shape[0]
+        centers = np.vstack([centers, sampled])
+        bc_new = spark.sparkContext.broadcast(sampled)
+
+        def update_y(keys, block, _off=offset):
+            d_new = dist(block[:, 2:], bc_new.value)
+            arg = d_new.argmin(axis=1)
+            m = d_new[np.arange(block.shape[0]), arg]
+            better = m < block[:, 1]
+            block = block.copy()
+            block[better, 0] = _off + arg[better]
+            block[better, 1] = m[better]
+            return keys, block
+
+        y_next = y.map_block(update_y, ncol=n + 2).checkpoint()
+        y.unpersist()
+        y = y_next
+
+    return centers, y
+
+
+def compute_point_weights(drm_y: Drm, n_centers: int) -> np.ndarray:
+    """C9 (``BahmaniSketch.scala:159-174``): normalized histogram of
+    nearest-center assignments — relationally, groupBy(label).count()
+    over Y's label column, normalized to sum 1."""
+    from pyspark.sql import functions as F
+
+    pdf = (
+        drm_y.df.select(F.col("features")[0].cast("long").alias("label"))
+        .groupBy("label")
+        .count()
+        .toPandas()
+    )
+    w = np.zeros(n_centers, dtype=np.float64)
+    w[pdf["label"].to_numpy()] = pdf["count"].to_numpy(dtype=np.float64)
+    return w / w.sum()

@@ -44,7 +44,15 @@ _NARROW_NCOL = 64
 
 
 def _rows_to_pdf(keys: np.ndarray, block: np.ndarray) -> pd.DataFrame:
-    return pd.DataFrame({KEY: keys, FEAT: [row.tolist() for row in block]})
+    # dtype=object keeps an EMPTY features column list-typed — a plain
+    # empty column defaults to float64, which Arrow can't convert to
+    # list<double>.
+    return pd.DataFrame(
+        {
+            KEY: pd.Series(keys, dtype="int64"),
+            FEAT: pd.Series([row.tolist() for row in block], dtype=object),
+        }
+    )
 
 
 def _pdf_to_block(pdf: pd.DataFrame, ncol: int) -> tuple[np.ndarray, np.ndarray]:
@@ -648,11 +656,13 @@ class Drm:
             partial = np.asarray(map_fn(keys, block), dtype=np.float64)
             if partial.ndim == 1:
                 partial = partial[None, :]
+            if partial.shape[0] == 0:
+                return
             yield pd.DataFrame(
                 {
                     "pid": pid,
                     "ridx": np.arange(partial.shape[0]),
-                    FEAT: [r.tolist() for r in partial],
+                    FEAT: pd.Series([r.tolist() for r in partial], dtype=object),
                 }
             )
 

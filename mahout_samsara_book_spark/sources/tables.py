@@ -46,3 +46,13 @@ def lineitem_drm(spark: SparkSession, sf_dir: str) -> Drm:
     the standard matrix fixture for A6-A15 oracle checks (FIXTURES.md)."""
     li = load_table(spark, sf_dir, "lineitem")
     return Drm.from_columns(li, lineitem_key(), LINEITEM_FEATURES)
+
+
+def embeddings_drm(spark: SparkSession, sf_dir: str) -> Drm:
+    """embeddings table as a 64-wide DRM keyed by vec_id (unique)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").cast("long").alias("row_id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    return Drm(df, ncol=64)

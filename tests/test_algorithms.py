@@ -1,0 +1,159 @@
+"""Algorithm gates from BASELINE.md: BFGS L1<1e-7 within 40 iters;
+TWCNB-vs-library score agreement norm<1e-6; Bahmani weights sum to 1."""
+
+import numpy as np
+import pytest
+
+from mahout_samsara_book_spark.algorithms.bahmani import (
+    compute_point_weights,
+    d_sample,
+)
+from mahout_samsara_book_spark.algorithms.bfgs import bfgs, newton_step
+from mahout_samsara_book_spark.algorithms.twcnb import (
+    twcnb_predict,
+    twcnb_score,
+    twcnb_train,
+)
+from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.kernels.incore import (
+    gaussian_view,
+    symmetric_uniform_view,
+    uniform_view,
+)
+
+# ---------------------------------------------------------------- BFGS
+
+
+def test_bfgs_paraboloid():
+    """F6 fixture: f(x) = (x-c)ᵀ diag(2, .5) (x-c) - 3.5, argmin (3,5),
+    start (45,-32), ≤40 iters, L1 < 1e-7 (MyAppSuite.scala:114-133)."""
+    c = np.array([3.0, 5.0])
+    q = np.diag([2.0, 0.5])
+
+    def f(x):
+        d = x - c
+        return float(d @ q @ d) - 3.5
+
+    def grad(x):
+        return 2.0 * (q @ (x - c))
+
+    x = bfgs(f, grad, np.array([45.0, -32.0]), max_iter=40, epsilon=1e-7)
+    assert np.abs(x - c).sum() < 1e-7
+
+
+def test_bfgs_rosenbrock_ls():
+    """Harder surface with a backtracking line search plugged in (the
+    line-search slot is the reference's extension point, BFGS.scala:69)."""
+
+    def f(x):
+        return float((1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2)
+
+    def grad(x):
+        return np.array(
+            [
+                -2 * (1 - x[0]) - 400 * x[0] * (x[1] - x[0] ** 2),
+                200 * (x[1] - x[0] ** 2),
+            ]
+        )
+
+    def backtrack(fn, x, d):
+        a = 1.0
+        fx = fn(x)
+        while fn(x + a * d) > fx and a > 1e-12:
+            a *= 0.5
+        return a
+
+    x = bfgs(f, grad, np.array([-1.2, 1.0]), max_iter=200, line_search=backtrack)
+    assert np.abs(x - 1.0).sum() < 1e-5
+
+
+# ---------------------------------------------------------------- TWCNB
+
+
+@pytest.fixture(scope="module")
+def nb_fixture(spark):
+    """F1: 50 docs × 100 terms × 4 classes, seeded (TWCNBSuite.scala:29-52)."""
+    rng = np.random.Generator(np.random.PCG64(1235))
+    labels = rng.integers(0, 4, 50)
+    counts = np.floor(uniform_view(50, 100, 1234) * 5.0)
+    drm = Drm.from_numpy(spark, counts, num_partitions=2)
+    relabeled = drm.map_block(lambda keys, block: (labels[keys], block))
+    return labels, counts, relabeled
+
+
+def test_twcnb_vs_mllib_complement_nb(spark, nb_fixture):
+    """Dual-implementation oracle (TWCNBSuite.scala:106-139): our TWCNB θ
+    against MLlib NaiveBayes(modelType='complement'); score matrices agree
+    with NEGATED sign within norm 1e-6 — the same `+` comparison the
+    reference uses against Mahout's ComplementaryNBClassifier."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.linalg import Vectors
+
+    labels, counts, relabeled = nb_fixture
+    model = twcnb_train(relabeled, alpha=1.0)
+    assert model.weights.shape == (100, 4)
+    assert list(model.labels) == [0, 1, 2, 3]
+
+    test_counts = np.floor(uniform_view(30, 100, 2345) * 5.0)
+    drm_test = Drm.from_numpy(spark, test_counts, num_partitions=2)
+    ours = twcnb_score(drm_test, model, normalized=False).collect()
+
+    train_df = spark.createDataFrame(
+        [(float(labels[i]), Vectors.dense(counts[i])) for i in range(50)],
+        ["label", "features"],
+    )
+    mllib = NaiveBayes(modelType="complement", smoothing=1.0).fit(train_df)
+    theirs = test_counts @ np.array(mllib.theta.toArray()).T
+
+    assert np.linalg.norm(ours + theirs) < 1e-6  # TWCNBSuite.scala:139 gate
+
+
+def test_twcnb_predict_labels(spark, nb_fixture):
+    labels, counts, relabeled = nb_fixture
+    model = twcnb_train(relabeled)
+    # predictions on the training docs should beat chance comfortably
+    drm = Drm.from_numpy(spark, counts, num_partitions=2)
+    pred = twcnb_predict(drm, model).orderBy("row_id").toPandas()
+    assert set(pred["label"]).issubset({0, 1, 2, 3})
+    assert len(pred) == 50
+
+
+# ---------------------------------------------------------------- Bahmani
+
+
+@pytest.fixture(scope="module")
+def cluster_fixture(spark):
+    """F3: 4 true centers × 50 points, 5 dims, seed 12345
+    (MyAppSuite.scala:135-157)."""
+    true_centers = symmetric_uniform_view(4, 5, 12345) * 30.0
+    offsets = gaussian_view(200, 5, 12345)
+    pts = np.repeat(true_centers, 50, axis=0) + offsets
+    return true_centers, Drm.from_numpy(spark, pts, num_partitions=4)
+
+
+def test_bahmani_sketch(cluster_fixture):
+    true_centers, drm = cluster_fixture
+    centers, y = d_sample(drm, sketch_size=30, iterations=5, seed=12345)
+    assert y.ncol == 7  # label, d², 5 features (F3 expected Y geometry)
+    # sketch size is stochastic around 30 (+1 seed row)
+    assert 5 <= centers.shape[0] <= 90
+    # every true cluster is represented by a nearby candidate
+    from mahout_samsara_book_spark.kernels.incore import dist
+
+    d = dist(true_centers, centers)
+    assert d.min(axis=1).max() < 30.0
+    # weights: normalized histogram, sums to 1 (BahmaniSketch.scala:172-173)
+    w = compute_point_weights(y, centers.shape[0])
+    assert np.isclose(w.sum(), 1.0)
+    assert np.all(w >= 0)
+    y.unpersist()
+
+
+def test_bahmani_deterministic(cluster_fixture):
+    _, drm = cluster_fixture
+    c1, y1 = d_sample(drm, sketch_size=20, iterations=3, seed=77)
+    c2, y2 = d_sample(drm, sketch_size=20, iterations=3, seed=77)
+    assert np.allclose(c1, c2)
+    assert np.allclose(y1.collect(), y2.collect())
+    y1.unpersist()
+    y2.unpersist()
