@@ -292,8 +292,92 @@ def _q_bahmani(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "center long, weight double")
 
 
+def _q_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 tokenization contract: lowercase, split [^\\p{L}\\p{Nd}]+,
+    unigram counts — pure SQL explode/groupBy."""
+    from mahout_samsara_book_spark.functions.text import term_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_counts(docs).select("doc_id", "term", "tf")
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 TF-IDF: sqrt(tf) * (ln(N/(df+1)) + 1) — Mahout's TFIDF/Lucene
+    DefaultSimilarity weight."""
+    from mahout_samsara_book_spark.functions.text import tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf(docs)
+    return out.select("doc_id", "term", sci(F.col("tfidf")).alias("tfidf"))
+
+
+def _q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 dictionary table: (term, index), dense 0-based, term-ordered."""
+    from mahout_samsara_book_spark.functions.text import (
+        build_dictionary,
+        term_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dic = build_dictionary(term_counts(docs))
+    return dic.select("term", F.col("index").cast("long").alias("index"))
+
+
+def _q_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 df-count table: (term, df) document frequencies."""
+    from mahout_samsara_book_spark.functions.text import (
+        doc_frequencies,
+        term_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_frequencies(term_counts(docs)).select("term", "df")
+
+
+def _q_nb_train_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/D8 fully-distributed relational TWCNB train over documents
+    (label = lang): no driver-side matrix anywhere."""
+    from mahout_samsara_book_spark.algorithms.naive_bayes import train_text_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_text_nb(docs, label_col="lang")
+    return w.select(
+        "label", "term", sci(F.col("w")).alias("w"), sci(F.col("theta")).alias("theta")
+    )
+
+
+def _q_nb_predict_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-D4 batch classification: train on documents, score every doc,
+    per-doc argmin (ties by label)."""
+    from mahout_samsara_book_spark.algorithms.naive_bayes import (
+        predict_text_nb,
+        train_text_nb,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_text_nb(docs, label_col="lang")
+    return predict_text_nb(docs, w).select("doc_id", "label")
+
+
+def _q_text_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 argmax over a vector column (embeddings), as SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("long").alias("best_pos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_tokenize_counts": _q_tokenize_counts,
+        "text_tfidf": _q_tfidf,
+        "text_dictionary": _q_dictionary,
+        "text_df_counts": _q_df_counts,
+        "nb_train_text": _q_nb_train_text,
+        "nb_predict_text": _q_nb_predict_text,
+        "text_argmax": _q_text_argmax,
         "twcnb_train": _q_twcnb_train,
         "point_weights": _q_point_weights,
         "drm_sample_k": _q_sample_k,
@@ -517,8 +601,108 @@ FROM events GROUP BY 1
 """
 
 
+_TOK_CTES = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+ti AS (
+  SELECT tf.doc_id, tf.term,
+         sqrt(tf.tf) * (ln(nd.n / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf, dfreq, nd WHERE tf.term = dfreq.term
+)
+"""
+
+_NB_CTES = (
+    _TOK_CTES
+    + r""",
+lab AS (SELECT doc_id, lang AS label FROM documents),
+ct AS (
+  SELECT lab.label, ti.term, sum(ti.tfidf) AS n_ct
+  FROM ti JOIN lab USING (doc_id) GROUP BY 1, 2
+),
+tt AS (SELECT term, sum(n_ct) AS n_t FROM ct GROUP BY 1),
+labels AS (SELECT DISTINCT label FROM ct),
+vocab AS (SELECT count(*) AS v FROM tt),
+grid AS (SELECT labels.label, tt.term, tt.n_t FROM labels CROSS JOIN tt),
+comp AS (
+  SELECT grid.label, grid.term, grid.n_t - coalesce(ct.n_ct, 0.0) AS comp
+  FROM grid LEFT JOIN ct ON grid.label = ct.label AND grid.term = ct.term
+),
+den AS (
+  SELECT label, sum(comp) + 1.0 * (SELECT v FROM vocab) AS denom
+  FROM comp GROUP BY 1
+),
+th AS (
+  SELECT comp.label, comp.term, ln((comp.comp + 1.0) / den.denom) AS theta
+  FROM comp JOIN den USING (label)
+),
+z AS (SELECT label, sum(abs(theta)) AS z FROM th GROUP BY 1)
+"""
+)
+
+
+def _oracle_tfidf() -> str:
+    return f"WITH {_TOK_CTES} SELECT doc_id, term, {sci_sql('tfidf')} AS tfidf FROM ti"
+
+
+def _oracle_dictionary() -> str:
+    return (
+        f"WITH {_TOK_CTES} "
+        'SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS "index" '
+        "FROM (SELECT DISTINCT term FROM tf)"
+    )
+
+
+def _oracle_df_counts() -> str:
+    return f"WITH {_TOK_CTES} SELECT term, df FROM dfreq"
+
+
+def _oracle_nb_train_text() -> str:
+    return (
+        f"WITH {_NB_CTES} "
+        f"SELECT th.label, th.term, {sci_sql('th.theta / z.z')} AS w, "
+        f"{sci_sql('th.theta')} AS theta FROM th JOIN z USING (label)"
+    )
+
+
+def _oracle_nb_predict_text() -> str:
+    return (
+        f"WITH {_NB_CTES}, "
+        "wnorm AS (SELECT th.label, th.term, th.theta / z.z AS w "
+        "          FROM th JOIN z USING (label)), "
+        "sc AS (SELECT ti.doc_id, wnorm.label, sum(ti.tfidf * wnorm.w) AS score "
+        "       FROM ti JOIN wnorm USING (term) GROUP BY 1, 2), "
+        "ranked AS (SELECT doc_id, label, "
+        "           row_number() OVER (PARTITION BY doc_id ORDER BY score, label) AS rn "
+        "           FROM sc) "
+        "SELECT doc_id, label FROM ranked WHERE rn = 1"
+    )
+
+
+def _oracle_text_argmax() -> str:
+    return """
+SELECT vec_id,
+       CAST(list_position(l, list_aggregate(l, 'max')) - 1 AS BIGINT) AS best_pos
+FROM (SELECT vec_id, embedding::DOUBLE[] AS l FROM embeddings)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_tokenize_counts": f"WITH {_TOK_CTES} SELECT doc_id, term, tf FROM tf",
+        "text_tfidf": _oracle_tfidf(),
+        "text_dictionary": _oracle_dictionary(),
+        "text_df_counts": _oracle_df_counts(),
+        "nb_train_text": _oracle_nb_train_text(),
+        "nb_predict_text": _oracle_nb_predict_text(),
+        "text_argmax": _oracle_text_argmax(),
         "twcnb_train": _oracle_twcnb(),
         "point_weights": _oracle_point_weights(),
         "drm_group_sum": _oracle_group_sum(),
