@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines (north star, BASELINE.json):
+language ID, quality scoring, token counting, document fingerprinting.
+Every function is a pure Spark SQL expression pipeline, replayable by the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text import tokenize
+from mahout_samsara_book_spark.operators.hashing import P31, h31
+
+# Tiny deterministic stopword profiles (top function words). The langid
+# heuristic scores token overlap with each profile — the standard
+# stopword-coverage shortcut for n-gram language ID.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "que"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"],
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single non-space
+# symbol — the classic GPT-2-style pre-tokenizer shape, regex-only.
+BPE_ISH_PATTERN = r"[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd}\s]"
+
+WS_PATTERN = r"\s+"
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, lang_pred, lang_score)`` — argmax of stopword coverage
+    (ties broken by language code; zero coverage → 'und')."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+
+    def coverage(words: list[str]):
+        # single-arg lambda: F.filter treats 2-arg lambdas as (elem, idx)
+        return F.size(F.filter(toks, lambda t: t.isin(words))) / n_tok
+
+    scores = [
+        (lang, coverage(words)) for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(lang).alias("lang"), s.alias("score"))
+            for lang, s in scores
+        ]
+    )
+    # max by (score desc, lang asc): array_sort then take first
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, ws_tokens, bpe_ish_tokens, n_chars)`` — whitespace
+    token count and a BPE-style pre-tokenizer count, regex-only."""
+    text = F.col(text_col)
+    ws = F.size(
+        F.filter(F.split(text, WS_PATTERN), lambda t: t != "")
+    )
+    bpe = F.size(
+        F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality in [0,1] from cheap surface features:
+    stopword ratio, alpha ratio, mean token length band, length band —
+    the standard pretraining-corpus filters (Gopher/C4-style rules),
+    linearized. ``(doc_id, stopword_ratio, alpha_ratio, mean_tok_len,
+    quality)``."""
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    en_stop = LANG_PROFILES["en"]
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(en_stop))) / n_tok
+    )
+    alpha_chars = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha_ratio = alpha_chars / F.greatest(F.length(text), F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / n_tok
+    len_band = F.when((F.size(toks) >= 10) & (F.size(toks) <= 100000), 1.0).otherwise(0.3)
+    tok_band = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.3)
+    quality = F.least(
+        F.lit(1.0),
+        (
+            0.35 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+            + 0.35 * alpha_ratio
+            + F.lit(0.15) * len_band
+            + F.lit(0.15) * tok_band
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_len.cast("double").alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    fold over token hashes with acc = (acc·31 + h31(token)) mod P31 —
+    equal only for identical token sequences (whitespace/punct
+    normalized away by the tokenizer). ``(doc_id, fingerprint)``."""
+    hashes = F.transform(tokenize(F.col(text_col)), lambda t: h31(t))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(P31),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,312 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north star, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- Exact dedup is one hash-groupBy (map-side partial agg).
+- MinHash: shingle explode → k minimum-aggregates in ONE groupBy pass
+  (k map-side partial mins — no k-fold shuffle).
+- LSH banding: signatures explode to (band, band_sig) buckets; candidate
+  pairs come from a self-join WITHIN buckets only — the quadratic
+  all-pairs join never happens. Bucket skew is AQE's skew-join case.
+- Verification (exact Jaccard / cosine) runs only on candidate pairs.
+- Everything is pure Spark SQL over the portable hash (operators/
+  hashing.py), so the DuckDB oracle replays the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text import tokenize
+from mahout_samsara_book_spark.operators.hashing import (
+    P31,
+    affine,
+    h31,
+    h60,
+    hash_family,
+)
+
+# ------------------------------------------------------------------ #
+# exact dedup
+# ------------------------------------------------------------------ #
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: ``(content_hash, n_copies, keeper)`` —
+    keeper is the smallest id in the group. One shuffle on the content
+    hash; at scale the md5 prunes the group width to O(1)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# shingling + MinHash + LSH
+# ------------------------------------------------------------------ #
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-grams per doc ``(doc_id, shingle)``. Docs with
+    fewer than n tokens yield no shingles (documented contract)."""
+    toks = tokenize(F.col(text_col))
+    # guard: Spark's sequence(1, 0) counts DOWN — docs shorter than n
+    # tokens must yield an empty gram list, not indexes 1,0
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, k: int = 16, seed: int = 7, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash over the universal family
+    h_i(x) = (a_i·x + b_i) mod P31: ONE groupBy with k min-aggregates
+    (all map-side combinable)."""
+    base = shingle_df.withColumn("h", h31(F.col("shingle")))
+    aggs = [
+        F.min(affine(F.col("h"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(hash_family(k, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the k = bands·rows signature, bucket on (band, band-sig),
+    emit unordered candidate pairs (a < b) from same-bucket docs."""
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(band_sigs).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    shingle_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs:
+    |A∩B| via a shingle equi-join restricted to the pairs, sizes via a
+    broadcast-joined per-doc count. ``(doc_a, doc_b, jaccard)``."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingle_df.select(
+        F.col(id_col).alias("doc_a"), F.col("shingle")
+    )
+    sb = shingle_df.select(
+        F.col(id_col).alias("doc_b"), F.col("shingle")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,  # 8 bands × 2 rows → banding threshold (1/8)^(1/2) ≈ 0.35
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH buckets →
+    exact-Jaccard verify ≥ threshold. ``(doc_a, doc_b, jaccard)``."""
+    rows = k // bands
+    sh = shingles(docs, n, id_col, text_col)
+    sig = minhash_signatures(sh, k, seed, id_col)
+    cand = lsh_candidate_pairs(sig, bands, rows, id_col)
+    return ngram_jaccard(sh, cand, id_col).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+# ------------------------------------------------------------------ #
+# SimHash
+# ------------------------------------------------------------------ #
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Charikar SimHash over tf-weighted token hashes, SIMHASH_BITS wide:
+    bit j of the fingerprint is the sign of Σ_tokens tf·(±1 from bit j of
+    h60(token)). One explode + one groupBy with per-bit conditional sums
+    (map-side combinable), then the driver-free bit pack. ``(doc_id,
+    simhash)``."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", h60(F.col("term")))
+    )
+    vote = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote)
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
+    (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical chunk), bucket-join, verify
+    with bit_count(xor). ``(doc_a, doc_b, hamming)``."""
+    chunk_bits = SIMHASH_BITS // 4
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    b = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
+    ).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------------------ #
+# embedding-cosine near-dup
+# ------------------------------------------------------------------ #
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs ≥ threshold. The exact baseline:
+    O(n²) pairs — correct at any SF, quadratic by nature; the scale path
+    is the LSH-bucketed variant in operators/similarity.py which feeds
+    the same verifier only candidate pairs."""
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            (
+                _dot(F.col("l.v"), F.col("r.v"))
+                / (F.col("l.nrm") * F.col("r.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1,0 +1,210 @@
+"""LLM-data-pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from mahout_samsara_book_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from mahout_samsara_book_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    frame_sample,
+)
+from mahout_samsara_book_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and dreams of distant mice"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-duplicate
+        (3, "completely different text about spark query engines and "
+            "distributed columnar execution with vectorized operators"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs).toPandas()
+    dup_groups = out[out.n_copies > 1]
+    assert len(dup_groups) == 1
+    assert int(dup_groups.n_copies.iloc[0]) == 2
+    assert int(dup_groups.keeper.iloc[0]) == 0
+
+
+def test_minhash_estimates_jaccard(spark, dup_docs):
+    sh = shingles(dup_docs, n=3)
+    pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    exact = ngram_jaccard(sh, pairs).toPandas().jaccard.iloc[0]
+    sig = minhash_signatures(sh, k=64, seed=7).toPandas().set_index("doc_id")
+    est = np.mean(
+        [sig.loc[0, f"mh_{i}"] == sig.loc[2, f"mh_{i}"] for i in range(64)]
+    )
+    assert abs(est - exact) < 0.25  # 64-perm estimator tolerance
+    assert exact > 0.5  # genuinely near-dup
+
+
+def test_minhash_lsh_dedup_finds_near_dups(dup_docs):
+    out = minhash_lsh_dedup(
+        dup_docs, n=3, k=16, bands=8, seed=7, threshold=0.5
+    ).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(out.doc_a, out.doc_b)}
+    assert (0, 1) in found  # exact dup: jaccard 1.0
+    assert (0, 2) in found  # near-dup
+    assert (0, 3) not in found and (1, 3) not in found
+
+
+def test_simhash_near_dup(dup_docs):
+    sim = simhash(dup_docs)
+    pairs = simhash_pairs(sim, max_hamming=6).toPandas()
+    found = {(int(a), int(b)): int(h) for a, b, h in
+             zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
+    assert found[(0, 1)] == 0  # identical text → identical fingerprint
+    assert (0, 2) in found  # near-dup within hamming 6
+    assert (0, 3) not in found
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 16))
+    base[5] = base[0] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(emb, threshold=0.95).toPandas()
+    assert {(int(a), int(b)) for a, b in zip(out.vec_a, out.vec_b)} == {(0, 5)}
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    out = cosine_topk(embeddings.limit(50), k=3).toPandas()
+    emb = embeddings.limit(50).orderBy("vec_id").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -np.inf)
+    for qi in range(5):
+        expect = ids[np.argsort(-sims[qi])[:3]]
+        got = out[out.vec_id == ids[qi]].sort_values("rank").neighbor.to_numpy()
+        assert list(got) == list(expect)
+
+
+def test_lsh_topk_recall(embeddings):
+    exact = cosine_topk(embeddings, k=1).toPandas()
+    approx = lsh_topk(
+        embeddings, k=1, n_planes=3, n_tables=8, seed=5
+    ).toPandas()
+    merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    # median NN angle in this table is ~69°: per-table collision
+    # (1-θ/π)^3 ≈ 0.23 → 8 tables ≈ 0.88 expected recall
+    recall = (merged.neighbor_e == merged.neighbor_a).mean()
+    assert recall > 0.6
+    # approx similarities are genuine cosines (subset of exact pair space)
+    assert (merged.cosine_a <= merged.cosine_e + 1e-12).all()
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog sat in the garden of the old house"),
+        (1, "der hund und die katze ist mit den kindern in der stadt"),
+        (2, "el perro y la casa de que en un dia es muy bonito no se"),
+        (3, "xqz zzkj qwpv mmtr"),  # no stopwords at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_token_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello, world! 42 times"), (1, "")],
+        "doc_id long, text string",
+    )
+    out = token_stats(docs).toPandas().set_index("doc_id")
+    assert int(out.loc[0, "ws_tokens"]) == 4
+    # BPE-ish: hello|,|world|!|42|times
+    assert int(out.loc[0, "bpe_ish_tokens"]) == 6
+    assert int(out.loc[1, "ws_tokens"]) == 0
+
+
+def test_quality_score_ranges(spark, dup_docs):
+    out = quality_score(dup_docs).toPandas()
+    assert ((out.quality >= 0) & (out.quality <= 1)).all()
+    assert ((out.alpha_ratio >= 0) & (out.alpha_ratio <= 1)).all()
+    # the english prose doc outscores the 2-token fragment
+    q = out.set_index("doc_id").quality
+    assert q.loc[0] > q.loc[4]
+
+
+def test_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "The quick brown fox"),
+            (1, "the  QUICK   brown fox!!"),  # same tokens after normalize
+            (2, "the quick brown foxes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = fingerprint(docs).toPandas().set_index("doc_id").fingerprint
+    assert out.loc[0] == out.loc[1]
+    assert out.loc[0] != out.loc[2]
+
+
+def test_multimodal_plumbing(spark, dup_docs):
+    media = attach_media(dup_docs)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,media:binary,media_type:string,"
+        "n_bytes:bigint,checksum:string>"
+    )
+    feats = decode_features(media, out_dim=8).toPandas()
+    assert len(feats) == 5
+    assert all(len(f) == 8 for f in feats.features)
+    # deterministic: same bytes → same features
+    feats2 = decode_features(media, out_dim=8).toPandas()
+    f1 = np.array(feats.sort_values("doc_id").features.tolist())
+    f2 = np.array(feats2.sort_values("doc_id").features.tolist())
+    assert np.array_equal(f1, f2)
+    frames = frame_sample(media, stride=16, max_frames=4).toPandas()
+    assert set(frames.columns) == {"doc_id", "frame_idx", "frame_byte"}
+    assert frames.frame_idx.max() <= 3
+
+
+def test_multimodal_real_codec_raises(spark, dup_docs):
+    media = attach_media(dup_docs).withColumn(
+        "media_type", F.lit("image/png")
+    )
+    with pytest.raises(Exception, match="codec"):
+        decode_features(media).collect()
