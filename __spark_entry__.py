@@ -180,14 +180,26 @@ _MMUL_B = [
 
 
 def _q_mmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 DRM %*% DRM via the COO equi-join + aggregate strategy. The
-    synthetic lineitem has duplicate packed keys — those rows SUM into one
-    output row, Samsara's aggregate-by-key contract (SURVEY §1.2)."""
+    """A6/A10 DRM %*% DRM, auto strategy (slim right operand → broadcast
+    matmul, zero shuffle). Row keys preserved, duplicates included."""
     import numpy as np
 
     a = lineitem_drm(spark, sf_dir)
     b = Drm.from_numpy(spark, np.array(_MMUL_B))
     out = a.mmul(b)
+    return out.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
+
+
+def _q_mmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 big×big strategy: COO triplet equi-join + per-row-tag aggregate
+    (forced, to certify the shuffle path against the same oracle)."""
+    import numpy as np
+
+    a = lineitem_drm(spark, sf_dir)
+    b = Drm.from_numpy(spark, np.array(_MMUL_B))
+    out = a.mmul(b, strategy="coo")
     return out.df.select(
         "row_id", F.posexplode("features").alias("pos", "v")
     ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
@@ -370,7 +382,11 @@ def _q_text_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import entry_m5
+
+    entry_m5._init(sci, sci_sql)
     return {
+        **entry_m5.QUERIES,
         "text_tokenize_counts": _q_tokenize_counts,
         "text_tfidf": _q_tfidf,
         "text_dictionary": _q_dictionary,
@@ -393,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_group_sum": _q_group_sum,
         "drm_transpose": _q_transpose,
         "drm_mmul": _q_mmul,
+        "drm_mmul_coo": _q_mmul_coo,
         "drm_rbind": _q_rbind,
     }
 
@@ -536,7 +553,7 @@ def _oracle_mmul() -> str:
         )
         parts.append(
             f"SELECT {_LI_KEY_SQL} AS row_id, CAST({j} AS BIGINT) AS pos, "
-            f"{sci_sql(f'sum({dot})')} AS v FROM lineitem GROUP BY 1"
+            f"{sci_sql(dot)} AS v FROM lineitem"
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -695,7 +712,11 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS l FROM embeddings)
 
 
 def oracle_sql() -> dict[str, str]:
+    import entry_m5
+
+    entry_m5._init(sci, sci_sql)
     return {
+        **entry_m5.oracles(),
         "text_tokenize_counts": f"WITH {_TOK_CTES} SELECT doc_id, term, tf FROM tf",
         "text_tfidf": _oracle_tfidf(),
         "text_dictionary": _oracle_dictionary(),
@@ -708,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "drm_group_sum": _oracle_group_sum(),
         "drm_transpose": _oracle_transpose(),
         "drm_mmul": _oracle_mmul(),
+        "drm_mmul_coo": _oracle_mmul(),
         "drm_rbind": _oracle_rbind(),
         "drm_colsums": _oracle_colsums(),
         "drm_rowsums": _oracle_rowsums(),

@@ -1,0 +1,483 @@
+"""M5 registry: dedup / similarity / text-analysis / multimodal queries +
+generated DuckDB oracles. Split from __spark_entry__ for size; imported
+there and merged into queries()/oracle_sql().
+
+The oracles REPLAY the engine pipelines (same portable hashes, same
+constants baked as literals), so a hash-match certifies the whole
+operator chain, not just an output shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.hashing import (
+    P31,
+    affine_sql,
+    h60_sql,
+    hash_family,
+)
+
+# ------------------------------------------------------------------ #
+# shared helpers (sci() injected by __spark_entry__ to avoid a cycle)
+# ------------------------------------------------------------------ #
+
+_sci = None
+_sci_sql = None
+
+
+def _init(sci, sci_sql):
+    global _sci, _sci_sql
+    _sci, _sci_sql = sci, sci_sql
+
+
+TOKS_SQL = (
+    r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+'), "
+    r"t -> t <> '')"
+)
+
+# documents + 10 planted exact duplicates (both engines replicate) so the
+# LSH near-dup path provably fires on the synthetic corpus
+_AUG_DOCS_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+)
+"""
+
+_SHINGLE_CTES = (
+    _AUG_DOCS_SQL
+    + f""",
+tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  ELSE []::VARCHAR[] END) AS sh
+    FROM tk
+  )
+),
+shh AS (SELECT doc_id, ({h60_sql('sh')} % {P31}) AS h FROM sh)
+"""
+)
+
+MINHASH_K = 8
+MINHASH_SEED = 7
+LSH_BANDS = 4  # 4 bands × 2 rows over k=8
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+# ------------------------------------------------------------------ #
+# queries
+# ------------------------------------------------------------------ #
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_augmented_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_augmented_docs(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, k=MINHASH_K, seed=MINHASH_SEED)
+    cols = F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)])
+    return sig.select("doc_id", F.posexplode(cols).alias("i", "mh")).select(
+        "doc_id", F.col("i").cast("long").alias("i"), F.col("mh")
+    )
+
+
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(
+        _augmented_docs(spark, sf_dir),
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    return out.select("doc_a", "doc_b", _sci(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import simhash
+
+    return simhash(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, k=3)
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import lsh_sign_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_sign_buckets(emb, n_planes=8, seed=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb, k=3, n_planes=3, n_tables=8, seed=5)
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "lang_pred", _sci(F.col("lang_score")).alias("lang_score")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_score(docs)
+    return out.select(
+        "doc_id",
+        _sci(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _sci(F.col("alpha_ratio")).alias("alpha_ratio"),
+        _sci(F.col("mean_tok_len")).alias("mean_tok_len"),
+        _sci(F.col("quality")).alias("quality"),
+    )
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.multimodal import attach_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return attach_media(docs).select("doc_id", "media_type", "n_bytes", "checksum")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_features(attach_media(docs), out_dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "v")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        _sci(F.col("v")).alias("v"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# oracles
+# ------------------------------------------------------------------ #
+
+
+def o_dedup_exact() -> str:
+    return f"""
+WITH {_AUG_DOCS_SQL.strip().rstrip()}
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+FROM aug GROUP BY 1
+"""
+
+
+def o_dedup_minhash_sig() -> str:
+    fam = hash_family(MINHASH_K, MINHASH_SEED)
+    parts = [
+        f"SELECT doc_id, CAST({i} AS BIGINT) AS i, "
+        f"min({affine_sql('h', a, b)}) AS mh FROM shh GROUP BY 1"
+        for i, (a, b) in enumerate(fam)
+    ]
+    return f"WITH {_SHINGLE_CTES} {' UNION ALL '.join(parts)}"
+
+
+def o_dedup_lsh_jaccard() -> str:
+    fam = hash_family(MINHASH_K, MINHASH_SEED)
+    rows = MINHASH_K // LSH_BANDS
+    mh_cols = ", ".join(
+        f"min({affine_sql('h', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS sig FROM sig"
+        for bi in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+sig AS (SELECT doc_id, {mh_cols} FROM shh GROUP BY 1),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       {_sci_sql('CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)')} AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+"""
+
+
+def o_dedup_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(32)
+    )
+    pack = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(32)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+hh AS (SELECT doc_id, tf, {h60_sql('term')} AS h FROM tf),
+votes AS (SELECT doc_id, {votes} FROM hh GROUP BY 1)
+SELECT doc_id, {pack} AS simhash FROM votes
+"""
+
+
+_EMB_NORM_CTE = """
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b)
+"""
+
+
+def o_sim_cosine_topk() -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+s AS (
+  SELECT l.vec_id, r.vec_id AS neighbor,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM n l JOIN n r ON l.vec_id <> r.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM s
+)
+SELECT vec_id, neighbor, {_sci_sql('cosine')} AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _plane_sql(seed: int, j: int, dim: int = 64) -> str:
+    from mahout_samsara_book_spark.operators.similarity import plane_sign
+
+    lits = ", ".join(f"{float(plane_sign(seed, j, d))!r}" for d in range(dim))
+    return f"list_dot_product(v, [{lits}]::DOUBLE[])"
+
+
+def o_sim_lsh_buckets() -> str:
+    bits = " + ".join(
+        f"CASE WHEN {_plane_sql(5, j)} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(8)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {bits} AS bucket FROM b
+"""
+
+
+def o_text_langid() -> str:
+    from mahout_samsara_book_spark.functions.text_analysis import LANG_PROFILES
+
+    per_lang = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, "
+        f"len(list_filter(toks, t -> list_contains({words!r}::VARCHAR[], t)))"
+        f" / greatest(len(toks), 1) AS score FROM tk"
+        for lang, words in sorted(LANG_PROFILES.items())
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+scores AS ({per_lang}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       {_sci_sql('score')} AS lang_score
+FROM ranked WHERE rn = 1
+"""
+
+
+def o_text_quality() -> str:
+    from mahout_samsara_book_spark.functions.text_analysis import LANG_PROFILES
+
+    en = LANG_PROFILES["en"]
+    return rf"""
+WITH tk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> list_contains({en!r}::VARCHAR[], t)))
+      / greatest(len(toks), 1) AS stop_ratio,
+    len(regexp_replace(text, '[^\p{{L}}]', '', 'g'))
+      / greatest(len(text), 1) AS alpha_ratio,
+    list_sum(list_prepend(0, list_transform(toks, t -> len(t))))
+      / greatest(len(toks), 1) AS mean_len,
+    CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END AS len_band,
+    len(toks) AS n_tok
+  FROM tk
+)
+SELECT doc_id,
+  {_sci_sql('stop_ratio')} AS stopword_ratio,
+  {_sci_sql('alpha_ratio')} AS alpha_ratio,
+  {_sci_sql('mean_len')} AS mean_tok_len,
+  {_sci_sql(
+      "least(1.0, 0.35 * least(stop_ratio * 4.0, 1.0) + 0.35 * alpha_ratio"
+      " + 0.15 * len_band"
+      " + 0.15 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0"
+      " THEN 1.0 ELSE 0.3 END))"
+  )} AS quality
+FROM feat
+"""
+
+
+def o_text_token_stats() -> str:
+    return r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd}\s]')) AS bpe_ish_tokens,
+  len(text) AS n_chars
+FROM documents
+"""
+
+
+def o_text_fingerprint() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+hh AS (
+  SELECT doc_id,
+         list_transform(toks, t -> ({h60_sql('t')} % {P31})) AS hs
+  FROM tk
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (a, b) -> (a * 31 + b) % {P31}) AS fingerprint
+FROM hh
+"""
+
+
+def o_multimodal_meta() -> str:
+    return """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_token_stats": q_text_token_stats,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": o_dedup_exact(),
+        "dedup_minhash_sig": o_dedup_minhash_sig(),
+        "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
+        "dedup_simhash": o_dedup_simhash(),
+        "sim_cosine_topk": o_sim_cosine_topk(),
+        "sim_lsh_buckets": o_sim_lsh_buckets(),
+        # ann_lsh_topk: rows-only (multi-table union replay is the same
+        # bucket+rank machinery already certified by sim_lsh_buckets +
+        # sim_cosine_topk)
+        "text_langid": o_text_langid(),
+        "text_quality": o_text_quality(),
+        "text_token_stats": o_text_token_stats(),
+        "text_fingerprint": o_text_fingerprint(),
+        "multimodal_meta": o_multimodal_meta(),
+        # multimodal_decode: rows-only (numpy byte-fold stub)
+    }

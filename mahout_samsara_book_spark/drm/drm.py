@@ -228,14 +228,37 @@ class Drm:
         tool, not a hot-path operator."""
         from pyspark.sql import Window
 
-        # Total order on (key, features): ties on key are broken by the
-        # row values, so the id assignment is deterministic up to
-        # interchangeable identical rows.
-        w = Window.orderBy(KEY, FEAT)
-        df = self.df.select(
-            (F.row_number().over(w) - 1).cast("long").alias(KEY), FEAT
+        # Distributed global rank: range-sort on the total order (key,
+        # features), then per-partition row_number + collected partition
+        # offsets — a global Window.orderBy would drag every row to ONE
+        # partition. Output ids are the global rank in the total order,
+        # deterministic regardless of where the sampled range boundaries
+        # land (ties are full-duplicate rows, hence interchangeable).
+        sorted_df = (
+            self.df.repartitionByRange(F.col(KEY), F.col(FEAT))
+            .sortWithinPartitions(KEY, FEAT)
+            .withColumn("_pid", F.spark_partition_id())
         )
-        return Drm(df, self.ncol, self._nrow)
+        sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        w = Window.partitionBy("_pid").orderBy(KEY, FEAT)
+        out = sorted_df.select(
+            (
+                F.row_number().over(w) - 1 + off_map[F.col("_pid")]
+            ).cast("long").alias(KEY),
+            FEAT,
+        )
+        return Drm(out, self.ncol, acc)
 
     def slice_cols(self, start: int, stop: int) -> Drm:
         """``drmY(::, a until b)`` (A16 — BahmaniSketch.scala:59): column
@@ -531,15 +554,20 @@ class Drm:
         out = self.df.mapInPandas(op, schema=f"{KEY} long, {FEAT} array<double>")
         return Drm(out, 1, self._nrow)
 
-    def mmul(self, other: Drm | np.ndarray) -> Drm:
-        """``drmA %*% drmB`` (A6/A10 — TWCNBSuite.scala:115).
+    def mmul(self, other: Drm | np.ndarray, strategy: str = "auto") -> Drm:
+        """``drmA %*% drmB`` (A6/A10 — TWCNBSuite.scala:115). Row keys of
+        A carry through unchanged (duplicates preserved — aggregation is
+        transpose's job, §1.2).
 
-        numpy / small right operand → broadcast matmul: one narrow Arrow
-        pass, no shuffle (the A10 scoring shape: model is terms×classes).
-        DRM right operand → COO equi-join + aggregate: both sides explode
-        to (i,k,v)/(k,j,v) dropping zeros, join on k, groupBy (i,j) sum —
-        the pure relational formulation Catalyst can shuffle-plan and AQE
-        can skew-split.
+        Physical strategies (the Samsara-optimizer dispatch, SURVEY §4):
+
+        - ``broadcast``: right operand ships in-core to every task; one
+          narrow Arrow pass, zero shuffle. Chosen automatically when B is
+          slim (≤1M cells) — the A10 scoring shape (model terms×classes).
+        - ``coo``: both sides explode to sparse triplets, equi-join on
+          the contraction index, aggregate per (row-tag, j) — the pure
+          relational formulation Catalyst shuffle-plans and AQE
+          skew-splits. The big×big path.
         """
         if isinstance(other, np.ndarray):
             b = np.asarray(other, dtype=np.float64)
@@ -560,31 +588,52 @@ class Drm:
 
         if other.ncol is None or self.ncol is None:
             raise ValueError("mmul requires known geometry")
-        a_coo = self.df.select(
-            F.col(KEY).alias("i"), F.posexplode(F.col(FEAT)).alias("k", "va")
+        if strategy == "auto":
+            strategy = (
+                "broadcast" if other.nrow * other.ncol <= 1_000_000 else "coo"
+            )
+        if strategy == "broadcast":
+            return self.mmul(other.collect())
+        # COO path. A unique per-row tag keeps duplicate row keys as
+        # separate output rows (the tag is internal; outputs re-key by
+        # the original key, so the result multiset is deterministic).
+        tagged = self.df.withColumn("_rtag", F.monotonically_increasing_id())
+        a_coo = tagged.select(
+            "_rtag",
+            F.col(KEY).alias("i"),
+            F.posexplode(F.col(FEAT)).alias("k", "va"),
         ).filter(F.col("va") != 0.0)
         b_coo = other.df.select(
             F.col(KEY).alias("k2"), F.posexplode(F.col(FEAT)).alias("j", "vb")
         ).filter(F.col("vb") != 0.0)
-        prod = (
-            a_coo.join(b_coo, a_coo["k"] == b_coo["k2"])
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("va") * F.col("vb")).alias("v"))
-        )
+        # ONE shuffle: group all of a row's products at once, then sum
+        # per output column inside the row with higher-order functions
+        # (arr is ~nnz(a_row)·nnz(b_col) entries — in-row work, no second
+        # shuffle).
+        n_out = other.ncol
         assembled = (
-            prod.groupBy("i")
+            a_coo.join(b_coo, a_coo["k"] == b_coo["k2"])
+            .groupBy("_rtag")
             .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct(F.col("j").cast("long"), F.col("v")))
-                ).alias("m")
+                F.first("i").alias("i"),
+                F.collect_list(
+                    F.struct(
+                        F.col("j").cast("long").alias("j"),
+                        (F.col("va") * F.col("vb")).alias("p"),
+                    )
+                ).alias("arr"),
             )
             .select(
                 F.col("i").cast("long").alias(KEY),
                 F.transform(
                     F.sequence(
-                        F.lit(0).cast("long"), F.lit(other.ncol - 1).cast("long")
+                        F.lit(0).cast("long"), F.lit(n_out - 1).cast("long")
                     ),
-                    lambda idx: F.coalesce(F.element_at("m", idx), F.lit(0.0)),
+                    lambda idx: F.aggregate(
+                        F.filter(F.col("arr"), lambda e: e["j"] == idx),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e["p"],
+                    ),
                 ).alias(FEAT),
             )
         )

@@ -33,10 +33,72 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector (self-join; a ≠ b):
-    ``(vec_id, neighbor, cosine, rank)``. Ties broken by neighbor id."""
+    """Exact top-k cosine neighbors per vector (a ≠ b):
+    ``(vec_id, neighbor, cosine, rank)``. Ties broken by neighbor id.
+
+    Strategies (auto-dispatch like the DRM matmul):
+
+    - ``broadcast``: the normalized corpus ships in-core; each Arrow
+      block does ONE BLAS matmul against it and local top-k — no join,
+      no shuffle. Picked when rows×dim ≤ broadcast_limit cells.
+    - ``pairs``: SQL self-join + window rank — the any-scale fallback
+      (quadratic by nature; the scale path for big corpora is
+      :func:`lsh_topk`).
+    """
+    import numpy as np
+    import pandas as pd
+
     base = _normed(emb, id_col, vec_col)
+    if strategy == "auto":
+        first = emb.select(vec_col).first()
+        dim_now = len(first[0]) if first else 0
+        strategy = (
+            "broadcast"
+            if emb.count() * max(dim_now, 1) <= broadcast_limit
+            else "pairs"
+        )
+    if strategy == "broadcast":
+        pdf = base.orderBy(id_col).toPandas()
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat = mat / pdf["nrm"].to_numpy()[:, None]
+        bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+        def op(batches):
+            all_ids, m = bc.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                blk = np.array(b["v"].tolist(), dtype=np.float64)
+                blk = blk / b["nrm"].to_numpy()[:, None]
+                sims = blk @ m.T
+                out_id, out_nb, out_cos, out_rk = [], [], [], []
+                for row_i, vid in enumerate(b[id_col].to_numpy()):
+                    s = sims[row_i]
+                    mask = all_ids != vid
+                    # order: cosine desc, neighbor asc — lexsort keys in
+                    # reverse priority
+                    cand_ids, cand_s = all_ids[mask], s[mask]
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    out_id.extend([vid] * len(order))
+                    out_nb.extend(cand_ids[order])
+                    out_cos.extend(cand_s[order])
+                    out_rk.extend(range(1, len(order) + 1))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": out_id,
+                        "neighbor": out_nb,
+                        "cosine": out_cos,
+                        "rank": out_rk,
+                    }
+                )
+
+        return base.mapInPandas(
+            op, schema="vec_id long, neighbor long, cosine double, rank long"
+        )
     l, r = base.alias("l"), base.alias("r")
     sims = l.join(r, F.col(f"l.{id_col}") != F.col(f"r.{id_col}")).select(
         F.col(f"l.{id_col}").alias("vec_id"),
@@ -109,44 +171,80 @@ def lsh_topk(
     angle θ is (1-θ/π)^n_planes — size n_planes for bucket width,
     n_tables for recall."""
     base = _normed(emb, id_col, vec_col)
-    cand = None
+    # ALL tables' buckets in ONE scan (8×4 sign projections in a single
+    # codegen'd projection), exploded to (table, bucket) rows, then a
+    # single self-equi-join on (table, bucket) — not n_tables separate
+    # scans+joins. Candidates dedup with one distinct.
+    raw = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    tb = []
     for t in range(n_tables):
-        buckets = lsh_sign_buckets(
-            emb, n_planes, seed * 1000 + t, id_col, vec_col, dim
-        ).withColumnRenamed("bucket", "b")
-        l = buckets.alias("l")
-        r = buckets.alias("r")
-        pairs = l.join(
+        bucket: Column | None = None
+        for j in range(n_planes):
+            signs = F.array(
+                *[
+                    F.lit(float(plane_sign(seed * 1000 + t, j, d)))
+                    for d in range(dim)
+                ]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col("v"), signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        tb.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    buckets = raw.select(
+        F.col(id_col), F.explode(F.array(*tb)).alias("tb")
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
             r,
-            (F.col("l.b") == F.col("r.b"))
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.b") == F.col("r.b"))
             & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
-        ).select(
+        )
+        .select(
             F.col(f"l.{id_col}").alias("vec_id"),
             F.col(f"r.{id_col}").alias("neighbor"),
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    lv = base.select(
-        F.col(id_col).alias("vec_id"),
-        F.col("v").alias("v_l"),
-        F.col("nrm").alias("nrm_l"),
+        .distinct()
     )
-    rv = base.select(
-        F.col(id_col).alias("neighbor"),
-        F.col("v").alias("v_r"),
-        F.col("nrm").alias("nrm_r"),
-    )
-    sims = (
-        cand.join(lv, "vec_id")
-        .join(rv, "neighbor")
-        .select(
-            "vec_id",
-            "neighbor",
-            (
-                _dot(F.col("v_l"), F.col("v_r"))
-                / (F.col("nrm_l") * F.col("nrm_r"))
-            ).alias("cosine"),
-        )
+    # Verify stage: candidates stay distributed; the normalized corpus is
+    # broadcast and each Arrow batch scores its pairs with one vectorized
+    # gather+einsum instead of per-pair SQL folds.
+    import numpy as np
+    import pandas as pd
+
+    pdf_all = base.orderBy(id_col).toPandas()
+    ids_sorted = pdf_all[id_col].to_numpy()
+    mat = np.array(pdf_all["v"].tolist(), dtype=np.float64)
+    mat = mat / pdf_all["nrm"].to_numpy()[:, None]
+    bc = emb.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+
+    def score(batches):
+        all_ids, m = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            iv = np.searchsorted(all_ids, b["vec_id"].to_numpy())
+            inb = np.searchsorted(all_ids, b["neighbor"].to_numpy())
+            cos = np.einsum("ij,ij->i", m[iv], m[inb])
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "neighbor": b["neighbor"],
+                    "cosine": cos,
+                }
+            )
+
+    sims = cand.mapInPandas(
+        score, schema="vec_id long, neighbor long, cosine double"
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()

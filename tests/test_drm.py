@@ -140,7 +140,25 @@ def test_mmul_drm(spark, mx):
     b = symmetric_uniform_view(6, 5, 78)
     da = Drm.from_numpy(spark, mx, num_partitions=3)
     db = Drm.from_numpy(spark, b, num_partitions=2)
+    # auto (broadcast, B is slim) and forced COO agree with numpy
     assert np.allclose(da.mmul(db).collect(), mx @ b, atol=1e-10)
+    assert np.allclose(
+        da.mmul(db, strategy="coo").collect(), mx @ b, atol=1e-10
+    )
+
+
+def test_mmul_preserves_duplicate_keys(spark, mx):
+    b = symmetric_uniform_view(6, 2, 79)
+    labels = np.arange(40) % 4
+    da = Drm.from_numpy(spark, mx, num_partitions=3).map_block(
+        lambda keys, block: (labels[keys], block)
+    )
+    db = Drm.from_numpy(spark, b)
+    for strat in ("broadcast", "coo"):
+        out = da.mmul(db, strategy=strat).df.toPandas()
+        # 40 rows survive — mmul does NOT aggregate by key (that's
+        # transpose's semantics, §1.2)
+        assert len(out) == 40
 
 
 def test_map_block_width_change(spark, mx):
