@@ -47,14 +47,19 @@ _NUDGE = "1.0000000000001"
 
 
 def sci(col: Column) -> Column:
-    return F.when(col == 0, F.lit("0")).otherwise(
-        F.format_string("%.7e", col * F.lit(float(_NUDGE)))
+    # NULL → 'NA' explicitly: Java format_string renders null args as the
+    # string "null" while DuckDB printf returns NULL — neither is portable.
+    return (
+        F.when(col.isNull(), F.lit("NA"))
+        .when(col == 0, F.lit("0"))
+        .otherwise(F.format_string("%.7e", col * F.lit(float(_NUDGE))))
     )
 
 
 def sci_sql(expr: str) -> str:
     return (
-        f"CASE WHEN ({expr}) = 0 THEN '0' "
+        f"CASE WHEN ({expr}) IS NULL THEN 'NA' "
+        f"WHEN ({expr}) = 0 THEN '0' "
         f"ELSE printf('%.7e', ({expr}) * {_NUDGE}) END"
     )
 
@@ -258,8 +263,8 @@ def _q_point_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A17 drmSampleKRows: deterministic seeded-hash top-k (rows-only —
-    the sampling order is engine-defined)."""
+    """A17 drmSampleKRows: deterministic seeded top-k over the portable
+    md5 hash — the DuckDB oracle replays the identical ordering."""
     block = lineitem_drm(spark, sf_dir).sample_k_rows(10, seed=42)
     rows = [tuple(float(x) for x in r) for r in block]
     return spark.createDataFrame(rows, "f0 double, f1 double, f2 double, f3 double")
@@ -383,10 +388,13 @@ def _q_text_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import entry_m5
+    import entry_rel
 
     entry_m5._init(sci, sci_sql)
+    entry_rel._init(sci, sci_sql)
     return {
         **entry_m5.QUERIES,
+        **entry_rel.QUERIES,
         "text_tokenize_counts": _q_tokenize_counts,
         "text_tfidf": _q_tfidf,
         "text_dictionary": _q_dictionary,
@@ -713,10 +721,13 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS l FROM embeddings)
 
 def oracle_sql() -> dict[str, str]:
     import entry_m5
+    import entry_rel
 
     entry_m5._init(sci, sci_sql)
+    entry_rel._init(sci, sci_sql)
     return {
         **entry_m5.oracles(),
+        **entry_rel.oracles(),
         "text_tokenize_counts": f"WITH {_TOK_CTES} SELECT doc_id, term, tf FROM tf",
         "text_tfidf": _oracle_tfidf(),
         "text_dictionary": _oracle_dictionary(),
@@ -726,6 +737,18 @@ def oracle_sql() -> dict[str, str]:
         "text_argmax": _oracle_text_argmax(),
         "twcnb_train": _oracle_twcnb(),
         "point_weights": _oracle_point_weights(),
+        "drm_sample_k": f"""
+WITH keyed AS (
+  SELECT {_LI_KEY_SQL} AS k,
+         [l_quantity, l_extendedprice, l_discount, l_tax] AS f
+  FROM lineitem
+)
+SELECT f[1] AS f0, f[2] AS f1, f[3] AS f2, f[4] AS f3
+FROM keyed
+ORDER BY ('0x' || substring(md5(CAST(k AS VARCHAR) || ':42'), 1, 15))::BIGINT,
+         k, f
+LIMIT 10
+""",
         "drm_group_sum": _oracle_group_sum(),
         "drm_transpose": _oracle_transpose(),
         "drm_mmul": _oracle_mmul(),

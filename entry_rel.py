@@ -1,0 +1,299 @@
+"""Relational-category registry (SURVEY §2E): scan-agg, join chains,
+windows, top-k, rollup, semi/anti joins, as-of pattern. Merged into
+__spark_entry__ like entry_m5."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions import relational as R
+
+_sci = None
+_sci_sql = None
+
+
+def _init(sci, sci_sql):
+    global _sci, _sci_sql
+    _sci, _sci_sql = sci, sci_sql
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.pricing_summary(spark, sf_dir)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[
+            _sci(F.col(c)).alias(c)
+            for c in [
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "sum_charge",
+                "avg_qty",
+                "avg_price",
+                "avg_disc",
+            ]
+        ],
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.revenue_by_nation(spark, sf_dir)
+    return out.select(
+        "n_name",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.top_customers_per_nation(spark, sf_dir, k=3)
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        _sci(F.col("c_acctbal")).alias("c_acctbal"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.order_running_totals(spark, sf_dir)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _sci(F.col("running_total")).alias("running_total"),
+        F.col("order_seq").cast("long").alias("order_seq"),
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.sales_rollup(spark, sf_dir)
+    return out.select(
+        "returnflag",
+        "linestatus",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.semi_anti_join(spark, sf_dir)
+    return out.select(
+        "c_mktsegment",
+        F.col("n_with").cast("long").alias("n_with"),
+        F.col("n_without").cast("long").alias("n_without"),
+    )
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.asof_last_event_value(spark, sf_dir)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _sci(F.col("value")).alias("value"),
+        _sci(F.col("prior_other_value")).alias("prior_other_value"),
+    )
+
+
+def o_pricing_summary() -> str:
+    cols = {
+        "sum_qty": "sum(l_quantity)",
+        "sum_base_price": "sum(l_extendedprice)",
+        "sum_disc_price": "sum(l_extendedprice * (1 - l_discount))",
+        "sum_charge": "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))",
+        "avg_qty": "avg(l_quantity)",
+        "avg_price": "avg(l_extendedprice)",
+        "avg_disc": "avg(l_discount)",
+    }
+    sels = ", ".join(f"{_sci_sql(v)} AS {k}" for k, v in cols.items())
+    return f"""
+SELECT l_returnflag, l_linestatus, {sels}, count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def o_revenue_by_nation() -> str:
+    return f"""
+SELECT n.n_name,
+       {_sci_sql('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def o_topk_customers() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, {_sci_sql('c_acctbal')} AS c_acctbal,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def o_running_totals() -> str:
+    return f"""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       {_sci_sql(
+           "sum(o_totalprice) OVER (PARTITION BY o_custkey "
+           "ORDER BY o_orderdate, o_orderkey "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+       )} AS running_total,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS order_seq
+FROM orders
+"""
+
+
+def o_sales_rollup() -> str:
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {_sci_sql('sum(l_extendedprice)')} AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def o_semi_anti() -> str:
+    return """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1
+),
+wo AS (
+  SELECT c_mktsegment, count(*) AS n_without FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with, 0) AS n_with,
+       coalesce(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+def o_asof_events() -> str:
+    return f"""
+WITH tl AS (
+  SELECT user_id, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_other_value
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       {_sci_sql('value')} AS value,
+       {_sci_sql('prior_other_value')} AS prior_other_value
+FROM tl WHERE event_type = 'purchase'
+"""
+
+
+def q_ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import windowed_counts
+
+    out = windowed_counts(load_table(spark, sf_dir, "events"), "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import sessionize
+
+    out = sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_windowed_counts() -> str:
+    return f"""
+SELECT ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS window_start,
+       event_type, count(*) AS n,
+       {_sci_sql('sum(value)')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def o_ev_sessionize() -> str:
+    gap_ns = 30 * 60 * 1_000_000_000
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {gap_ns}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(epoch_ns(ts)) // 1000000000 AS session_start,
+       max(epoch_ns(ts)) // 1000000000 AS session_end,
+       {_sci_sql('sum(value)')} AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "ev_windowed_counts": q_ev_windowed_counts,
+    "ev_sessionize": q_ev_sessionize,
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_revenue_by_nation": q_revenue_by_nation,
+    "rel_topk_customers": q_topk_customers,
+    "rel_running_totals": q_running_totals,
+    "rel_sales_rollup": q_sales_rollup,
+    "rel_semi_anti": q_semi_anti,
+    "rel_asof_events": q_asof_events,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "ev_windowed_counts": o_ev_windowed_counts(),
+        "ev_sessionize": o_ev_sessionize(),
+        "rel_pricing_summary": o_pricing_summary(),
+        "rel_revenue_by_nation": o_revenue_by_nation(),
+        "rel_topk_customers": o_topk_customers(),
+        "rel_running_totals": o_running_totals(),
+        "rel_sales_rollup": o_sales_rollup(),
+        "rel_semi_anti": o_semi_anti(),
+        "rel_asof_events": o_asof_events(),
+    }

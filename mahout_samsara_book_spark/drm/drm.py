@@ -272,14 +272,26 @@ class Drm:
 
     def sample_k_rows(self, k: int, seed: int) -> np.ndarray:
         """``drmSampleKRows(drm, k)`` (A17 — BahmaniSketch.scala:48),
-        deterministic variant: order by a seeded hash of the row key
-        (stable across retries, unlike ``orderBy(rand())`` — SURVEY §7
-        risk register), take k. Top-k is a treeified limit, not a global
-        sort of all rows."""
+        deterministic variant: order by a seeded PORTABLE hash of the row
+        key (stable across retries, unlike ``orderBy(rand())`` — SURVEY
+        §7 risk register; portable so the DuckDB oracle replays it), take
+        k. Top-k is a treeified limit, not a global sort. Ties (duplicate
+        keys) break on the feature values."""
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(KEY).cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
         sampled = (
-            self.df.orderBy(F.xxhash64(F.col(KEY), F.lit(seed)))
-            .limit(k)
-            .toPandas()
+            self.df.orderBy(h, F.col(KEY), F.col(FEAT)).limit(k).toPandas()
         )
         _, block = _pdf_to_block(sampled, self.ncol)
         return block
@@ -638,6 +650,32 @@ class Drm:
             )
         )
         return Drm(assembled, other.ncol, self._nrow)
+
+    # ------------------------------------------------------------------ #
+    # MLlib distributed-matrix bridge (C11 — BlockMatrix.scala:8-16)
+    # ------------------------------------------------------------------ #
+
+    def to_indexed_row_matrix(self):
+        """Bridge to MLlib's ``IndexedRowMatrix`` — the reference's
+        2-D-block-partitioned matrix interface (``BlockMatrix`` trait,
+        C11) is exactly MLlib's distributed-matrix family; this exposes
+        it without leaving the DataFrame representation as the source of
+        truth."""
+        from pyspark.mllib.linalg.distributed import (
+            IndexedRow,
+            IndexedRowMatrix,
+        )
+
+        rdd = self.df.rdd.map(lambda r: IndexedRow(r["row_id"], r["features"]))
+        return IndexedRowMatrix(rdd, numRows=self.nrow, numCols=self.ncol)
+
+    def to_block_matrix(self, rows_per_block: int = 1024, cols_per_block: int = 1024):
+        """MLlib ``BlockMatrix`` view (C11): 2-D block partitioning with
+        ``blocks((i,j) → Matrix)`` — the scale path for big×big matmul
+        chains that outgrow the COO join."""
+        return self.to_indexed_row_matrix().toBlockMatrix(
+            rows_per_block, cols_per_block
+        )
 
     # ------------------------------------------------------------------ #
     # block API (A12, A13)

@@ -1,0 +1,90 @@
+"""Event-time processing over the events table: tumbling-window
+aggregation (batch + Structured Streaming with watermark) and gap-based
+sessionization (SURVEY §2A note: absent from the reference, supplied by
+the engine as the idiomatic Spark-native surface).
+
+events.ts arrives as int64 NANOSECONDS (see session.py's
+``nanosAsLong``); event-time columns are derived explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def with_event_time(ev: DataFrame) -> DataFrame:
+    """int64-nanos ``ts`` → timestamp ``event_time`` (UTC), truncated to
+    whole seconds via INTEGER division — float ns→s conversion loses
+    precision at 2^63-scale nanos and could flip bucket boundaries
+    against the oracle's exact integer arithmetic."""
+    return ev.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.expr(f"ts div {NANOS_PER_SEC}")),
+    )
+
+
+def windowed_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event_type:
+    ``(window_start: epoch secs, event_type, n, total_value)``."""
+    return (
+        with_event_time(ev)
+        .groupBy(F.window("event_time", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    ev_stream: DataFrame, width: str = "1 hour", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming twin of :func:`windowed_counts`: watermarked event-time
+    windows; append-mode emits each window once it is final (window end ≤
+    watermark). Late rows beyond the watermark are dropped — the standard
+    late-data contract."""
+    return (
+        with_event_time(ev_stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user (lag + cumulative-flag formulation —
+    one shuffle on user_id): ``(user_id, session_id, n_events,
+    session_start, session_end, total_value)``; epoch-second bounds."""
+    gap_nanos = gap_minutes * 60 * NANOS_PER_SEC
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.lag("ts").over(w).isNull())
+            | (F.col("ts") - F.lag("ts").over(w) > gap_nanos),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"min(ts) div {NANOS_PER_SEC}").alias("session_start"),
+        F.expr(f"max(ts) div {NANOS_PER_SEC}").alias("session_end"),
+        F.sum("value").alias("total_value"),
+    )

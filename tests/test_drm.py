@@ -187,6 +187,23 @@ def test_allreduce_block(spark, mx):
     assert np.allclose(g, mx.T @ mx, atol=1e-10)
 
 
+def test_mllib_bridge(spark, mx):
+    """C11 BlockMatrix trait parity: MLlib's distributed-matrix family as
+    the 2-D-block view of a DRM, numerically identical to the source."""
+    d = Drm.from_numpy(spark, mx, num_partitions=3)
+    irm = d.to_indexed_row_matrix()
+    assert (irm.numRows(), irm.numCols()) == (40, 6)
+    bm = d.to_block_matrix(rows_per_block=16, cols_per_block=4)
+    local = bm.toLocalMatrix().toArray()
+    assert np.allclose(local, mx)
+    # distributed block multiply cross-checks the DRM mmul (A6 MLlib twin)
+    b = symmetric_uniform_view(6, 3, 81)
+    db = Drm.from_numpy(spark, b)
+    # multiply requires A.colsPerBlock == B.rowsPerBlock
+    prod = bm.multiply(db.to_block_matrix(4, 3)).toLocalMatrix().toArray()
+    assert np.allclose(prod, d.mmul(db).collect(), atol=1e-10)
+
+
 def test_sample_k_rows_deterministic(spark, mx):
     d = Drm.from_numpy(spark, mx, num_partitions=4)
     s1 = d.sample_k_rows(5, seed=123)
