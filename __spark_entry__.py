@@ -386,6 +386,63 @@ def _q_text_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gram_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 at 64-wide: gram of the embeddings matrix via Arrow block
+    partials (2080 upper-triangle cells)."""
+    from mahout_samsara_book_spark.sources.tables import embeddings_drm
+
+    g = embeddings_drm(spark, sf_dir).gram_df()
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        sci(F.col("v")).alias("v"),
+    )
+
+
+def _oracle_gram_wide() -> str:
+    return f"""
+WITH coo AS (
+  SELECT vec_id, t.i - 1 AS pos, embedding[t.i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) AS t(i)
+)
+SELECT a.pos AS i, b.pos AS j, {sci_sql('sum(a.v * b.v)')} AS v
+FROM coo a JOIN coo b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+
+def _q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware two-phase salted group-sum == straight groupBy (the
+    oracle is the UNSALTED formulation — value equality proves the salting
+    reassociation is sound)."""
+    from mahout_samsara_book_spark.operators.skew import salted_group_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_group_agg(
+        li,
+        "l_suppkey",
+        {
+            "revenue": F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "n": F.count("*"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        sci(F.col("revenue")).alias("revenue"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _oracle_skew_salted() -> str:
+    return f"""
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       {sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import entry_m5
     import entry_rel
@@ -419,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_mmul": _q_mmul,
         "drm_mmul_coo": _q_mmul_coo,
         "drm_rbind": _q_rbind,
+        "drm_gram_wide": _q_gram_wide,
+        "skew_salted_group_sum": _q_skew_salted,
     }
 
 
@@ -754,6 +813,8 @@ LIMIT 10
         "drm_mmul": _oracle_mmul(),
         "drm_mmul_coo": _oracle_mmul(),
         "drm_rbind": _oracle_rbind(),
+        "drm_gram_wide": _oracle_gram_wide(),
+        "skew_salted_group_sum": _oracle_skew_salted(),
         "drm_colsums": _oracle_colsums(),
         "drm_rowsums": _oracle_rowsums(),
         "drm_ax": _oracle_ax(),

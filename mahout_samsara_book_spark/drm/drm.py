@@ -424,6 +424,16 @@ class Drm:
                 ).alias(FEAT),
             )
         )
+        # geometry restore: all-zero input columns vanished in the COO
+        # explode — re-seat them as zero rows so t() of an m×n DRM is
+        # always n×m (hypothesis-found edge case)
+        full = self.spark.range(self.ncol).select(F.col("id").alias(KEY))
+        assembled = full.join(assembled, KEY, "left").select(
+            KEY,
+            F.coalesce(
+                FEAT, F.array_repeat(F.lit(0.0), w)
+            ).alias(FEAT),
+        )
         out = Drm(assembled, ncol=w, nrow=self.ncol)
         out._transpose_of = self
         return out
@@ -466,6 +476,14 @@ class Drm:
                     lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
                 ).alias(FEAT),
             )
+        )
+        # geometry restore: keys whose rows are all-zero still form a group
+        keys_df = self.df.select(KEY).distinct()
+        assembled = keys_df.join(assembled, KEY, "left").select(
+            KEY,
+            F.coalesce(
+                FEAT, F.array_repeat(F.lit(0.0), self.ncol)
+            ).alias(FEAT),
         )
         return Drm(assembled, self.ncol)
 
@@ -607,9 +625,14 @@ class Drm:
         if strategy == "broadcast":
             return self.mmul(other.collect())
         # COO path. A unique per-row tag keeps duplicate row keys as
-        # separate output rows (the tag is internal; outputs re-key by
-        # the original key, so the result multiset is deterministic).
-        tagged = self.df.withColumn("_rtag", F.monotonically_increasing_id())
+        # separate output rows. The tag MUST be materialized before the
+        # plan forks (geometry-restore join below): recomputing
+        # monotonically_increasing_id in two branches can assign
+        # different ids when the optimizer plans the branches differently.
+        tagged = self.df.withColumn(
+            "_rtag", F.monotonically_increasing_id()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        tagged.count()
         a_coo = tagged.select(
             "_rtag",
             F.col(KEY).alias("i"),
@@ -636,7 +659,8 @@ class Drm:
                 ).alias("arr"),
             )
             .select(
-                F.col("i").cast("long").alias(KEY),
+                "_rtag",
+                F.col("i").cast("long").alias("_i"),
                 F.transform(
                     F.sequence(
                         F.lit(0).cast("long"), F.lit(n_out - 1).cast("long")
@@ -646,10 +670,22 @@ class Drm:
                         F.lit(0.0),
                         lambda acc, e: acc + e["p"],
                     ),
+                ).alias("_feat"),
+            )
+        )
+        # geometry restore: rows with no nonzero product (all-zero rows)
+        # must survive as zero rows
+        out = (
+            tagged.select("_rtag", KEY)
+            .join(assembled, "_rtag", "left")
+            .select(
+                F.col(KEY),
+                F.coalesce(
+                    F.col("_feat"), F.array_repeat(F.lit(0.0), n_out)
                 ).alias(FEAT),
             )
         )
-        return Drm(assembled, other.ncol, self._nrow)
+        return Drm(out, other.ncol, self._nrow)
 
     # ------------------------------------------------------------------ #
     # MLlib distributed-matrix bridge (C11 — BlockMatrix.scala:8-16)

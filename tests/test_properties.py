@@ -1,0 +1,100 @@
+"""Property-based algebra invariants (hypothesis) — the dual of the
+example-based suites: random small matrices, structural identities that
+must hold for ANY input, mirroring the reference's tolerance-gate style
+(SURVEY §5) but quantified."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from mahout_samsara_book_spark.drm.drm import Drm
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+small_matrix = arrays(
+    np.float64,
+    st.tuples(st.integers(2, 10), st.integers(1, 6)),
+    elements=st.floats(-100, 100, allow_nan=False, width=32),
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_double_transpose_identity(sp, mx):
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    assert np.allclose(d.t().t().collect(), mx, atol=1e-9)
+
+
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_transpose_matches_numpy(sp, mx):
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    assert np.allclose(d.t().collect(), mx.T, atol=1e-9)
+
+
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_gram_equals_t_mmul(sp, mx):
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    g = d.gram()
+    assert np.allclose(g, mx.T @ mx, atol=1e-7)
+    assert np.allclose(g, g.T, atol=0)  # symmetry is exact by construction
+
+
+@given(mx=small_matrix, scalar=st.floats(-10, 10, allow_nan=False, width=16))
+@settings(**_SETTINGS)
+def test_scalar_ops_roundtrip(sp, mx, scalar):
+    d = Drm.from_numpy(sp, mx)
+    out = d.scalar_op("+", scalar).scalar_op("-", scalar).collect()
+    assert np.allclose(out, mx, atol=1e-9)
+
+
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_rowsums_colsums_grand_total(sp, mx):
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    rs = d.rowsums().toPandas()["row_sum"].to_numpy()
+    assert np.isclose(rs.sum(), d.colsums().sum(), atol=1e-7)
+
+
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_rbind_slice_inverse(sp, mx):
+    if mx.shape[0] < 4:
+        return
+    cut = mx.shape[0] // 2
+    a = Drm.from_numpy(sp, mx[:cut])
+    b = Drm.from_numpy(sp, mx[cut:])
+    assert np.allclose(a.rbind(b).collect(), mx, atol=0)
+
+
+@given(
+    mx=small_matrix,
+    labels_seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_group_sum_partition_invariance(sp, mx, labels_seed):
+    """aggregate_rows_by_key totals are independent of partitioning and
+    equal the pandas groupby."""
+    rng = np.random.default_rng(labels_seed)
+    labels = rng.integers(0, 3, mx.shape[0])
+
+    def relabel(keys, block):
+        return labels[keys], block
+
+    for parts in (1, 3):
+        d = Drm.from_numpy(sp, mx, num_partitions=parts).map_block(relabel)
+        keys, out = d.aggregate_rows_by_key().collect_keys_matrix()
+        for k, row in zip(keys, out):
+            assert np.allclose(row, mx[labels == k].sum(axis=0), atol=1e-9)
