@@ -160,6 +160,96 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTERS = 16
+IVF_SEED = 9
+IVF_NPROBE = 2
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = ivf_centers(emb, IVF_CENTERS, IVF_SEED)
+    return ivf_assign(emb, centers)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(
+        emb, k=3, n_centers=IVF_CENTERS, nprobe=IVF_NPROBE, seed=IVF_SEED
+    )
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_IVF_CTES = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hashed AS (
+  SELECT vec_id, v,
+         ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':{IVF_SEED}'), 1, 15))::BIGINT AS h
+  FROM e
+),
+centers AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         v AS center
+  FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT {IVF_CENTERS})
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM e CROSS JOIN centers c
+),
+ranked_c AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scored
+),
+assign AS (SELECT vec_id, cid FROM ranked_c WHERE rn = 1)
+"""
+
+
+def o_ivf_assign() -> str:
+    return f"WITH {_IVF_CTES} SELECT CAST(vec_id AS BIGINT) AS vec_id, cid FROM assign"
+
+
+def o_ivf_topk() -> str:
+    return f"""
+WITH {_IVF_CTES},
+probes AS (SELECT vec_id AS q_id, cid FROM ranked_c WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.q_id AS vec_id, a.vec_id AS neighbor
+  FROM probes p JOIN assign a ON p.cid = a.cid AND p.q_id <> a.vec_id
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sims AS (
+  SELECT c.vec_id, c.neighbor,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM cand c
+  JOIN n l ON l.vec_id = c.vec_id
+  JOIN n r ON r.vec_id = c.neighbor
+),
+rk AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM sims
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor AS BIGINT) AS neighbor,
+       {{sci}} AS cosine, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+""".replace("{sci}", _sci_sql("cosine"))
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import language_id
 
@@ -454,6 +544,8 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ivf_assign": q_ivf_assign,
+    "ivf_topk": q_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_token_stats": q_text_token_stats,
@@ -471,6 +563,8 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": o_dedup_simhash(),
         "sim_cosine_topk": o_sim_cosine_topk(),
         "sim_lsh_buckets": o_sim_lsh_buckets(),
+        "ivf_assign": o_ivf_assign(),
+        "ivf_topk": o_ivf_topk(),
         # ann_lsh_topk: rows-only (multi-table union replay is the same
         # bucket+rank machinery already certified by sim_lsh_buckets +
         # sim_cosine_topk)

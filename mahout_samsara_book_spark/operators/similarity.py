@@ -116,6 +116,137 @@ def cosine_topk(
     )
 
 
+def ivf_centers(
+    emb: DataFrame,
+    n_centers: int = 16,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: ``n_centers`` deterministic sample rows as
+    centroids, chosen by the portable md5 hash of the id (the same
+    drmSampleKRows ordering — oracle-replayable, no float literals).
+    ``(cid, center: array<double>)`` with cid = 0.. in hash order."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.orderBy(h, F.col(id_col))
+    return (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("center")
+        )
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(n_centers)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", id_col)) - 1)
+            .cast("long")
+            .alias("cid"),
+            "center",
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties by
+    cid): broadcast cross join over the small centroid table + window
+    argmin — the inverted-file partitioning step. ``(vec_id, cid)``."""
+    v = F.col(vec_col).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(centers)).select(
+        F.col(id_col), F.col("cid"), d2.alias("d2")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centers: int = 16,
+    nprobe: int = 2,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    centroid buckets and ranks exact cosine within the candidate union.
+    The scale shape: candidate count ≈ nprobe/n_centers of the corpus per
+    query instead of all of it. ``(vec_id, neighbor, cosine, rank)``."""
+    centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    assign = ivf_assign(emb, centers, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        emb.crossJoin(F.broadcast(centers))
+        .select(F.col(id_col), F.col("cid"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("q_id"), "cid")
+    )
+    members = assign.select(
+        F.col(id_col).alias("neighbor"), F.col("cid")
+    )
+    cand = (
+        probes.join(members, "cid")
+        .filter(F.col("q_id") != F.col("neighbor"))
+        .select(F.col("q_id").alias("vec_id"), "neighbor")
+        .distinct()
+    )
+    base = _normed(emb, id_col, vec_col)
+    lv = base.select(
+        F.col(id_col).alias("vec_id"), F.col("v").alias("v_l"), F.col("nrm").alias("nrm_l")
+    )
+    rv = base.select(
+        F.col(id_col).alias("neighbor"), F.col("v").alias("v_r"), F.col("nrm").alias("nrm_r")
+    )
+    sims = (
+        cand.join(lv, "vec_id")
+        .join(rv, "neighbor")
+        .select(
+            "vec_id",
+            "neighbor",
+            (
+                _dot(F.col("v_l"), F.col("v_r"))
+                / (F.col("nrm_l") * F.col("nrm_r"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def plane_sign(seed: int, j: int, d: int) -> int:
     """Deterministic ±1 for hyperplane j, dimension d — parity of the
     portable 60-bit hash of 'seed:j:d' (python twin of the SQL form)."""
