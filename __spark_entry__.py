@@ -15,7 +15,15 @@ Integer outputs are cast to BIGINT on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file from any CWD; make the sibling registry
+# modules (entry_m5, entry_rel) and the package importable regardless
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
