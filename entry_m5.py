@@ -433,6 +433,49 @@ def _plane_sql(seed: int, j: int, dim: int = 64) -> str:
     return f"list_dot_product(v, [{lits}]::DOUBLE[])"
 
 
+def o_ann_lsh_topk() -> str:
+    """Replay of lsh_topk(k=3, n_planes=3, n_tables=8, seed=5): 8 bucket
+    ids from ±1-literal projections, candidates = same bucket in ANY
+    table, exact-cosine rerank. The OR-join is fine at oracle scale
+    (sf0.01); the ENGINE uses the bucket-equi-join shape for scale."""
+
+    def bucket_expr(t: int) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {_plane_sql(5 * 1000 + t, j)} > 0 "
+            f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+            for j in range(3)
+        )
+        return f"({bits}) AS b{t}"
+
+    buckets = ", ".join(bucket_expr(t) for t in range(8))
+    any_match = " OR ".join(f"l.b{t} = r.b{t}" for t in range(8))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {buckets} FROM e),
+cand AS (
+  SELECT DISTINCT l.vec_id, r.vec_id AS neighbor
+  FROM bk l JOIN bk r ON l.vec_id <> r.vec_id AND ({any_match})
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sims AS (
+  SELECT c.vec_id, c.neighbor,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM cand c
+  JOIN n l ON l.vec_id = c.vec_id
+  JOIN n r ON r.vec_id = c.neighbor
+),
+rk AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM sims
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor AS BIGINT) AS neighbor,
+       {_sci_sql('cosine')} AS cosine, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
 def o_sim_lsh_buckets() -> str:
     bits = " + ".join(
         f"CASE WHEN {_plane_sql(5, j)} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
@@ -565,9 +608,7 @@ def oracles() -> dict[str, str]:
         "sim_lsh_buckets": o_sim_lsh_buckets(),
         "ivf_assign": o_ivf_assign(),
         "ivf_topk": o_ivf_topk(),
-        # ann_lsh_topk: rows-only (multi-table union replay is the same
-        # bucket+rank machinery already certified by sim_lsh_buckets +
-        # sim_cosine_topk)
+        "ann_lsh_topk": o_ann_lsh_topk(),
         "text_langid": o_text_langid(),
         "text_quality": o_text_quality(),
         "text_token_stats": o_text_token_stats(),

@@ -96,6 +96,48 @@ def d_sample(
     return centers, y
 
 
+def reduce_sketch(
+    centers: np.ndarray,
+    weights: np.ndarray,
+    k: int,
+    seed: int = 1,
+    iterations: int = 25,
+) -> np.ndarray:
+    """The k-means|| follow-on step (Bahmani et al. §3.1): reduce the
+    oversampled sketch to k final centers with WEIGHTED k-means on the
+    driver — candidates are few, so this is in-core by design, exactly
+    like the reference returns an in-core sketch matrix for downstream
+    clustering. Weighted k-means++ seeding + weighted Lloyd."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    w = np.asarray(weights, dtype=np.float64)
+    w = w / w.sum()
+    # weighted k-means++ init
+    first = rng.choice(len(centers), p=w)
+    chosen = [first]
+    d2 = dist(centers, centers[[first]])[:, 0]
+    for _ in range(1, k):
+        probs = w * d2
+        total = probs.sum()
+        if total <= 0:
+            nxt = int(rng.choice(len(centers)))
+        else:
+            nxt = int(rng.choice(len(centers), p=probs / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, dist(centers, centers[[nxt]])[:, 0])
+    cur = centers[chosen].copy()
+    for _ in range(iterations):
+        assign = dist(centers, cur).argmin(axis=1)
+        new = cur.copy()
+        for j in range(k):
+            mask = assign == j
+            if w[mask].sum() > 0:
+                new[j] = np.average(centers[mask], axis=0, weights=w[mask])
+        if np.allclose(new, cur, atol=1e-12):
+            break
+        cur = new
+    return cur
+
+
 def compute_point_weights(drm_y: Drm, n_centers: int) -> np.ndarray:
     """C9 (``BahmaniSketch.scala:159-174``): normalized histogram of
     nearest-center assignments — relationally, groupBy(label).count()

@@ -149,6 +149,43 @@ def test_bahmani_sketch(cluster_fixture):
     y.unpersist()
 
 
+def test_bahmani_vs_mllib_kmeans_cost(spark, cluster_fixture):
+    """Quality gate vs the MLlib twin (SURVEY C8: KMeans initMode
+    'k-means||' implements the same Bahmani et al. paper): clustering
+    cost using our sketch's best-k centers is within 2× of a fully
+    trained MLlib k-means|| run."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.linalg import Vectors
+
+    from mahout_samsara_book_spark.kernels.incore import dist
+
+    from mahout_samsara_book_spark.algorithms.bahmani import reduce_sketch
+
+    true_centers, drm = cluster_fixture
+    pts = drm.collect()
+    centers, y = d_sample(drm, sketch_size=30, iterations=5, seed=12345)
+    y.unpersist()
+    # the k-means|| follow-on: weighted k-means on the sketch → k=4
+    w = compute_point_weights_from(pts, centers)
+    final4 = reduce_sketch(centers, w, k=4, seed=1)
+    our_cost = dist(pts, final4).min(axis=1).sum()
+
+    df = spark.createDataFrame(
+        [(Vectors.dense(p),) for p in pts], ["features"]
+    )
+    km = KMeans(k=4, initMode="k-means||", seed=1, maxIter=20).fit(df)
+    mllib_cost = km.summary.trainingCost
+    assert our_cost < 2.0 * mllib_cost
+
+
+def compute_point_weights_from(pts, centers):
+    from mahout_samsara_book_spark.kernels.incore import dist
+
+    assign = dist(pts, centers).argmin(axis=1)
+    w = np.bincount(assign, minlength=centers.shape[0]).astype(float)
+    return w / w.sum()
+
+
 def test_bahmani_deterministic(cluster_fixture):
     _, drm = cluster_fixture
     c1, y1 = d_sample(drm, sketch_size=20, iterations=3, seed=77)

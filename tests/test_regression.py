@@ -80,6 +80,30 @@ def test_beta_stats(spark):
     assert np.allclose(res["t"], beta_hat / se, atol=1e-8)
 
 
+def test_ols_matches_mllib_linear_regression(spark, fixture):
+    """Dual-implementation oracle (SURVEY C2): our normal-equation OLS vs
+    pyspark.ml LinearRegression(solver='normal', regParam=0) — identical
+    β and intercept within 1e-6."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    drm_x, x, y = fixture
+    import pandas as pd
+
+    pdf = pd.DataFrame({f"x{i}": x[:, i] for i in range(3)})
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+    assembled = VectorAssembler(
+        inputCols=["x0", "x1", "x2"], outputCol="features"
+    ).transform(df)
+    lr = LinearRegression(
+        solver="normal", regParam=0.0, fitIntercept=True
+    ).fit(assembled)
+    ours = dridge(drm_x, y, lam=0.0)
+    assert abs(lr.intercept - ours[0]) < 1e-6
+    assert np.allclose(np.array(lr.coefficients), ours[1:], atol=1e-6)
+
+
 def test_dridge_table_matches_drm_path(spark, fixture):
     drm_x, x, y = fixture
     import pandas as pd
