@@ -22,7 +22,8 @@ Layers (see SURVEY.md §7):
 """
 
 from mahout_samsara_book_spark.drm.drm import Drm
+from mahout_samsara_book_spark.engine import SamsaraContext
 from mahout_samsara_book_spark.session import get_spark
 
-__all__ = ["Drm", "get_spark"]
+__all__ = ["Drm", "SamsaraContext", "get_spark"]
 __version__ = "0.1.0"

@@ -177,7 +177,9 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: shingle → MinHash → LSH buckets →
     exact-Jaccard verify ≥ threshold. ``(doc_a, doc_b, jaccard)``."""
     rows = k // bands
-    sh = shingles(docs, n, id_col, text_col)
+    # the shingle set feeds BOTH the signature build and the exact-Jaccard
+    # verify — persist it once instead of re-tokenizing the corpus
+    sh = shingles(docs, n, id_col, text_col).persist()
     sig = minhash_signatures(sh, k, seed, id_col)
     cand = lsh_candidate_pairs(sig, bands, rows, id_col)
     return ngram_jaccard(sh, cand, id_col).filter(
