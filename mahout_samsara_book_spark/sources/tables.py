@@ -30,7 +30,18 @@ TABLES = (
 LINEITEM_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defend against a caller-provided SparkSession (the driver builds
+    its own): events.parquet carries TIMESTAMP(NANOS) which Spark rejects
+    without the legacy conf, and date-literal parsing must be UTC to
+    agree with the oracle's naive timestamps. Both are runtime-settable
+    SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
