@@ -9,7 +9,7 @@ events.ts arrives as int64 NANOSECONDS (see session.py's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NANOS_PER_SEC = 1_000_000_000
