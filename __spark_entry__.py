@@ -451,6 +451,52 @@ FROM lineitem GROUP BY 1
 """
 
 
+def _q_map_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 mapBlock: per-block numpy transform (row centering — subtract
+    each row's mean from every cell), exploded to scalars. The block fn is
+    arbitrary numpy; the oracle replays the per-row semantics in SQL."""
+    import numpy as np
+
+    d = lineitem_drm(spark, sf_dir)
+
+    def center_rows(keys, block):
+        return keys, block - block.mean(axis=1, keepdims=True)
+
+    out = d.map_block(center_rows)
+    return out.df.select(
+        "row_id", F.posexplode("features").alias("pos", "v")
+    ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
+
+
+def _oracle_map_block() -> str:
+    mean = "(" + " + ".join(LINEITEM_FEATURES) + ") / 4.0"
+    parts = [
+        f"SELECT {_LI_KEY_SQL} AS row_id, CAST({i} AS BIGINT) AS pos, "
+        f"{sci_sql(f'{c} - ({mean})')} AS v FROM lineitem"
+        for i, c in enumerate(LINEITEM_FEATURES)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_allreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 allreduceBlock: per-partition blockᵀ@1 partials (column sums)
+    reduced with matrix addition to ONE driver matrix — the
+    sum-shaped reduce (BahmaniSketch.scala:162-170 histogram shape)."""
+    import numpy as np
+
+    d = lineitem_drm(spark, sf_dir)
+    total = d.allreduce_block(
+        lambda keys, block: block.sum(axis=0)[None, :],
+        lambda a, b: a + b,
+    )
+    nudge = float(_NUDGE)
+    rows = [
+        (i, "%.7e" % (v * nudge) if v != 0 else "0")
+        for i, v in enumerate(total[0])
+    ]
+    return spark.createDataFrame(rows, "pos long, col_sum string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import entry_m5
     import entry_rel
@@ -486,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_rbind": _q_rbind,
         "drm_gram_wide": _q_gram_wide,
         "skew_salted_group_sum": _q_skew_salted,
+        "drm_map_block": _q_map_block,
+        "drm_allreduce": _q_allreduce,
     }
 
 
@@ -823,6 +871,8 @@ LIMIT 10
         "drm_rbind": _oracle_rbind(),
         "drm_gram_wide": _oracle_gram_wide(),
         "skew_salted_group_sum": _oracle_skew_salted(),
+        "drm_map_block": _oracle_map_block(),
+        "drm_allreduce": _oracle_colsums(),
         "drm_colsums": _oracle_colsums(),
         "drm_rowsums": _oracle_rowsums(),
         "drm_ax": _oracle_ax(),

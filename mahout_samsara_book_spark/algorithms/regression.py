@@ -81,6 +81,19 @@ def test_beta(
     return {"beta": beta, "se": se, "t": t, "p": p, "df": m - n, "sigma2": sigma2}
 
 
+def dump_coeff_csv(x: np.ndarray, y: np.ndarray, path: str) -> None:
+    """External-tool verification artifact (SURVEY §5: the reference dumps
+    ``ols-coeff-tests.csv`` 'for verification in R', MyAppSuite.scala:
+    46-70,111): header ``y,X0,X1,...`` then one row per observation."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64).ravel()
+    header = ",".join(["y"] + [f"X{i}" for i in range(x.shape[1])])
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for yi, row in zip(y, x):
+            f.write(",".join(repr(float(v)) for v in [yi, *row]) + "\n")
+
+
 def normal_equation_sums(
     df: DataFrame, feature_cols: list[str], y_col: str
 ) -> DataFrame:

@@ -80,6 +80,25 @@ def test_beta_stats(spark):
     assert np.allclose(res["t"], beta_hat / se, atol=1e-8)
 
 
+def test_coeff_csv_dump_external_verification(tmp_path, fixture):
+    """R-verification CSV parity (MyAppSuite.scala:46-70): the dumped file
+    round-trips through an external reader (DuckDB standing in for R) and
+    its closed-form OLS matches ours."""
+    import duckdb
+
+    drm_x, x, y = fixture
+    path = str(tmp_path / "ols-coeff-tests.csv")
+    reg.dump_coeff_csv(x, y, path)
+    con = duckdb.connect()
+    n, b1 = con.execute(
+        f"SELECT count(*), regr_slope(y, X0) FROM read_csv_auto('{path}')"
+    ).fetchone()
+    assert n == 250
+    # single-regressor slope from the external tool ≈ multivariate β1 since
+    # X columns are independent U[-1,1): loose sanity bound
+    assert abs(b1 - 25.0) < 1.0
+
+
 def test_ols_matches_mllib_linear_regression(spark, fixture):
     """Dual-implementation oracle (SURVEY C2): our normal-equation OLS vs
     pyspark.ml LinearRegression(solver='normal', regParam=0) — identical
