@@ -380,7 +380,10 @@ def _q_nb_predict_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    w = train_text_nb(docs, label_col="lang")
+    # Samsara-style checkpoint placement (SURVEY §4: Catalyst does not
+    # auto-cache shared subplans): the weights subtree is referenced
+    # several times by the scoring join — persist it once
+    w = train_text_nb(docs, label_col="lang").cache()
     return predict_text_nb(docs, w).select("doc_id", "label")
 
 

@@ -209,6 +209,44 @@ FROM tl WHERE event_type = 'purchase'
 """
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.revenue_pivot(spark, sf_dir)
+    return out.select(
+        "l_returnflag",
+        _sci(F.col("rev_open")).alias("rev_open"),
+        _sci(F.col("rev_filled")).alias("rev_filled"),
+    )
+
+
+def o_rel_pivot() -> str:
+    return f"""
+SELECT l_returnflag,
+       {_sci_sql("sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)")} AS rev_open,
+       {_sci_sql("sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)")} AS rev_filled
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.sales_cube(spark, sf_dir)
+    return out.select(
+        "returnflag",
+        "linestatus",
+        _sci(F.col("qty")).alias("qty"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def o_rel_cube() -> str:
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {_sci_sql('sum(l_quantity)')} AS qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.sources.tables import load_table
     from mahout_samsara_book_spark.streaming.events import windowed_counts
@@ -273,6 +311,8 @@ FROM s GROUP BY 1, 2
 
 
 QUERIES = {
+    "rel_pivot": q_rel_pivot,
+    "rel_cube": q_rel_cube,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_sessionize": q_ev_sessionize,
     "rel_pricing_summary": q_pricing_summary,
@@ -287,6 +327,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "rel_pivot": o_rel_pivot(),
+        "rel_cube": o_rel_cube(),
         "ev_windowed_counts": o_ev_windowed_counts(),
         "ev_sessionize": o_ev_sessionize(),
         "rel_pricing_summary": o_pricing_summary(),

@@ -53,8 +53,17 @@ def train_text_nb(
     comp(c,t) = Σ_t' n(t) − n(c,t) over the FULL label × vocab grid
     (absent terms contribute n(t)); θ = ln((comp+α)/(Σ_t comp + α·V));
     w = θ / Σ_t |θ| per class — TWCNB.scala:109-147 relationally.
+
+    The token-count relation feeds several actions (vocab count, TF-IDF,
+    per-class sums) — persisted once so the corpus is tokenized once,
+    not once per action (Samsara's checkpoint-placement rule, SURVEY §4).
     """
-    tf_idf = tfidf(docs, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    counts = term_counts(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tf_idf = tfidf(docs, id_col, text_col, counts=counts)
     labeled = tf_idf.join(
         docs.select(id_col, F.col(label_col).alias("label")), id_col
     )

@@ -147,6 +147,34 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue by returnflag with linestatus spread to columns —
+    Catalyst rewrites to conditional aggregation (one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_extendedprice"))
+        .withColumnRenamed("O", "rev_open")
+        .withColumnRenamed("F", "rev_filled")
+    )
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "qty",
+            "n",
+        )
+    )
+
+
 def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join pattern (Spark lacks a native one — SURVEY guide):
     for each user's 'purchase' event, the value of that user's most

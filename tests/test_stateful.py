@@ -1,0 +1,50 @@
+"""Stateful streaming: running totals must accumulate ACROSS micro-batches
+and converge to the batch aggregate."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.streaming.stateful import start_running_totals
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_running_totals_across_batches(spark, tmp_path_factory):
+    # stage events as TWO files → maxFilesPerTrigger=1 → two micro-batches
+    src = str(tmp_path_factory.mktemp("stateful_src"))
+    table = pq.read_table(f"{SF_DIR}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), f"{src}/part1.parquet")
+    pq.write_table(table.slice(half), f"{src}/part2.parquet")
+
+    docs = spark.read.parquet(src)
+    out = str(tmp_path_factory.mktemp("stateful_out"))
+    ckpt = str(tmp_path_factory.mktemp("stateful_ckpt"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_running_totals(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).toPandas()
+    assert got.epoch.nunique() >= 2  # state really crossed batches
+    latest = got.sort_values("epoch").groupby("event_type").last()
+
+    batch = (
+        docs.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    cmp = latest.join(batch, rsuffix="_b")
+    assert (cmp.n == cmp.n_b).all()
+    assert abs(cmp.total_value - cmp.total_value_b).max() < 1e-6
+
+    # first epoch must be a strict prefix (not the full totals) for at
+    # least one key — proves accumulation rather than per-batch recompute
+    first = got[got.epoch == got.epoch.min()].set_index("event_type")
+    joined = first.join(batch, rsuffix="_full")
+    assert (joined.n < joined.n_full).any()
