@@ -127,6 +127,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # plant 10 exact-duplicate vectors (mirrors _AUG_DOCS_SQL for documents)
+    # so the near-dup path provably fires on the synthetic corpus
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_dups(emb.unionByName(dups), threshold=0.9)
+    return out.select("vec_a", "vec_b", _sci(F.col("cosine")).alias("cosine"))
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import cosine_topk
 
@@ -406,6 +421,26 @@ n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b)
 """
 
 
+def o_dedup_embedding() -> str:
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+s AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM n l JOIN n r ON l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, {_sci_sql('cosine')} AS cosine
+FROM s WHERE cosine >= 0.9
+"""
+
+
 def o_sim_cosine_topk() -> str:
     return f"""
 WITH {_EMB_NORM_CTE},
@@ -584,6 +619,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -604,6 +640,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_sig": o_dedup_minhash_sig(),
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
         "dedup_simhash": o_dedup_simhash(),
+        "dedup_embedding": o_dedup_embedding(),
         "sim_cosine_topk": o_sim_cosine_topk(),
         "sim_lsh_buckets": o_sim_lsh_buckets(),
         "ivf_assign": o_ivf_assign(),
