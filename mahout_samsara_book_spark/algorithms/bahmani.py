@@ -55,10 +55,19 @@ def d_sample(
             [np.zeros((block.shape[0], 1)), d2[:, None], block]
         )
 
-    y = drm_a.map_block(init_y, ncol=n + 2).checkpoint()
+    # lazy checkpoint: the φ column-sum at the top of each round is a
+    # full pass anyway — let it materialize the cache (one scan/round
+    # instead of two)
+    y = drm_a.map_block(init_y, ncol=n + 2).checkpoint(eager=False)
 
+    prev = None  # predecessor cache, droppable once y materializes
     for it in range(1, iterations + 1):
         phi = float(y.slice_cols(1, 2).colsums()[0])
+        # the φ pass has now materialized y's cache — its parent's cache
+        # is no longer reachable from any future job
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if phi <= 0:
             break
 
@@ -89,9 +98,10 @@ def d_sample(
             block[better, 1] = m[better]
             return keys, block
 
-        y_next = y.map_block(update_y, ncol=n + 2).checkpoint()
-        y.unpersist()
-        y = y_next
+        # lazy: y_next materializes at next round's φ pass; keep y's
+        # cache alive until then (unpersisting now would force a full
+        # lineage recompute)
+        prev, y = y, y.map_block(update_y, ncol=n + 2).checkpoint(eager=False)
 
     return centers, y
 

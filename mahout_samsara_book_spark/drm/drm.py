@@ -144,16 +144,22 @@ class Drm:
         )
         return pdf["v"].to_numpy(dtype=np.float64)
 
-    def checkpoint(self) -> Drm:
+    def checkpoint(self, eager: bool = True) -> Drm:
         """``drm.checkpoint()`` (A4 — TWCNB.scala:50,104; LinearRegression
         .scala:23,71): optimizer barrier + cache. Catalyst does not
         auto-cache shared subplans (SURVEY §4), so reused subexpressions
         persist here; the count() forces materialization like Samsara's
-        checkpoint action."""
+        checkpoint action.
+
+        ``eager=False`` registers the cache but lets the NEXT action
+        materialize it — iterative loops whose first per-round action is
+        itself a full pass (Bahmani's φ column-sum) save one complete
+        scan per round by folding materialization into that action."""
         if not self._persisted:
             self.df = self.df.persist(StorageLevel.MEMORY_AND_DISK)
             self._persisted = True
-        self._nrow = self.df.count()
+        if eager:
+            self._nrow = self.df.count()
         return self
 
     def unpersist(self) -> Drm:
