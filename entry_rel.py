@@ -310,8 +310,37 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.range_join_clicks_before_errors(spark, sf_dir)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        _sci(F.col("click_value_sum")).alias("click_value_sum"),
+    )
+
+
+def o_range_join() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS e_ns
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, epoch_ns(ts) AS c_ns, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       count(*) AS n_clicks,
+       {_sci_sql('sum(c.value)')} AS click_value_sum
+FROM e JOIN c ON e.user_id = c.user_id
+ AND c.c_ns > e.e_ns - 600000000000 AND c.c_ns < e.e_ns
+GROUP BY e.event_id
+"""
+
+
 QUERIES = {
     "rel_pivot": q_rel_pivot,
+    "rel_range_join": q_range_join,
     "rel_cube": q_rel_cube,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_sessionize": q_ev_sessionize,
@@ -328,6 +357,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "rel_pivot": o_rel_pivot(),
+        "rel_range_join": o_range_join(),
         "rel_cube": o_rel_cube(),
         "ev_windowed_counts": o_ev_windowed_counts(),
         "ev_sessionize": o_ev_sessionize(),

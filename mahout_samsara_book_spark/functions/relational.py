@@ -199,3 +199,46 @@ def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "event_id", "value", "prior_other_value")
     )
+
+
+def range_join_clicks_before_errors(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """Time-range join (Spark lacks a native one): for each 'error'
+    event, the count and value-sum of the same user's 'click' events in
+    the open interval (error.ts − W, error.ts).
+
+    Scale path: NOT an inequality join (which degrades to nested-loop /
+    full sort-merge at 100 TB). Timestamps are bucketized into W-wide
+    integer bins; a click inside the window can only live in the
+    error's bin or the one before, so the error side is exploded into
+    those two bin keys and the join is a plain equi-join on
+    (user_id, bin) — one hash shuffle, linear in input — with the exact
+    interval predicate applied as a residual filter. Integer-nanosecond
+    arithmetic (ts arrives as int64 nanos under the nanosAsLong conf;
+    the DuckDB oracle uses epoch_ns) keeps both engines bit-identical."""
+    w_ns = window_minutes * 60 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("e_ns")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("long").alias("c_ns"), "value"
+    )
+    e_bin = F.floor(F.col("e_ns") / w_ns)
+    errors_b = errors.withColumn(
+        "bin", F.explode(F.array(e_bin, e_bin - 1))
+    )
+    clicks_b = clicks.withColumn("bin", F.floor(F.col("c_ns") / w_ns))
+    return (
+        errors_b.join(clicks_b, ["user_id", "bin"])
+        .filter(
+            (F.col("c_ns") > F.col("e_ns") - w_ns)
+            & (F.col("c_ns") < F.col("e_ns"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum("value").alias("click_value_sum"),
+        )
+    )

@@ -18,7 +18,10 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mahout_samsara_book_spark.operators.dedup import _dot
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
 
 
 def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
