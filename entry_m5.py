@@ -61,7 +61,7 @@ sh AS (
     FROM tk
   )
 ),
-shh AS (SELECT doc_id, ({h60_sql('sh')} % {P31}) AS h FROM sh)
+shh AS (SELECT DISTINCT doc_id, ({h60_sql('sh')} % {P31}) AS h FROM sh)
 """
 )
 
@@ -94,10 +94,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import (
         minhash_signatures,
-        shingles,
+        shingle_hashes,
     )
 
-    sh = shingles(_augmented_docs(spark, sf_dir), n=3)
+    # distinct=False: the min-aggregate absorbs duplicate shingles, so
+    # the only shuffle is the k-min groupBy itself (map-side combined)
+    sh = shingle_hashes(_augmented_docs(spark, sf_dir), n=3, distinct=False)
     sig = minhash_signatures(sh, k=MINHASH_K, seed=MINHASH_SEED)
     cols = F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)])
     return sig.select("doc_id", F.posexplode(cols).alias("i", "mh")).select(
@@ -379,12 +381,12 @@ cand AS (
   FROM buckets l JOIN buckets r
     ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS inter
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,

@@ -37,10 +37,10 @@ def term_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_frequencies(counts: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """``(term, df)`` — number of docs containing each term."""
-    return counts.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    """``(term, df)`` — number of docs containing each term. ``counts``
+    is unique per (doc, term) by construction, so a plain count suffices
+    (a countDistinct would add a needless distinct-aggregate phase)."""
+    return counts.groupBy("term").agg(F.count("*").alias("df"))
 
 
 def build_dictionary(counts: DataFrame) -> DataFrame:

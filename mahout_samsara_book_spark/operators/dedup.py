@@ -79,13 +79,51 @@ def shingles(
     )
 
 
+def shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Hashed n-gram shingles ``(doc_id, h)`` with h = h31(shingle).
+
+    The scale-path form of :func:`shingles`: hashing happens in the same
+    pipelined stage as the explode, so any shuffle that follows (the
+    distinct here, the signature/Jaccard aggregations downstream) moves
+    8-byte longs instead of ~50-byte gram strings. ``distinct=False``
+    skips the dedup shuffle entirely — min-aggregation (MinHash) absorbs
+    duplicate shingles, so the signature path needs no distinct at all."""
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select(
+        F.col(id_col), F.explode(grams).alias("shingle")
+    ).select(F.col(id_col), h31(F.col("shingle")).alias("h"))
+    return out.distinct() if distinct else out
+
+
+def _hashed_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
+    """Accept either ``(id, shingle)`` (hash on the fly) or ``(id, h)``."""
+    if "h" in shingle_df.columns:
+        return shingle_df
+    return shingle_df.select(
+        F.col(id_col), h31(F.col("shingle")).alias("h")
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, k: int = 16, seed: int = 7, id_col: str = "doc_id"
 ) -> DataFrame:
     """k-permutation MinHash over the universal family
     h_i(x) = (a_i·x + b_i) mod P31: ONE groupBy with k min-aggregates
     (all map-side combinable)."""
-    base = shingle_df.withColumn("h", h31(F.col("shingle")))
+    base = _hashed_shingles(shingle_df, id_col)
     aggs = [
         F.min(affine(F.col("h"), a, b)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(hash_family(k, seed))
@@ -132,19 +170,20 @@ def lsh_candidate_pairs(
 def ngram_jaccard(
     shingle_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs:
-    |A∩B| via a shingle equi-join restricted to the pairs, sizes via a
-    broadcast-joined per-doc count. ``(doc_a, doc_b, jaccard)``."""
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = shingle_df.select(
-        F.col(id_col).alias("doc_a"), F.col("shingle")
-    )
-    sb = shingle_df.select(
-        F.col(id_col).alias("doc_b"), F.col("shingle")
-    )
+    """Exact n-gram Jaccard for given (doc_a, doc_b) pairs over HASHED
+    shingle sets: |A∩B| via an equi-join on the 8-byte hash restricted
+    to the pairs, sizes via a broadcast-joined per-doc count.
+    ``(doc_a, doc_b, jaccard)``. Accepts string shingles too (hashed on
+    the fly); the oracle replays the identical hashed-set semantics, so
+    a (vanishingly rare) within-doc hash collision cannot desync the
+    two engines."""
+    hs = _hashed_shingles(shingle_df, id_col)
+    sizes = hs.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = hs.select(F.col(id_col).alias("doc_a"), F.col("h"))
+    sb = hs.select(F.col(id_col).alias("doc_b"), F.col("h"))
     inter = (
         pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -177,9 +216,10 @@ def minhash_lsh_dedup(
     """Full near-dup pipeline: shingle → MinHash → LSH buckets →
     exact-Jaccard verify ≥ threshold. ``(doc_a, doc_b, jaccard)``."""
     rows = k // bands
-    # the shingle set feeds BOTH the signature build and the exact-Jaccard
-    # verify — persist it once instead of re-tokenizing the corpus
-    sh = shingles(docs, n, id_col, text_col).persist()
+    # the hashed shingle set feeds BOTH the signature build and the
+    # exact-Jaccard verify — persist it once (longs, not gram strings)
+    # instead of re-tokenizing the corpus
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
     sig = minhash_signatures(sh, k, seed, id_col)
     cand = lsh_candidate_pairs(sig, bands, rows, id_col)
     return ngram_jaccard(sh, cand, id_col).filter(
