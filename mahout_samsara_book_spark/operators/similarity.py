@@ -257,6 +257,29 @@ def plane_sign(seed: int, j: int, d: int) -> int:
     return 1 if h % 2 == 1 else -1
 
 
+def _proj_sql(seed: int, j: int, dim: int) -> str:
+    """±1-projection of column ``v`` onto plane (seed, j) as a SQL
+    string — sequential left-to-right fold, identical evaluation order
+    to the DuckDB oracle's list_dot_product."""
+    signs = ", ".join(
+        f"{float(plane_sign(seed, j, d))!r}D" for d in range(dim)
+    )
+    return (
+        f"aggregate(zip_with(v, array({signs}), (x, s) -> x * s), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(seed: int, n_planes: int, dim: int) -> str:
+    """Packed sign-bit bucket of ``v`` as one SQL string."""
+    bits = " + ".join(
+        f"(CASE WHEN ({_proj_sql(seed, j, dim)}) > 0 "
+        f"THEN {2 ** j}L ELSE 0L END)"
+        for j in range(n_planes)
+    )
+    return f"({bits})"
+
+
 def lsh_sign_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -271,20 +294,9 @@ def lsh_sign_buckets(
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    bucket: Column | None = None
-    for j in range(n_planes):
-        signs = F.array(
-            *[F.lit(float(plane_sign(seed, j, d))) for d in range(dim)]
-        )
-        proj = F.aggregate(
-            F.zip_with(F.col("v"), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bit if bucket is None else bucket + bit
+    # ONE parsed SQL string instead of n_planes×dim py4j-built literal
+    # Columns — expression construction was the dominant cost at low SF
+    bucket = F.expr(_bucket_sql(seed, n_planes, dim))
     return base.select(F.col(id_col), bucket.alias("bucket"))
 
 
@@ -312,28 +324,15 @@ def lsh_topk(
     raw = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    tb = []
-    for t in range(n_tables):
-        bucket: Column | None = None
-        for j in range(n_planes):
-            signs = F.array(
-                *[
-                    F.lit(float(plane_sign(seed * 1000 + t, j, d)))
-                    for d in range(dim)
-                ]
-            )
-            proj = F.aggregate(
-                F.zip_with(F.col("v"), signs, lambda x, s: x * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bit if bucket is None else bucket + bit
-        tb.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    # all tables' buckets as ONE parsed SQL string (see _bucket_sql:
+    # py4j-built literal Columns dominated construction time)
+    tb_sql = ", ".join(
+        f"named_struct('t', {t}L, 'b', "
+        f"{_bucket_sql(seed * 1000 + t, n_planes, dim)})"
+        for t in range(n_tables)
+    )
     buckets = raw.select(
-        F.col(id_col), F.explode(F.array(*tb)).alias("tb")
+        F.col(id_col), F.explode(F.expr(f"array({tb_sql})")).alias("tb")
     ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
