@@ -222,6 +222,9 @@ def _q_rbind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 rbind: vertical stack of two column-slices; positional re-key
     of the second block by nrow offset (reference's Int-key contract,
     restored via reindex)."""
+    # NB: the synthetic lineitem has duplicate (orderkey, linenumber)
+    # pairs, so the packed key is NOT unique here — the feature
+    # tiebreak in the default reindex() is load-bearing
     d = lineitem_drm(spark, sf_dir).reindex()
     a, b = d.slice_cols(0, 2), d.slice_cols(2, 4)
     stacked = a.rbind(b)

@@ -226,12 +226,16 @@ class Drm:
             None if other._nrow is None else offset + other._nrow,
         )
 
-    def reindex(self) -> Drm:
+    def reindex(self, unique_keys: bool = False) -> Drm:
         """Re-key rows to positional ids 0..nrow-1, ordered by the current
         key (deterministic). Restores the positional-Int-key contract the
         reference's DRMs carry (``DrmLike[Int]``) after keys became sparse
         or non-positional. Costs a global ordering — a fixture-alignment
-        tool, not a hot-path operator."""
+        tool, not a hot-path operator.
+
+        ``unique_keys=True`` declares the key column a total order by
+        itself, so the range-sort skips the (expensive) array-column
+        tiebreak — same result whenever the declaration holds."""
         from pyspark.sql import Window
 
         # Distributed global rank: range-sort on the total order (key,
@@ -240,9 +244,10 @@ class Drm:
         # partition. Output ids are the global rank in the total order,
         # deterministic regardless of where the sampled range boundaries
         # land (ties are full-duplicate rows, hence interchangeable).
+        order = [KEY] if unique_keys else [KEY, FEAT]
         sorted_df = (
-            self.df.repartitionByRange(F.col(KEY), F.col(FEAT))
-            .sortWithinPartitions(KEY, FEAT)
+            self.df.repartitionByRange(*[F.col(c) for c in order])
+            .sortWithinPartitions(*order)
             .withColumn("_pid", F.spark_partition_id())
         )
         sorted_df = sorted_df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -257,7 +262,7 @@ class Drm:
         off_map = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
         )
-        w = Window.partitionBy("_pid").orderBy(KEY, FEAT)
+        w = Window.partitionBy("_pid").orderBy(*order)
         out = sorted_df.select(
             (
                 F.row_number().over(w) - 1 + off_map[F.col("_pid")]
