@@ -72,7 +72,10 @@ def train_text_nb(
     )
     term_tot = class_term.groupBy("term").agg(F.sum("n_ct").alias("n_t"))
     labels = class_term.select("label").distinct()
-    vocab_size = term_tot.count()
+    # vocabulary size as a broadcast scalar subquery, NOT an eager
+    # count(): keeps train a single job instead of a count-then-build
+    # driver round-trip (at scale, one fewer full pass over the corpus)
+    vocab = term_tot.agg(F.count("*").alias("_v"))
     # full grid: labels × vocab (labels are few — broadcast)
     grid = term_tot.crossJoin(F.broadcast(labels))
     comp = (
@@ -83,8 +86,14 @@ def train_text_nb(
             (F.col("n_t") - F.coalesce(F.col("n_ct"), F.lit(0.0))).alias("comp"),
         )
     )
-    denom = comp.groupBy("label").agg(
-        (F.sum("comp") + F.lit(alpha * vocab_size)).alias("denom")
+    denom = (
+        comp.groupBy("label")
+        .agg(F.sum("comp").alias("_s"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            (F.col("_s") + F.lit(alpha) * F.col("_v")).alias("denom"),
+        )
     )
     theta = comp.join(F.broadcast(denom), "label").select(
         "label",
@@ -121,16 +130,28 @@ def score_text_nb(
         from mahout_samsara_book_spark.functions.text import doc_frequencies
 
         df_terms = doc_frequencies(counts, id_col)
-        n_docs = docs.select(id_col).distinct().count()
-    if n_docs is None:
+        # broadcast scalar subquery — keeps scoring a single job (no
+        # eager count round-trip); see tfidf()
+        n_df = docs.select(id_col).distinct().agg(
+            F.count("*").cast("double").alias("_n")
+        )
+    elif n_docs is None:
         raise ValueError("n_docs required when df_terms is supplied")
-    tf_idf = counts.join(F.broadcast(df_terms), "term").select(
-        id_col,
-        "term",
-        (
-            F.sqrt(F.col("tf"))
-            * (F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("tfidf"),
+    else:
+        n_df = docs.sparkSession.range(1).select(
+            F.lit(float(n_docs)).alias("_n")
+        )
+    tf_idf = (
+        counts.join(F.broadcast(df_terms), "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            id_col,
+            "term",
+            (
+                F.sqrt(F.col("tf"))
+                * (F.log(F.col("_n") / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
     )
     return (
         tf_idf.join(F.broadcast(weights.select("label", "term", "w")), "term")

@@ -65,17 +65,24 @@ def tfidf(
 ) -> DataFrame:
     """``(doc_id, term, tfidf)`` with the Lucene/Mahout weight.
 
-    N (corpus size) is computed once on the driver; df comes from a
-    broadcast-joined term table (vocabulary ≪ corpus at scale).
+    N (corpus size) rides along as a broadcast scalar subquery — no
+    eager driver-side count, so callers stay single-job; df comes from
+    a broadcast-joined term table (vocabulary ≪ corpus at scale).
     """
     counts = counts if counts is not None else term_counts(docs, id_col, text_col)
-    n_docs = docs.select(id_col).distinct().count()
+    n_df = docs.select(id_col).distinct().agg(
+        F.count("*").cast("double").alias("_n")
+    )
     dfs = doc_frequencies(counts, id_col)
-    return counts.join(F.broadcast(dfs), "term").select(
-        id_col,
-        "term",
-        (
-            F.sqrt(F.col("tf"))
-            * (F.log(F.lit(float(n_docs)) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("tfidf"),
+    return (
+        counts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            id_col,
+            "term",
+            (
+                F.sqrt(F.col("tf"))
+                * (F.log(F.col("_n") / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
     )
