@@ -223,24 +223,7 @@ def ivf_topk(
         .distinct()
     )
     base = _normed(emb, id_col, vec_col)
-    lv = base.select(
-        F.col(id_col).alias("vec_id"), F.col("v").alias("v_l"), F.col("nrm").alias("nrm_l")
-    )
-    rv = base.select(
-        F.col(id_col).alias("neighbor"), F.col("v").alias("v_r"), F.col("nrm").alias("nrm_r")
-    )
-    sims = (
-        cand.join(lv, "vec_id")
-        .join(rv, "neighbor")
-        .select(
-            "vec_id",
-            "neighbor",
-            (
-                _dot(F.col("v_l"), F.col("v_r"))
-                / (F.col("nrm_l") * F.col("nrm_r"))
-            ).alias("cosine"),
-        )
-    )
+    sims = _score_pairs_broadcast(base, cand, id_col)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor").asc()
     )
@@ -348,9 +331,24 @@ def lsh_topk(
         )
         .distinct()
     )
-    # Verify stage: candidates stay distributed; the normalized corpus is
-    # broadcast and each Arrow batch scores its pairs with one vectorized
-    # gather+einsum instead of per-pair SQL folds.
+    sims = _score_pairs_broadcast(base, cand, id_col)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _score_pairs_broadcast(
+    base: DataFrame, cand: DataFrame, id_col: str
+) -> DataFrame:
+    """Verify stage shared by the ANN paths: candidate pairs stay
+    distributed; the normalized corpus is broadcast and each Arrow batch
+    scores its pairs with one vectorized gather+einsum instead of
+    per-pair SQL folds. ``base`` must be the :func:`_normed` relation;
+    ``cand`` has columns (vec_id, neighbor)."""
     import numpy as np
     import pandas as pd
 
@@ -358,7 +356,7 @@ def lsh_topk(
     ids_sorted = pdf_all[id_col].to_numpy()
     mat = np.array(pdf_all["v"].tolist(), dtype=np.float64)
     mat = mat / pdf_all["nrm"].to_numpy()[:, None]
-    bc = emb.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+    bc = base.sparkSession.sparkContext.broadcast((ids_sorted, mat))
 
     def score(batches):
         all_ids, m = bc.value
@@ -376,13 +374,6 @@ def lsh_topk(
                 }
             )
 
-    sims = cand.mapInPandas(
+    return cand.mapInPandas(
         score, schema="vec_id long, neighbor long, cosine double"
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
