@@ -67,8 +67,16 @@ def train_text_nb(
     labeled = tf_idf.join(
         docs.select(id_col, F.col(label_col).alias("label")), id_col
     )
-    class_term = labeled.groupBy("label", "term").agg(
-        F.sum("tfidf").alias("n_ct")
+    # class_term is the LAST corpus-sized computation; everything below
+    # is label×vocab-sized. Five downstream broadcast subtrees (labels,
+    # vocab, denom, z, and the final join input) would each re-run the
+    # corpus scan without this checkpoint — persisting here is the
+    # Samsara cache-placement rule (SURVEY §4) applied at the
+    # corpus/model boundary.
+    class_term = (
+        labeled.groupBy("label", "term")
+        .agg(F.sum("tfidf").alias("n_ct"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     term_tot = class_term.groupBy("term").agg(F.sum("n_ct").alias("n_t"))
     labels = class_term.select("label").distinct()
