@@ -23,9 +23,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
-    # warm the JVM + Arrow path once so per-query numbers measure the
-    # queries, not session bring-up
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM once so per-query numbers measure the queries, not
+    # session bring-up: parquet scan, a shuffle (codegen'd aggregate),
+    # and the Arrow/pandas-UDF bridge — otherwise whichever query runs
+    # first absorbs JIT + Arrow initialization
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().count()
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    li.limit(1000).select("l_orderkey").mapInPandas(
+        _ident, schema="l_orderkey long"
+    ).count()
 
     times: dict[str, float] = {}
     for name, fn in entry.queries().items():
