@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from mahout_samsara_book_spark.operators.hashing import (
     P31,
     affine_sql,
+    h31_sql,
     h60_sql,
     hash_family,
 )
@@ -47,21 +48,26 @@ aug AS (
 )
 """
 
+# gram hash = per-token h31 mixed arithmetically (fold (acc*31 + h) mod
+# P31) — replays operators/dedup.shingle_hashes exactly: one md5 per
+# token, integer math for the gram identity
 _SHINGLE_CTES = (
     _AUG_DOCS_SQL
     + f""",
 tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM aug),
-sh AS (
-  SELECT DISTINCT doc_id, sh FROM (
+tkh AS (SELECT doc_id, list_transform(toks, t -> {h31_sql('t')}) AS th
+        FROM tk),
+shh AS (
+  SELECT DISTINCT doc_id, h FROM (
     SELECT doc_id,
-           unnest(CASE WHEN len(toks) >= 3
-                  THEN list_transform(range(1, len(toks) - 1),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-                  ELSE []::VARCHAR[] END) AS sh
-    FROM tk
+           unnest(CASE WHEN len(th) >= 3
+                  THEN list_transform(range(1, len(th) - 1),
+                       i -> ((((th[i] * 31 + th[i + 1]) % {P31}) * 31
+                             + th[i + 2]) % {P31}))
+                  ELSE []::BIGINT[] END) AS h
+    FROM tkh
   )
-),
-shh AS (SELECT DISTINCT doc_id, ({h60_sql('sh')} % {P31}) AS h FROM sh)
+)
 """
 )
 

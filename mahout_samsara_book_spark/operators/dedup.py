@@ -93,18 +93,33 @@ def shingle_hashes(
     distinct here, the signature/Jaccard aggregations downstream) moves
     8-byte longs instead of ~50-byte gram strings. ``distinct=False``
     skips the dedup shuffle entirely — min-aggregation (MinHash) absorbs
-    duplicate shingles, so the signature path needs no distinct at all."""
+    duplicate shingles, so the signature path needs no distinct at all.
+
+    Gram hashes are built from PER-TOKEN hashes mixed arithmetically
+    (h_gram = fold of (acc·31 + h_tok) mod P31) instead of md5-ing every
+    gram string: one md5 per token rather than per n-gram, and no gram
+    string allocations at all. The DuckDB oracle replays the identical
+    integer math."""
     toks = tokenize(F.col(text_col))
+    th = F.transform(toks, lambda t: h31(t))
+
+    def gram_hash(i):
+        acc = F.element_at(F.col("th"), i)
+        for j in range(1, n):
+            acc = (acc * F.lit(31) + F.element_at(F.col("th"), i + j)) % F.lit(
+                P31
+            )
+        return acc
+
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(F.col("th")) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(1), F.size(F.col("th")) - (n - 1)), gram_hash
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = docs.select(
-        F.col(id_col), F.explode(grams).alias("shingle")
-    ).select(F.col(id_col), h31(F.col("shingle")).alias("h"))
+    ).otherwise(F.array().cast("array<long>"))
+    out = docs.select(F.col(id_col), th.alias("th")).select(
+        F.col(id_col), F.explode(grams).alias("h")
+    )
     return out.distinct() if distinct else out
 
 
