@@ -636,22 +636,23 @@ class Drm:
         if strategy == "broadcast":
             return self.mmul(other.collect())
         # COO path. A unique per-row tag keeps duplicate row keys as
-        # separate output rows. The tag MUST be materialized before the
-        # plan forks (geometry-restore join below): recomputing
-        # monotonically_increasing_id in two branches can assign
-        # different ids when the optimizer plans the branches differently.
-        tagged = self.df.withColumn(
-            "_rtag", F.monotonically_increasing_id()
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        tagged.count()
+        # separate output rows. The zero-pruning filters keep ONE
+        # sentinel entry per A-row (k == 0) and per B-row (j == 0): an
+        # all-zero row/column then still reaches the join, so geometry
+        # survives the INNER join with no persist/count barrier and no
+        # geometry-restore join afterwards — the plan stays a single
+        # linear pipeline, which also makes the unmaterialized
+        # monotonically_increasing_id tag safe (no plan fork to
+        # recompute it differently).
+        tagged = self.df.withColumn("_rtag", F.monotonically_increasing_id())
         a_coo = tagged.select(
             "_rtag",
             F.col(KEY).alias("i"),
             F.posexplode(F.col(FEAT)).alias("k", "va"),
-        ).filter(F.col("va") != 0.0)
+        ).filter((F.col("va") != 0.0) | (F.col("k") == 0))
         b_coo = other.df.select(
             F.col(KEY).alias("k2"), F.posexplode(F.col(FEAT)).alias("j", "vb")
-        ).filter(F.col("vb") != 0.0)
+        ).filter((F.col("vb") != 0.0) | (F.col("j") == 0))
         # ONE shuffle: group all of a row's products at once, then sum
         # per output column inside the row with higher-order functions
         # (arr is ~nnz(a_row)·nnz(b_col) entries — in-row work, no second
@@ -670,8 +671,7 @@ class Drm:
                 ).alias("arr"),
             )
             .select(
-                "_rtag",
-                F.col("i").cast("long").alias("_i"),
+                F.col("i").cast("long").alias(KEY),
                 F.transform(
                     F.sequence(
                         F.lit(0).cast("long"), F.lit(n_out - 1).cast("long")
@@ -681,22 +681,10 @@ class Drm:
                         F.lit(0.0),
                         lambda acc, e: acc + e["p"],
                     ),
-                ).alias("_feat"),
-            )
-        )
-        # geometry restore: rows with no nonzero product (all-zero rows)
-        # must survive as zero rows
-        out = (
-            tagged.select("_rtag", KEY)
-            .join(assembled, "_rtag", "left")
-            .select(
-                F.col(KEY),
-                F.coalesce(
-                    F.col("_feat"), F.array_repeat(F.lit(0.0), n_out)
                 ).alias(FEAT),
             )
         )
-        return Drm(out, other.ncol, self._nrow)
+        return Drm(assembled, other.ncol, self._nrow)
 
     # ------------------------------------------------------------------ #
     # MLlib distributed-matrix bridge (C11 — BlockMatrix.scala:8-16)
