@@ -140,6 +140,27 @@ def main() -> int:
         )
     )
 
+    p7 = plan_of(R.range_join_clicks_before_errors(spark, sf_dir))
+    checks.append(
+        (
+            "time-range join (clicks before errors)",
+            p7,
+            [
+                (
+                    "bucketized equi-join, NOT a nested-loop/cartesian "
+                    "inequality join",
+                    "BroadcastNestedLoopJoin" not in p7
+                    and "CartesianProduct" not in p7,
+                ),
+                (
+                    "event_type filters pushed to the parquet scan",
+                    "PushedFilters: [IsNotNull(event_type), EqualTo(event_type"
+                    in p7,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
