@@ -147,6 +147,60 @@ def _q_dridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fmt(v: float) -> str:
+    """Driver-side scalar: same %.7e + nudge convention as `sci`."""
+    return "%.7e" % (v * float(_NUDGE)) if v != 0 else "0"
+
+
+# fixed beta for the SSR query (C3): bias + 2 features, deliberately not the
+# fitted beta so the statistic is a pure function of the data
+_SSR_BETA = [100.0, 250.0, -3.0]
+
+# C5 fixture: discount rescaled ×100 keeps κ(XᵀX) ~1e3 so the engine's LAPACK
+# inverse and the oracle's cofactor inverse agree inside %.7e granularity
+_CT_Y = _RIDGE_Y
+
+
+def _ct_feature_cols() -> list:
+    return [F.col("l_quantity"), (F.col("l_discount") * 100.0)]
+
+
+def _q_drm_ssr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 ssr: ‖Xᵦβ − y‖² distributed (LinearRegression.scala:37-47) —
+    residual block map (A12) over a DRM carrying y in-row, broadcast β
+    (A18), column-sum reduce (A14)."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.regression import ssr_xy
+    from mahout_samsara_book_spark.sources.tables import lineitem_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        lineitem_key().alias("k"),
+        *[F.col(c).cast("double").alias(c) for c in _RIDGE_FEATS],
+        F.col(_RIDGE_Y).cast("double").alias("y"),
+    )
+    d = Drm.from_columns(src, F.col("k"), [*_RIDGE_FEATS, "y"])
+    val = ssr_xy(d, np.array(_SSR_BETA))
+    return spark.createDataFrame([("ssr", _fmt(val))], "stat string, v string")
+
+
+def _q_coeff_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 testBeta (LinearRegression.scala:59-97): per-coefficient β, SE,
+    t from one normal-equation pass. The p-value column is NOT emitted
+    here — DuckDB has no Student-t CDF — it is oracle-checked against
+    scipy in tests/test_regression.py instead."""
+    from mahout_samsara_book_spark.algorithms.regression import test_beta_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    st = test_beta_table(li, _ct_feature_cols(), _CT_Y)
+    rows = [
+        (i, _fmt(float(st["beta"][i])), _fmt(float(st["se"][i])), _fmt(float(st["t"][i])))
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, "pos long, beta string, se string, t_stat string")
+
+
 def _q_abs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 column slice + B8 scalar op + A19 dabs, exploded to scalars."""
     d = lineitem_drm(spark, sf_dir).slice_cols(1, 4).scalar_op("-", 1.0).abs()
@@ -530,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_gram": _q_gram,
         "drm_normal_eq": _q_normal_eq,
         "dridge": _q_dridge,
+        "drm_ssr": _q_drm_ssr,
+        "reg_coeff_tests": _q_coeff_tests,
         "drm_abs_slice": _q_abs_slice,
         "drm_group_sum": _q_group_sum,
         "drm_transpose": _q_transpose,
@@ -643,6 +699,81 @@ UNION ALL
 SELECT CAST(1 AS BIGINT) AS pos, {sci_sql(f'({det1}) / ({det})')} AS beta FROM s
 UNION ALL
 SELECT CAST(2 AS BIGINT) AS pos, {sci_sql(f'({det2}) / ({det})')} AS beta FROM s
+"""
+
+
+def _oracle_drm_ssr() -> str:
+    b0, b1, b2 = _SSR_BETA
+    resid = (
+        f"{b0!r} + {b1!r} * {_RIDGE_FEATS[0]} + {b2!r} * {_RIDGE_FEATS[1]}"
+        f" - {_RIDGE_Y}"
+    )
+    return (
+        f"SELECT 'ssr' AS stat, {sci_sql(f'sum(pow({resid}, 2))')} AS v "
+        f"FROM lineitem"
+    )
+
+
+def _oracle_coeff_tests() -> str:
+    """Cofactor-inverse 3×3 normal-equation solve + algebraic SSR
+    (yᵀy − 2βᵀXᵀy + βᵀXᵀXβ), entirely in SQL — the same formula
+    test_beta_table evaluates, so agreement is limited only by summation
+    order (~1e-14 rel), far inside %.7e granularity."""
+    x1, x2 = "l_quantity", "(l_discount * 100.0)"
+    sums = f"""
+  SELECT
+    sum(1.0)             AS a00,
+    sum({x1})            AS a01,
+    sum({x2})            AS a02,
+    sum({x1} * {x1})     AS a11,
+    sum({x1} * {x2})     AS a12,
+    sum({x2} * {x2})     AS a22,
+    sum({_CT_Y})             AS b0,
+    sum({x1} * {_CT_Y})      AS b1,
+    sum({x2} * {_CT_Y})      AS b2,
+    sum({_CT_Y} * {_CT_Y})   AS syy
+  FROM lineitem"""
+    rows = []
+    for i in range(3):
+        rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS pos, {sci_sql(f'be{i}')} AS beta, "
+            f"{sci_sql(f'sqrt(sigma2 * c{i}{i})')} AS se, "
+            f"{sci_sql(f'be{i} / sqrt(sigma2 * c{i}{i})')} AS t_stat FROM st"
+        )
+    return f"""
+WITH s AS ({sums}),
+inv AS (
+  SELECT s.*,
+    a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+      + a02*(a01*a12 - a11*a02) AS det
+  FROM s
+),
+c AS (
+  SELECT inv.*,
+    (a11*a22 - a12*a12) / det AS c00,
+    (a02*a12 - a01*a22) / det AS c01,
+    (a01*a12 - a02*a11) / det AS c02,
+    (a00*a22 - a02*a02) / det AS c11,
+    (a01*a02 - a00*a12) / det AS c12,
+    (a00*a11 - a01*a01) / det AS c22
+  FROM inv
+),
+be AS (
+  SELECT c.*,
+    c00*b0 + c01*b1 + c02*b2 AS be0,
+    c01*b0 + c11*b1 + c12*b2 AS be1,
+    c02*b0 + c12*b1 + c22*b2 AS be2
+  FROM c
+),
+st AS (
+  SELECT be.*,
+    (syy - 2*(be0*b0 + be1*b1 + be2*b2)
+         + (be0*be0*a00 + be1*be1*a11 + be2*be2*a22
+            + 2*(be0*be1*a01 + be0*be2*a02 + be1*be2*a12)))
+    / (a00 - 3) AS sigma2
+  FROM be
+)
+{' UNION ALL '.join(rows)}
 """
 
 
@@ -885,6 +1016,8 @@ LIMIT 10
         "drm_gram": _oracle_gram(),
         "drm_normal_eq": _oracle_normal_eq(),
         "dridge": _oracle_dridge(),
+        "drm_ssr": _oracle_drm_ssr(),
+        "reg_coeff_tests": _oracle_coeff_tests(),
         "drm_abs_slice": _oracle_abs_slice(),
     }
 

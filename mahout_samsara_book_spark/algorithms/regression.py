@@ -81,6 +81,69 @@ def test_beta(
     return {"beta": beta, "se": se, "t": t, "p": p, "df": m - n, "sigma2": sigma2}
 
 
+def ssr_xy(drm_xy: Drm, beta: np.ndarray) -> float:
+    """SSR over a DRM whose LAST column is y and whose earlier columns are
+    the features; ``beta[0]`` is the bias (``LinearRegression.scala:37-47``
+    with the y vector carried in-row instead of broadcast-by-ordinal, so it
+    works for arbitrary row keys). Distributed residual map (A12) +
+    column-sum reduce (A14); beta ships as a broadcast (A18)."""
+    beta = np.asarray(beta, dtype=np.float64).ravel()
+    bc = drm_xy.spark.sparkContext.broadcast(beta)
+
+    def resid_sq(keys, block):
+        b = bc.value
+        r = b[0] + block[:, :-1] @ b[1:] - block[:, -1]
+        return keys, (r * r)[:, None]
+
+    return float(drm_xy.map_block(resid_sq, ncol=1).colsums()[0])
+
+
+def test_beta_table(
+    df: DataFrame, feature_cols: list[str | F.Column], y_col: str, lam: float = 0.0
+) -> dict[str, np.ndarray | float]:
+    """Coefficient t-tests straight off a relational table
+    (``LinearRegression.scala:59-97``), computed from ONE aggregation pass:
+    the normal-equation sums plus Σy² give SSR algebraically as
+    ``yᵀy − 2βᵀXᵀy + βᵀXᵀXβ`` — no second residual scan. At 100 TB this is
+    the plan you want for narrow feature sets: ncol² partial aggregates per
+    task, a single tiny shuffle, everything else on the driver.
+
+    ``feature_cols`` entries may be Columns (e.g. rescaled features — keep
+    the design matrix well-conditioned: an 8-digit oracle match survives a
+    κ(XᵀX)~1e3 inverse, not a κ~1e7 one)."""
+    cols = [F.lit(1.0)] + [
+        c.cast("double") if isinstance(c, F.Column) else F.col(c).cast("double")
+        for c in feature_cols
+    ]
+    n = len(cols)
+    ycol = F.col(y_col).cast("double")
+    aggs = []
+    for i in range(n):
+        for j in range(i, n):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"s_{i}_{j}"))
+        aggs.append(F.sum(cols[i] * ycol).alias(f"b_{i}"))
+    aggs.append(F.sum(ycol * ycol).alias("syy"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    a = np.zeros((n, n), dtype=np.float64)
+    b = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        b[i] = row[f"b_{i}"]
+        for j in range(i, n):
+            a[i, j] = a[j, i] = row[f"s_{i}_{j}"]
+    syy = float(row["syy"])
+    m = int(round(a[0, 0]))  # Σ1·1 = row count
+    if lam:
+        a[np.diag_indices_from(a)] += lam
+    c_inv = solve(a)
+    beta = c_inv @ b
+    rss = syy - 2.0 * float(beta @ b) + float(beta @ a @ beta)
+    sigma2 = reg_var_estimate(rss, m, n)
+    se = np.sqrt(sigma2 * np.diag(c_inv))
+    t = beta / se
+    p = student_t_sf(t, df=m - n)
+    return {"beta": beta, "se": se, "t": t, "p": p, "df": m - n, "sigma2": sigma2}
+
+
 def dump_coeff_csv(x: np.ndarray, y: np.ndarray, path: str) -> None:
     """External-tool verification artifact (SURVEY §5: the reference dumps
     ``ols-coeff-tests.csv`` 'for verification in R', MyAppSuite.scala:

@@ -133,3 +133,36 @@ def test_dridge_table_matches_drm_path(spark, fixture):
     beta_sql = dridge_table(df, ["x0", "x1", "x2"], "y")
     beta_drm = dridge(drm_x, y)
     assert np.allclose(beta_sql, beta_drm, atol=1e-8)
+
+
+def test_ssr_xy_matches_broadcast_y_path(spark, fixture):
+    """ssr_xy (y carried in-row, arbitrary keys) ≡ ssr (y broadcast by
+    ordinal) ≡ numpy."""
+    drm_x, x, y = fixture
+    beta = np.array([1.0, 2.0, -3.0, 0.5])
+    xy = np.hstack([x, y[:, None]])
+    drm_xy = Drm.from_numpy(spark, xy, num_partitions=2)
+    got = reg.ssr_xy(drm_xy, beta)
+    xb = np.hstack([np.ones((x.shape[0], 1)), x])
+    expect = float(np.sum((xb @ beta - y) ** 2))
+    assert np.isclose(got, expect, rtol=1e-10)
+    assert np.isclose(got, ssr(drm_x, beta, y), rtol=1e-10)
+
+
+def test_beta_table_matches_drm_path(spark):
+    """C5 via the one-pass relational formulation ≡ C5 via the DRM path,
+    including the scipy p-values DuckDB cannot check."""
+    import pandas as pd
+
+    beta_true = np.array([-4.0, 3.0, 25.0, 12.0])
+    x = symmetric_uniform_view(250, 3, 1234)
+    y = beta_true[0] + x @ beta_true[1:] + 10.0 * gaussian_view(250, 1, 1245)[:, 0]
+    drm_x = Drm.from_numpy(spark, x, num_partitions=2)
+    res_drm = reg.test_beta(drm_x, y)
+    pdf = pd.DataFrame({f"x{i}": x[:, i] for i in range(3)})
+    pdf["y"] = y
+    df = spark.createDataFrame(pdf)
+    res_tab = reg.test_beta_table(df, ["x0", "x1", "x2"], "y")
+    assert res_tab["df"] == res_drm["df"] == 246
+    for k in ("beta", "se", "t", "p"):
+        assert np.allclose(res_tab[k], res_drm[k], rtol=1e-7, atol=1e-12), k
