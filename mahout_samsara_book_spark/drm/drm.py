@@ -658,9 +658,41 @@ class Drm:
         # (arr is ~nnz(a_row)·nnz(b_col) entries — in-row work, no second
         # shuffle).
         n_out = other.ncol
+        joined = a_coo.join(b_coo, a_coo["k"] == b_coo["k2"])
+        if n_out <= 32:
+            # Slim result: one conditional sum per output column. The agg
+            # input is plain (va·vb) doubles, so Catalyst's map-side
+            # partial aggregation collapses the ~nnz(A)·nnz(B_row)
+            # product stream to one fixed-width row per _rtag BEFORE the
+            # exchange (products for a row are partition-local — explode
+            # preserves locality and the slim-B join broadcasts), and the
+            # final agg emits the dense row directly — no per-row
+            # higher-order-function pass.
+            assembled = (
+                joined.groupBy("_rtag")
+                .agg(
+                    F.first("i").alias("i"),
+                    *[
+                        F.sum(
+                            F.when(
+                                F.col("j") == jj, F.col("va") * F.col("vb")
+                            ).otherwise(0.0)
+                        ).alias(f"_c{jj}")
+                        for jj in range(n_out)
+                    ],
+                )
+                .select(
+                    F.col("i").cast("long").alias(KEY),
+                    F.array(*[F.col(f"_c{jj}") for jj in range(n_out)]).alias(
+                        FEAT
+                    ),
+                )
+            )
+            return Drm(assembled, other.ncol, self._nrow)
+        # Wide result: per-(row, j) products collected once, summed per
+        # output column with higher-order functions (in-row work).
         assembled = (
-            a_coo.join(b_coo, a_coo["k"] == b_coo["k2"])
-            .groupBy("_rtag")
+            joined.groupBy("_rtag")
             .agg(
                 F.first("i").alias("i"),
                 F.collect_list(

@@ -147,6 +147,27 @@ def test_mmul_drm(spark, mx):
     )
 
 
+def test_mmul_coo_wide_result(spark, mx):
+    """COO path, n_out > 32 → the collect_list/higher-order-function
+    branch (the slim branch pivots to conditional sums)."""
+    b = symmetric_uniform_view(6, 40, 80)
+    da = Drm.from_numpy(spark, mx, num_partitions=3)
+    db = Drm.from_numpy(spark, b, num_partitions=2)
+    assert np.allclose(
+        da.mmul(db, strategy="coo").collect(), mx @ b, atol=1e-10
+    )
+
+
+def test_mmul_coo_zero_rows_and_cols(spark):
+    """Sentinel geometry: an all-zero A row and an all-zero B column
+    survive both COO branches."""
+    a = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]])
+    b = np.array([[1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    da = Drm.from_numpy(spark, a, num_partitions=2)
+    db = Drm.from_numpy(spark, b, num_partitions=2)
+    assert np.allclose(da.mmul(db, strategy="coo").collect(), a @ b)
+
+
 def test_mmul_preserves_duplicate_keys(spark, mx):
     b = symmetric_uniform_view(6, 2, 79)
     labels = np.arange(40) % 4
