@@ -193,20 +193,30 @@ def ngram_jaccard(
     a (vanishingly rare) within-doc hash collision cannot desync the
     two engines."""
     hs = _hashed_shingles(shingle_df, id_col)
-    sizes = hs.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = hs.select(F.col(id_col).alias("doc_a"), F.col("h"))
-    sb = hs.select(F.col(id_col).alias("doc_b"), F.col("h"))
+    # Candidate docs are a tiny fraction of the corpus after banding:
+    # semi-filter the shingle relation to them BEFORE any join, so the
+    # intersect/size machinery never shuffles the full corpus's shingle
+    # set — only the candidate slice (which AQE then broadcast-joins).
+    # The semi joins themselves are scale-safe if pairs ever get large.
+    da = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+    db = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    sa = hs.join(da, id_col, "leftsemi").select(
+        F.col(id_col).alias("doc_a"), F.col("h")
+    )
+    sb = hs.join(db, id_col, "leftsemi").select(
+        F.col(id_col).alias("doc_b"), F.col("h")
+    )
     inter = (
         pairs.join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    za = sa.groupBy("doc_a").agg(F.count("*").alias("sz_a"))
+    zb = sb.groupBy("doc_b").agg(F.count("*").alias("sz_b"))
     return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -236,7 +246,9 @@ def minhash_lsh_dedup(
     # instead of re-tokenizing the corpus
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
     sig = minhash_signatures(sh, k, seed, id_col)
-    cand = lsh_candidate_pairs(sig, bands, rows, id_col)
+    # the verify stage reads the candidate set three times (both doc-side
+    # semi filters + the intersect join) — cache the banding join's output
+    cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
     return ngram_jaccard(sh, cand, id_col).filter(
         F.col("jaccard") >= F.lit(threshold)
     )

@@ -329,15 +329,57 @@ def lsh_topk(
             F.col(f"l.{id_col}").alias("vec_id"),
             F.col(f"r.{id_col}").alias("neighbor"),
         )
-        .distinct()
     )
-    sims = _score_pairs_broadcast(base, cand, id_col)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _grouped_topk_broadcast(base, cand, k, id_col)
+
+
+def _grouped_topk_broadcast(
+    base: DataFrame, cand: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Candidate verify + rank in ONE shuffle: duplicate candidate pairs
+    (one per colliding hash table) dedup inside ``collect_set`` — with
+    map-side partial aggregation, so the exchange carries one
+    neighbor-set row per query id instead of the raw pair stream — and
+    each Arrow batch scores its sets against the broadcast corpus and
+    emits top-k directly (cosine desc, neighbor asc — the same ordering
+    a row_number window would apply, minus the extra distinct shuffle
+    and per-key sort)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf_all = base.orderBy(id_col).toPandas()
+    ids_sorted = pdf_all[id_col].to_numpy()
+    mat = np.array(pdf_all["v"].tolist(), dtype=np.float64)
+    mat = mat / pdf_all["nrm"].to_numpy()[:, None]
+    bc = base.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+    grouped = cand.groupBy("vec_id").agg(F.collect_set("neighbor").alias("nbrs"))
+
+    def topk(batches):
+        all_ids, m = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vs, ns, cs, rs = [], [], [], []
+            for vid, nbrs in zip(b["vec_id"].to_numpy(), b["nbrs"]):
+                nb = np.sort(np.asarray(nbrs, dtype=np.int64))
+                q = m[np.searchsorted(all_ids, vid)]
+                cos = m[np.searchsorted(all_ids, nb)] @ q
+                order = np.lexsort((nb, -cos))[:k]
+                vs.extend([vid] * len(order))
+                ns.extend(nb[order])
+                cs.extend(cos[order])
+                rs.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(vs, dtype=np.int64),
+                    "neighbor": np.asarray(ns, dtype=np.int64),
+                    "cosine": np.asarray(cs, dtype=np.float64),
+                    "rank": np.asarray(rs, dtype=np.int32),
+                }
+            )
+
+    return grouped.mapInPandas(
+        topk, schema="vec_id long, neighbor long, cosine double, rank int"
     )
 
 
