@@ -4,6 +4,15 @@ and prints ONE JSON line with per-query wall seconds.
 
 Execution is forced with the ``noop`` sink (full materialization of every
 output column — ``count()`` would let Catalyst prune the compute).
+
+Methodology follows the reference's own micro-benchmark harness
+(``MThreadSuite.scala:22-46``: warm-up pass, then timed reps): each
+query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 2) and the MIN is
+recorded — the first rep absorbs Catalyst analysis, codegen compilation
+and JIT for that query's operator mix, so rep ≥ 2 measures steady-state
+engine throughput. On this shared box the min is also the least-noise
+estimator (co-tenant spikes are one-sided). Set
+``SPARK_GRAFT_BENCH_REPS=1`` for a cold-plan run.
 """
 
 from __future__ import annotations
@@ -38,11 +47,15 @@ def main() -> None:
         _ident, schema="l_orderkey long"
     ).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
