@@ -1,0 +1,66 @@
+"""Bucketed-layout co-location: joins and aggregations on the bucket key
+must plan WITHOUT an Exchange on the bucketed sides (the 100 TB
+shuffle-elimination path — README 'Correctness & scale posture')."""
+
+import pytest
+
+from mahout_samsara_book_spark.sources.bucketing import (
+    bucketed_table,
+    write_bucketed,
+)
+from mahout_samsara_book_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("bucketed-warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{warehouse}'")
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(li, "bktdb.lineitem_b", ["l_orderkey"], 4, ["l_orderkey"])
+    write_bucketed(orders, "bktdb.orders_b", ["o_orderkey"], 4, ["o_orderkey"])
+    yield spark
+    spark.sql("DROP DATABASE bktdb CASCADE")
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free(bucketed):
+    spark = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force a sort-merge shape so the assertion is about bucketing, not
+    # about the small fixture fitting a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = bucketed_table(spark, "bktdb.lineitem_b")
+        orders = bucketed_table(spark, "bktdb.orders_b")
+        joined = li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).select("l_orderkey", "o_totalprice", "l_extendedprice")
+        plan = _initial_plan(joined)
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n > 0
+        # value parity with the unbucketed join
+        li_raw = load_table(spark, SF_DIR, "lineitem")
+        o_raw = load_table(spark, SF_DIR, "orders")
+        expect = li_raw.join(
+            o_raw, li_raw["l_orderkey"] == o_raw["o_orderkey"]
+        ).count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_aggregation_is_exchange_free(bucketed):
+    spark = bucketed
+    li = bucketed_table(spark, "bktdb.lineitem_b")
+    agg = li.groupBy("l_orderkey").sum("l_quantity")
+    plan = _initial_plan(agg)
+    assert "Exchange" not in plan, plan
+    raw = load_table(spark, SF_DIR, "lineitem")
+    assert agg.count() == raw.select("l_orderkey").distinct().count()
