@@ -85,6 +85,43 @@ def decode_features(
     )
 
 
+def resize_features(
+    feat_df: DataFrame, out_dim: int, feat_col: str = "features"
+) -> DataFrame:
+    """Resize stub: adaptive average-pool a variable/fixed-width feature
+    vector to ``out_dim`` (the 1-D analog of an image resize — a real
+    ``PIL.Image.resize`` drops into the same batch loop). Arrow-batched,
+    narrow, shape-checked output."""
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pooled = []
+            for v in pdf[feat_col]:
+                arr = np.asarray(v, dtype=np.float64)
+                # split indices of an adaptive average pool
+                edges = np.linspace(0, arr.size, out_dim + 1).astype(int)
+                pooled.append(
+                    [
+                        float(arr[a:b].mean()) if b > a else 0.0
+                        for a, b in zip(edges[:-1], edges[1:])
+                    ]
+                )
+            out = pdf.drop(columns=[feat_col]).copy()
+            out[feat_col] = pd.Series(pooled, dtype=object)
+            yield out
+
+    kept = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in feat_df.schema.fields
+        if f.name != feat_col
+    )
+    return feat_df.mapInPandas(
+        op, schema=f"{kept}, {feat_col} array<double>"
+    )
+
+
 def frame_sample(
     media_df: DataFrame, stride: int = 64, max_frames: int = 16
 ) -> DataFrame:

@@ -200,6 +200,20 @@ def test_multimodal_plumbing(spark, dup_docs):
     frames = frame_sample(media, stride=16, max_frames=4).toPandas()
     assert set(frames.columns) == {"doc_id", "frame_idx", "frame_byte"}
     assert frames.frame_idx.max() <= 3
+    # resize: adaptive average-pool 8 → 3, schema preserved around the
+    # feature column, mean preserved under equal-width pooling to 1
+    from mahout_samsara_book_spark.operators.multimodal import resize_features
+
+    small = resize_features(decode_features(media, out_dim=8), out_dim=3)
+    spdf = small.toPandas()
+    assert all(len(f) == 3 for f in spdf.features)
+    one = resize_features(decode_features(media, out_dim=8), out_dim=1).toPandas()
+    means = {
+        int(r.doc_id): float(np.mean(f))
+        for r, f in zip(feats.itertuples(), feats.features)
+    }
+    for r in one.itertuples():
+        assert np.isclose(r.features[0], means[int(r.doc_id)])
 
 
 def test_multimodal_real_codec_raises(spark, dup_docs):
