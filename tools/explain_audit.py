@@ -18,6 +18,12 @@ sys.path.insert(0, ".")
 from mahout_samsara_book_spark.session import get_spark  # noqa: E402
 
 
+def n_shuffles(plan: str) -> int:
+    """Shuffle exchanges only — BroadcastExchange is a broadcast, not a
+    shuffle."""
+    return plan.count("Exchange (") - plan.count("BroadcastExchange (")
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -44,7 +50,7 @@ def main() -> int:
                 # AQE wraps the plan pre-execution, so codegen ids aren't
                 # printed here; the load-bearing property is ONE shuffle
                 # between partial and final aggregation.
-                ("exactly one shuffle", p1.count("Exchange (") == 1),
+                ("exactly one shuffle", n_shuffles(p1) == 1),
                 ("partial aggregation (map-side combine)", "partial_" in p1),
             ],
         )
@@ -117,7 +123,7 @@ def main() -> int:
                 (
                     "ONE aggregation pass for all k mins (k map-side combines, "
                     "not k shuffles)",
-                    p5.count("Exchange (") == 1,
+                    n_shuffles(p5) == 1,
                 ),
                 ("map-side partial mins", "partial_min" in p5),
             ],
@@ -157,6 +163,48 @@ def main() -> int:
                     "PushedFilters: [IsNotNull(event_type), EqualTo(event_type"
                     in p7,
                 ),
+            ],
+        )
+    )
+
+    # COO matmul, slim result: broadcast join for B's triplets, ONE
+    # exchange, map-side partial conditional sums (drm.py mmul)
+    import numpy as np
+
+    from mahout_samsara_book_spark.drm.drm import Drm
+
+    b_small = Drm.from_numpy(
+        spark, np.arange(12, dtype=np.float64).reshape(4, 3)
+    )
+    p8 = plan_of(d.mmul(b_small, strategy="coo").df)
+    checks.append(
+        (
+            "COO matmul (slim result)",
+            p8,
+            [
+                ("B-side triplets broadcast", "BroadcastHashJoin" in p8),
+                ("ONE shuffle end-to-end", n_shuffles(p8) == 1),
+                ("map-side partial sums", "partial_sum" in p8),
+            ],
+        )
+    )
+
+    from mahout_samsara_book_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p9 = plan_of(lsh_topk(emb, k=3, n_planes=3, n_tables=4, seed=5))
+    checks.append(
+        (
+            "ANN lsh_topk (candidate verify + rank)",
+            p9,
+            [
+                ("bucket self-join broadcast", "BroadcastHashJoin" in p9),
+                (
+                    "ONE shuffle (map-side partial collect_set; no "
+                    "distinct or window shuffles)",
+                    n_shuffles(p9) == 1,
+                ),
+                ("partial neighbor-set aggregation", "partial_collect_set" in p9),
             ],
         )
     )
