@@ -85,17 +85,31 @@ def ssr_xy(drm_xy: Drm, beta: np.ndarray) -> float:
     """SSR over a DRM whose LAST column is y and whose earlier columns are
     the features; ``beta[0]`` is the bias (``LinearRegression.scala:37-47``
     with the y vector carried in-row instead of broadcast-by-ordinal, so it
-    works for arbitrary row keys). Distributed residual map (A12) +
-    column-sum reduce (A14); beta ships as a broadcast (A18)."""
+    works for arbitrary row keys). The allreduceBlock shape (A13): each
+    partition maps its blocks to a SINGLE partial Σr² — one double per
+    partition over the Arrow return path, 32-row final sum — instead of
+    shipping a residual row per input row; beta is a broadcast (A18)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.drm.drm import FEAT
+
     beta = np.asarray(beta, dtype=np.float64).ravel()
     bc = drm_xy.spark.sparkContext.broadcast(beta)
 
-    def resid_sq(keys, block):
+    def partials(batches):
         b = bc.value
-        r = b[0] + block[:, :-1] @ b[1:] - block[:, -1]
-        return keys, (r * r)[:, None]
+        acc = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array(pdf[FEAT].tolist(), dtype=np.float64)
+            r = b[0] + block[:, :-1] @ b[1:] - block[:, -1]
+            acc += float(r @ r)
+        yield pd.DataFrame({"s": [acc]})
 
-    return float(drm_xy.map_block(resid_sq, ncol=1).colsums()[0])
+    part = drm_xy.df.select(FEAT).mapInPandas(partials, schema="s double")
+    return float(part.agg(F.sum("s").alias("s")).first()["s"])
 
 
 def test_beta_table(
