@@ -220,17 +220,12 @@ def ivf_topk(
         probes.join(members, "cid")
         .filter(F.col("q_id") != F.col("neighbor"))
         .select(F.col("q_id").alias("vec_id"), "neighbor")
-        .distinct()
     )
+    # single-shuffle verify+rank (no distinct, no window) — see
+    # _grouped_topk_broadcast; nprobe-duplicate candidates dedup inside
+    # the partial collect_set
     base = _normed(emb, id_col, vec_col)
-    sims = _score_pairs_broadcast(base, cand, id_col)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _grouped_topk_broadcast(base, cand, k, id_col)
 
 
 def plane_sign(seed: int, j: int, d: int) -> int:
