@@ -338,7 +338,53 @@ GROUP BY e.event_id
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.grouping_sets_revenue(spark, sf_dir)
+    return out.select(
+        "returnflag",
+        "linestatus",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def o_grouping_sets() -> str:
+    return f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {_sci_sql('sum(l_extendedprice)')} AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.user_event_deltas(spark, sf_dir)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+        "prev_type",
+        "next_type",
+    )
+
+
+def o_lead_lag() -> str:
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(coalesce(t_us - lag(t_us) OVER w, -1) AS BIGINT) AS gap_us,
+       coalesce(lag(event_type) OVER w, 'NONE') AS prev_type,
+       coalesce(lead(event_type) OVER w, 'NONE') AS next_type
+FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+"""
+
+
 QUERIES = {
+    "rel_grouping_sets": q_grouping_sets,
+    "rel_lead_lag": q_lead_lag,
     "rel_pivot": q_rel_pivot,
     "rel_range_join": q_range_join,
     "rel_cube": q_rel_cube,
@@ -356,6 +402,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "rel_grouping_sets": o_grouping_sets(),
+        "rel_lead_lag": o_lead_lag(),
         "rel_pivot": o_rel_pivot(),
         "rel_range_join": o_range_join(),
         "rel_cube": o_rel_cube(),

@@ -175,6 +175,58 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form that cube/rollup
+    specialize: revenue at the (returnflag), (linestatus) and grand
+    levels ONLY (no cross level), still one aggregation pass (Catalyst
+    expands+unions inside a single Aggregate via Expand)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.sum("l_extendedprice").alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface over the event stream: per user in event
+    time, the gap to the previous event (µs; -1 for the first) and the
+    previous/next event types. One shuffle on user_id; pure integer
+    arithmetic on the int64 timestamp. Microsecond resolution because
+    DuckDB truncates parquet TIMESTAMP_NS to µs — truncation happens
+    BEFORE the diff (and in the ordering) on both engines so boundary
+    crossings can't desync them."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            F.col("t_us") - F.lag("t_us").over(w), F.lit(-1).cast("long")
+        ).alias("gap_us"),
+        F.coalesce(F.lag("event_type").over(w), F.lit("NONE")).alias(
+            "prev_type"
+        ),
+        F.coalesce(F.lead("event_type").over(w), F.lit("NONE")).alias(
+            "next_type"
+        ),
+    )
+
+
 def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join pattern (Spark lacks a native one — SURVEY guide):
     for each user's 'purchase' event, the value of that user's most
