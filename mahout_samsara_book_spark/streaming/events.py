@@ -63,6 +63,51 @@ def stream_windowed_counts(
     )
 
 
+def stream_click_error_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    lookback_secs: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for each error event, the
+    same user's clicks in the preceding ``lookback_secs``. The canonical
+    Spark stream-stream shape: BOTH sides watermarked and the join
+    condition combines the user equi-key with a bounded event-time range,
+    so the state store evicts click rows once they fall behind
+    ``error watermark − lookback`` — bounded state at any input volume.
+    Works unchanged on batch DataFrames (``withWatermark`` is a no-op in
+    batch), which is what the equivalence test exploits.
+    ``(user_id, error_id, error_time, click_time, click_value)``."""
+    c = (
+        with_event_time(clicks)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("click_time"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    e = (
+        with_event_time(errors)
+        .withWatermark("event_time", watermark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("event_time").alias("error_time"),
+        )
+    )
+    return e.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_time") < F.col("error_time"))
+        & (
+            F.col("click_time")
+            >= F.col("error_time") - F.expr(f"INTERVAL {lookback_secs} SECONDS")
+        ),
+        "inner",
+    ).select("user_id", "error_id", "error_time", "click_time", "click_value")
+
+
 def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user (lag + cumulative-flag formulation —
     one shuffle on user_id): ``(user_id, session_id, n_events,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from mahout_samsara_book_spark.streaming.events import (
     NANOS_PER_SEC,
     sessionize,
+    stream_click_error_join,
     stream_windowed_counts,
     windowed_counts,
 )
@@ -67,3 +68,36 @@ def test_stream_windowed_counts_matches_batch(spark, events, tmp_path_factory):
     assert (g.window_start == b.window_start).all()
     assert (g.n == b.n).all()
     assert abs(g.total_value - b.total_value).max() < 1e-9
+
+
+def test_stream_stream_join_matches_batch(spark, events, tmp_path_factory):
+    """Watermarked stream-stream interval join ≡ the same join run in
+    batch (inner joins emit all matches; the watermark only bounds
+    state)."""
+    c_dir = str(tmp_path_factory.mktemp("clicks_src"))
+    e_dir = str(tmp_path_factory.mktemp("errors_src"))
+    clicks_b = events.filter(F.col("event_type") == "click")
+    errors_b = events.filter(F.col("event_type") == "error")
+    clicks_b.write.mode("overwrite").parquet(c_dir)
+    errors_b.write.mode("overwrite").parquet(e_dir)
+    cs = spark.readStream.schema(events.schema).parquet(c_dir)
+    es = spark.readStream.schema(events.schema).parquet(e_dir)
+    joined = stream_click_error_join(cs, es, lookback_secs=600)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ss_join_out").toPandas()
+    expect = stream_click_error_join(
+        clicks_b, errors_b, lookback_secs=600
+    ).toPandas()
+    assert len(got) == len(expect) > 0
+    key = ["user_id", "error_id", "click_time"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = expect.sort_values(key).reset_index(drop=True)
+    assert (g.error_id == b.error_id).all()
+    assert abs(g.click_value - b.click_value).max() < 1e-12
