@@ -1,4 +1,5 @@
-"""Bucketed-table sink/source — the co-located-join storage layout.
+"""Storage layout: bucketed tables (co-located joins) and Hive-style
+partitioned parquet (planning-time partition pruning).
 
 At cluster scale the dominant cost of repeatedly joining or aggregating
 big tables on the same key is the exchange, not the compute. Writing a
@@ -50,3 +51,27 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     not the reader, carries the bucket spec — ``spark.read.parquet`` on
     the same files would lose it)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per
+    partition-column value. The complementary pruning lever to
+    bucketing — equality/range predicates on ``partition_cols`` prune
+    entire directories at PLANNING time (the scan's ``PartitionFilters``,
+    asserted in ``tests/test_bucketing.py``), so a 100 TB table filtered
+    to one day/type reads only that slice. Choose low-cardinality,
+    always-filtered columns; high-cardinality keys belong in bucketing
+    or sort order instead (millions of tiny directories kill the
+    listing)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout back (partition columns are recovered
+    from the directory structure)."""
+    return spark.read.parquet(path)

@@ -3,6 +3,7 @@ must plan WITHOUT an Exchange on the bucketed sides (the 100 TB
 shuffle-elimination path — README 'Correctness & scale posture')."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.sources.bucketing import (
     bucketed_table,
@@ -54,6 +55,31 @@ def test_bucketed_join_is_exchange_free(bucketed):
         assert n == expect
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_layout_prunes_at_planning_time(spark, tmp_path_factory):
+    from mahout_samsara_book_spark.sources.bucketing import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path_factory.mktemp("ev_part")) + "/events"
+    ev = load_table(spark, SF_DIR, "events")
+    write_partitioned(ev, out, ["event_type"])
+    back = read_partitioned(spark, out)
+    clicks = back.filter(F.col("event_type") == "click")
+    plan = _initial_plan(clicks)
+    # the predicate lands in PartitionFilters (directory pruning), not in
+    # a post-scan Filter over the data columns
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    assert clicks.count() == n_clicks
+    # the pruned slice is exactly the one directory: reading it straight
+    # bypasses the filter entirely and matches
+    direct = spark.read.parquet(f"{out}/event_type=click")
+    assert direct.count() == n_clicks
 
 
 def test_bucketed_aggregation_is_exchange_free(bucketed):
