@@ -124,6 +124,47 @@ class Drm:
         )
         return cls(out, ncol=len(cols))
 
+    def to_coo(self, drop_zeros: bool = True) -> DataFrame:
+        """Sparse triplet view ``(row_id, pos, v)`` — the relational
+        sparse-matrix form (SURVEY §7 risk register: the wide-matrix
+        path; the text-NB pipeline lives natively in this form). Zeros
+        dropped by default, so a 1e5-column TF-IDF matrix shuffles only
+        its nonzeros."""
+        out = self.df.select(
+            F.col(KEY), F.posexplode(F.col(FEAT)).alias("pos", "v")
+        )
+        return out.filter(F.col("v") != 0.0) if drop_zeros else out
+
+    @classmethod
+    def from_coo(
+        cls, coo: DataFrame, ncol: int, nrow: int | None = None
+    ) -> Drm:
+        """Triplets ``(row_id, pos, v)`` → dense-row DRM. Duplicate
+        (row, pos) entries SUM (the aggregation semantics of §1.2);
+        missing positions are 0. Rows with no entries at all do not
+        reappear — COO carries no geometry for empty rows (same contract
+        as the COO transpose). One logical pipeline: per-cell sum (map-
+        side combinable) → per-row map scatter."""
+        cells = (
+            coo.select(
+                F.col("row_id").cast("long").alias(KEY),
+                F.col("pos").cast("int").alias("pos"),
+                F.col("v").cast("double").alias("v"),
+            )
+            .groupBy(KEY, "pos")
+            .agg(F.sum("v").alias("v"))
+        )
+        grouped = cells.groupBy(KEY).agg(
+            F.collect_list(F.struct(F.col("pos"), F.col("v"))).alias("_entries")
+        )
+        m = F.map_from_entries(F.col("_entries"))
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(ncol - 1)),
+            lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0.0)),
+        )
+        out = grouped.select(F.col(KEY), dense.alias(FEAT))
+        return cls(out, ncol=ncol, nrow=nrow)
+
     def collect(self) -> np.ndarray:
         """``drm.collect`` (A2 — TWCNBSuite.scala:86,116). Driver-bound:
         only for declared-small matrices."""

@@ -147,6 +147,21 @@ def test_mmul_drm(spark, mx):
     )
 
 
+def test_coo_roundtrip(spark):
+    """to_coo ↔ from_coo: dense roundtrip (no empty rows), zero cells
+    dropped and restored as 0, duplicate triplets SUM (§1.2)."""
+    a = np.array([[0.0, 2.0, 0.0], [1.0, 0.0, 3.0], [4.0, 5.0, 6.0]])
+    d = Drm.from_numpy(spark, a, num_partitions=2)
+    coo = d.to_coo()
+    assert coo.count() == np.count_nonzero(a)
+    back = Drm.from_coo(coo, ncol=3)
+    assert np.allclose(back.collect(), a)
+    # duplicate (row, pos) entries aggregate by sum
+    dup = coo.union(coo)
+    twice = Drm.from_coo(dup, ncol=3)
+    assert np.allclose(twice.collect(), 2 * a)
+
+
 def test_mmul_coo_wide_result(spark, mx):
     """COO path, n_out > 32 → the collect_list/higher-order-function
     branch (the slim branch pivots to conditional sums)."""
