@@ -79,6 +79,42 @@ def test_rbind_slice_inverse(sp, mx):
     assert np.allclose(a.rbind(b).collect(), mx, atol=0)
 
 
+@given(mx=small_matrix)
+@settings(**_SETTINGS)
+def test_coo_roundtrip_property(sp, mx):
+    """to_coo → from_coo restores every non-empty row exactly (empty
+    rows carry no COO geometry — the documented contract)."""
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    back = Drm.from_coo(d.to_coo(), ncol=mx.shape[1])
+    keys, out = back.collect_keys_matrix()
+    nonempty = {i for i in range(mx.shape[0]) if np.any(mx[i] != 0)}
+    assert set(keys.tolist()) == nonempty
+    for k, row in zip(keys, out):
+        assert np.allclose(row, mx[k], atol=0)
+
+
+@given(
+    mx=small_matrix,
+    beta_seed=st.integers(0, 2**16),
+)
+@settings(**_SETTINGS)
+def test_ssr_xy_matches_numpy_property(sp, mx, beta_seed):
+    """ssr_xy ≡ ‖[1|X]β − y‖² for arbitrary data and beta (last column
+    is y)."""
+    if mx.shape[1] < 2:
+        return
+    from mahout_samsara_book_spark.algorithms.regression import ssr_xy
+
+    rng = np.random.default_rng(beta_seed)
+    beta = rng.normal(size=mx.shape[1])  # bias + (ncol-1) features
+    d = Drm.from_numpy(sp, mx, num_partitions=2)
+    got = ssr_xy(d, beta)
+    x, y = mx[:, :-1], mx[:, -1]
+    xb = np.hstack([np.ones((mx.shape[0], 1)), x])
+    expect = float(np.sum((xb @ beta - y) ** 2))
+    assert np.isclose(got, expect, rtol=1e-9, atol=1e-9)
+
+
 @given(
     mx=small_matrix,
     labels_seed=st.integers(0, 2**16),
