@@ -109,7 +109,8 @@ def ssr_xy(drm_xy: Drm, beta: np.ndarray) -> float:
         yield pd.DataFrame({"s": [acc]})
 
     part = drm_xy.df.select(FEAT).mapInPandas(partials, schema="s double")
-    return float(part.agg(F.sum("s").alias("s")).first()["s"])
+    total = part.agg(F.sum("s").alias("s")).first()["s"]
+    return float(total) if total is not None else 0.0
 
 
 def test_beta_table(
@@ -138,6 +139,8 @@ def test_beta_table(
         aggs.append(F.sum(cols[i] * ycol).alias(f"b_{i}"))
     aggs.append(F.sum(ycol * ycol).alias("syy"))
     row = df.agg(*aggs).collect()[0].asDict()
+    if row["s_0_0"] is None:
+        raise ValueError("test_beta_table: empty input table")
     a = np.zeros((n, n), dtype=np.float64)
     b = np.zeros(n, dtype=np.float64)
     for i in range(n):
@@ -146,11 +149,14 @@ def test_beta_table(
             a[i, j] = a[j, i] = row[f"s_{i}_{j}"]
     syy = float(row["syy"])
     m = int(round(a[0, 0]))  # Σ1·1 = row count
+    if m <= n:
+        raise ValueError(f"test_beta_table: need more rows ({m}) than columns ({n})")
+    a0 = a.copy()  # UNregularized Gram: RSS is ‖Xβ−y‖², not the ridge loss
     if lam:
         a[np.diag_indices_from(a)] += lam
     c_inv = solve(a)
     beta = c_inv @ b
-    rss = syy - 2.0 * float(beta @ b) + float(beta @ a @ beta)
+    rss = syy - 2.0 * float(beta @ b) + float(beta @ a0 @ beta)
     sigma2 = reg_var_estimate(rss, m, n)
     se = np.sqrt(sigma2 * np.diag(c_inv))
     t = beta / se
