@@ -563,7 +563,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     entry_m5._init(sci, sci_sql)
     entry_rel._init(sci, sci_sql)
+    # Ordering is deliberate: the driver's correctness gate has twice
+    # truncated after ~50 queries, so the entries that have never
+    # appeared in a driver artifact run FIRST (VERDICT r2 item 3).
     return {
+        "drm_abs_slice": _q_abs_slice,
+        "drm_group_sum": _q_group_sum,
+        "drm_transpose": _q_transpose,
+        "drm_mmul": _q_mmul,
+        "drm_mmul_coo": _q_mmul_coo,
+        "drm_rbind": _q_rbind,
+        "drm_gram_wide": _q_gram_wide,
+        "skew_salted_group_sum": _q_skew_salted,
+        "drm_map_block": _q_map_block,
+        "drm_allreduce": _q_allreduce,
         **entry_m5.QUERIES,
         **entry_rel.QUERIES,
         "text_tokenize_counts": _q_tokenize_counts,
@@ -586,16 +599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dridge": _q_dridge,
         "drm_ssr": _q_drm_ssr,
         "reg_coeff_tests": _q_coeff_tests,
-        "drm_abs_slice": _q_abs_slice,
-        "drm_group_sum": _q_group_sum,
-        "drm_transpose": _q_transpose,
-        "drm_mmul": _q_mmul,
-        "drm_mmul_coo": _q_mmul_coo,
-        "drm_rbind": _q_rbind,
-        "drm_gram_wide": _q_gram_wide,
-        "skew_salted_group_sum": _q_skew_salted,
-        "drm_map_block": _q_map_block,
-        "drm_allreduce": _q_allreduce,
     }
 
 

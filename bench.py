@@ -49,25 +49,31 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # one failing query must not zero out the whole artifact: record the
+    # error per query and keep timing the rest
     for name, fn in entry.queries().items():
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — any query failure is recorded
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

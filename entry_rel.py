@@ -277,7 +277,7 @@ def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_ev_windowed_counts() -> str:
     return f"""
-SELECT ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS window_start,
+SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
        event_type, count(*) AS n,
        {_sci_sql('sum(value)')} AS total_value
 FROM events GROUP BY 1, 2
@@ -285,12 +285,12 @@ FROM events GROUP BY 1, 2
 
 
 def o_ev_sessionize() -> str:
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap_us = 30 * 60 * 1_000_000
     return f"""
 WITH f AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > {gap_ns}
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
               THEN 1 ELSE 0 END AS ns
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -303,8 +303,8 @@ s AS (
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
-       min(epoch_ns(ts)) // 1000000000 AS session_start,
-       max(epoch_ns(ts)) // 1000000000 AS session_end,
+       min(epoch_us(ts)) // 1000000 AS session_start,
+       max(epoch_us(ts)) // 1000000 AS session_end,
        {_sci_sql('sum(value)')} AS total_value
 FROM s GROUP BY 1, 2
 """
@@ -322,18 +322,18 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_range_join() -> str:
     return f"""
 WITH e AS (
-  SELECT event_id, user_id, epoch_ns(ts) AS e_ns
+  SELECT event_id, user_id, epoch_us(ts) AS e_us
   FROM events WHERE event_type = 'error'
 ),
 c AS (
-  SELECT user_id, epoch_ns(ts) AS c_ns, value
+  SELECT user_id, epoch_us(ts) AS c_us, value
   FROM events WHERE event_type = 'click'
 )
 SELECT CAST(e.event_id AS BIGINT) AS event_id,
        count(*) AS n_clicks,
        {_sci_sql('sum(c.value)')} AS click_value_sum
 FROM e JOIN c ON e.user_id = c.user_id
- AND c.c_ns > e.e_ns - 600000000000 AND c.c_ns < e.e_ns
+ AND c.c_us > e.e_us - 600000000 AND c.c_us < e.e_us
 GROUP BY e.event_id
 """
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mahout_samsara_book_spark.sources.tables import load_table
+from mahout_samsara_book_spark.sources.tables import load_table, ts_us
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,13 +201,15 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag window surface over the event stream: per user in event
     time, the gap to the previous event (µs; -1 for the first) and the
     previous/next event types. One shuffle on user_id; pure integer
-    arithmetic on the int64 timestamp. Microsecond resolution because
-    DuckDB truncates parquet TIMESTAMP_NS to µs — truncation happens
-    BEFORE the diff (and in the ordering) on both engines so boundary
-    crossings can't desync them."""
-    ev = load_table(spark, sf_dir, "events").select(
+    arithmetic on the µs-normalized timestamp (``ts_us`` accepts both
+    fixture generations). Microsecond resolution because DuckDB
+    truncates timestamps to µs — truncation happens BEFORE the diff (and
+    in the ordering) on both engines so boundary crossings can't desync
+    them."""
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
         "user_id",
-        F.expr("ts div 1000").alias("t_us"),
+        ts_us(ev0).alias("t_us"),
         "event_id",
         "event_type",
     )
@@ -266,27 +268,27 @@ def range_join_clicks_before_errors(
     error's bin or the one before, so the error side is exploded into
     those two bin keys and the join is a plain equi-join on
     (user_id, bin) — one hash shuffle, linear in input — with the exact
-    interval predicate applied as a residual filter. Integer-nanosecond
-    arithmetic (ts arrives as int64 nanos under the nanosAsLong conf;
-    the DuckDB oracle uses epoch_ns) keeps both engines bit-identical."""
-    w_ns = window_minutes * 60 * 1_000_000_000
+    interval predicate applied as a residual filter. Integer-microsecond
+    arithmetic (``ts_us`` normalizes either fixture representation; the
+    DuckDB oracle uses epoch_us) keeps both engines bit-identical."""
+    w_us = window_minutes * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("e_ns")
+        "event_id", "user_id", ts_us(ev).alias("e_us")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").cast("long").alias("c_ns"), "value"
+        "user_id", ts_us(ev).alias("c_us"), "value"
     )
-    e_bin = F.floor(F.col("e_ns") / w_ns)
+    e_bin = F.floor(F.col("e_us") / w_us)
     errors_b = errors.withColumn(
         "bin", F.explode(F.array(e_bin, e_bin - 1))
     )
-    clicks_b = clicks.withColumn("bin", F.floor(F.col("c_ns") / w_ns))
+    clicks_b = clicks.withColumn("bin", F.floor(F.col("c_us") / w_us))
     return (
         errors_b.join(clicks_b, ["user_id", "bin"])
         .filter(
-            (F.col("c_ns") > F.col("e_ns") - w_ns)
-            & (F.col("c_ns") < F.col("e_ns"))
+            (F.col("c_us") > F.col("e_us") - w_us)
+            & (F.col("c_us") < F.col("e_us"))
         )
         .groupBy("event_id")
         .agg(

@@ -44,9 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as int64 nanoseconds (convert explicitly where a
-        # query needs wall-clock semantics).
+        # Legacy fixture generations wrote events.ts as TIMESTAMP(NANOS),
+        # which Spark rejects by default; the conf surfaces those as int64
+        # nanos and is a no-op for the current TIMESTAMP(MICROS) fixtures.
+        # sources.tables.ts_us normalizes both representations.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

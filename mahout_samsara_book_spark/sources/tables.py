@@ -32,12 +32,34 @@ LINEITEM_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defend against a caller-provided SparkSession (the driver builds
-    its own): events.parquet carries TIMESTAMP(NANOS) which Spark rejects
-    without the legacy conf, and date-literal parsing must be UTC to
-    agree with the oracle's naive timestamps. Both are runtime-settable
-    SQL confs."""
+    its own): older fixture generations wrote events.ts as parquet
+    TIMESTAMP(NANOS), which Spark rejects without the legacy conf
+    (harmless for the current TIMESTAMP(MICROS) fixtures), and
+    date-literal / NTZ→TZ casts must be UTC to agree with the oracle's
+    naive timestamps. Both are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def ts_us(ev: DataFrame, col: str = "ts") -> F.Column:
+    """Event-time as int64 epoch MICROSECONDS, independent of how the
+    fixture generation stored ``ts``:
+
+    - ``timestamp`` / ``timestamp_ntz`` (current fixtures: parquet
+      TIMESTAMP(MICROS)) → ``unix_micros`` after an NTZ→TZ cast, which is
+      value-preserving under the pinned-UTC session
+      (:func:`ensure_session_confs`);
+    - ``bigint`` (legacy fixtures: TIMESTAMP(NANOS) surfaced as int64
+      nanos via ``nanosAsLong``) → integer ``div 1000``.
+
+    µs is the common resolution: the DuckDB oracle truncates to µs and
+    the current fixtures carry µs, so pure integer arithmetic on this
+    column is bit-identical across both engines. Downstream constants
+    (window widths, session gaps) must be expressed in µs."""
+    dtype = dict(ev.dtypes).get(col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

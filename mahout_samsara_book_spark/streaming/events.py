@@ -3,8 +3,11 @@ aggregation (batch + Structured Streaming with watermark) and gap-based
 sessionization (SURVEY §2A note: absent from the reference, supplied by
 the engine as the idiomatic Spark-native surface).
 
-events.ts arrives as int64 NANOSECONDS (see session.py's
-``nanosAsLong``); event-time columns are derived explicitly.
+``events.ts`` is normalized to int64 epoch MICROSECONDS by
+:func:`mahout_samsara_book_spark.sources.tables.ts_us`, which accepts
+both fixture generations (parquet TIMESTAMP(MICROS) → TIMESTAMP_NTZ, and
+legacy int64-nanos under ``nanosAsLong``). All event-time arithmetic here
+is integer-µs so Spark and the DuckDB oracle stay bit-identical.
 """
 
 from __future__ import annotations
@@ -12,18 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-NANOS_PER_SEC = 1_000_000_000
+from mahout_samsara_book_spark.sources.tables import ts_us
+
+US_PER_SEC = 1_000_000
 
 
 def with_event_time(ev: DataFrame) -> DataFrame:
-    """int64-nanos ``ts`` → timestamp ``event_time`` (UTC), truncated to
-    whole seconds via INTEGER division — float ns→s conversion loses
-    precision at 2^63-scale nanos and could flip bucket boundaries
+    """``ts`` (either representation) → timestamp ``event_time`` (UTC),
+    truncated to whole seconds via INTEGER division on the µs
+    normalization — float µs→s conversion could flip bucket boundaries
     against the oracle's exact integer arithmetic."""
-    return ev.withColumn(
+    return ev.withColumn("_t_us", ts_us(ev)).withColumn(
         "event_time",
-        F.timestamp_seconds(F.expr(f"ts div {NANOS_PER_SEC}")),
-    )
+        F.timestamp_seconds(F.expr(f"_t_us div {US_PER_SEC}")),
+    ).drop("_t_us")
 
 
 def windowed_counts(ev: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -70,13 +75,17 @@ def stream_click_error_join(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: for each error event, the
-    same user's clicks in the preceding ``lookback_secs``. The canonical
-    Spark stream-stream shape: BOTH sides watermarked and the join
-    condition combines the user equi-key with a bounded event-time range,
-    so the state store evicts click rows once they fall behind
-    ``error watermark − lookback`` — bounded state at any input volume.
-    Works unchanged on batch DataFrames (``withWatermark`` is a no-op in
-    batch), which is what the equivalence test exploits.
+    same user's clicks in the OPEN interval
+    ``(error_time − lookback, error_time)`` — the same convention as the
+    batch :func:`~mahout_samsara_book_spark.functions.relational.
+    range_join_clicks_before_errors`, so batch and stream agree on
+    boundary rows. The canonical Spark stream-stream shape: BOTH sides
+    watermarked and the join condition combines the user equi-key with a
+    bounded event-time range, so the state store evicts click rows once
+    they fall behind ``error watermark − lookback`` — bounded state at
+    any input volume. Works unchanged on batch DataFrames
+    (``withWatermark`` is a no-op in batch), which is what the
+    equivalence test exploits.
     ``(user_id, error_id, error_time, click_time, click_value)``."""
     c = (
         with_event_time(clicks)
@@ -102,7 +111,7 @@ def stream_click_error_join(
         & (F.col("click_time") < F.col("error_time"))
         & (
             F.col("click_time")
-            >= F.col("error_time") - F.expr(f"INTERVAL {lookback_secs} SECONDS")
+            > F.col("error_time") - F.expr(f"INTERVAL {lookback_secs} SECONDS")
         ),
         "inner",
     ).select("user_id", "error_id", "error_time", "click_time", "click_value")
@@ -111,14 +120,16 @@ def stream_click_error_join(
 def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user (lag + cumulative-flag formulation —
     one shuffle on user_id): ``(user_id, session_id, n_events,
-    session_start, session_end, total_value)``; epoch-second bounds."""
-    gap_nanos = gap_minutes * 60 * NANOS_PER_SEC
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    session_start, session_end, total_value)``; epoch-second bounds.
+    Pure integer-µs arithmetic (see module docstring)."""
+    gap_us = gap_minutes * 60 * US_PER_SEC
+    ev = ev.withColumn("t_us", ts_us(ev))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            (F.lag("ts").over(w).isNull())
-            | (F.col("ts") - F.lag("ts").over(w) > gap_nanos),
+            (F.lag("t_us").over(w).isNull())
+            | (F.col("t_us") - F.lag("t_us").over(w) > gap_us),
             1,
         ).otherwise(0),
     ).withColumn(
@@ -129,7 +140,7 @@ def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
     return flagged.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.expr(f"min(ts) div {NANOS_PER_SEC}").alias("session_start"),
-        F.expr(f"max(ts) div {NANOS_PER_SEC}").alias("session_end"),
+        F.expr(f"min(t_us) div {US_PER_SEC}").alias("session_start"),
+        F.expr(f"max(t_us) div {US_PER_SEC}").alias("session_end"),
         F.sum("value").alias("total_value"),
     )

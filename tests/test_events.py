@@ -6,8 +6,9 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.sources.tables import ts_us
 from mahout_samsara_book_spark.streaming.events import (
-    NANOS_PER_SEC,
+    US_PER_SEC,
     sessionize,
     stream_click_error_join,
     stream_windowed_counts,
@@ -57,9 +58,11 @@ def test_stream_windowed_counts_matches_batch(spark, events, tmp_path_factory):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM ev_win_out").toPandas()
     batch = windowed_counts(events, "1 hour").toPandas()
-    max_sec = events.agg(
-        F.max(F.expr(f"ts div {NANOS_PER_SEC}"))
-    ).collect()[0][0]
+    max_sec = (
+        events.withColumn("t_us", ts_us(events))
+        .agg(F.max(F.expr(f"t_us div {US_PER_SEC}")))
+        .collect()[0][0]
+    )
     # append mode emits only windows finalized by the watermark
     finalized = batch[batch.window_start + 3600 <= max_sec]
     g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
