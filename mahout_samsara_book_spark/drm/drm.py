@@ -42,6 +42,12 @@ FEAT = "features"
 # explode); above it, explode-based plans or Arrow blocks take over.
 _NARROW_NCOL = 64
 
+# Dense-transpose width guard: t() output rows are nrow-wide doubles;
+# 65536 columns = 512 KB/row, the ceiling before per-row arrays start
+# dominating executor memory. Wider transposes must stay sparse (t_coo)
+# or aggregate (aggregate_rows_by_key).
+_T_MAX_WIDTH = 65_536
+
 
 def _rows_to_pdf(keys: np.ndarray, block: np.ndarray) -> pd.DataFrame:
     # dtype=object keeps an EMPTY features column list-typed — a plain
@@ -451,10 +457,24 @@ class Drm:
         Double transpose is peephole-eliminated (SURVEY §4: Samsara's
         ``A.t.t`` collapse): the returned Drm remembers its parent and
         ``t()`` on it returns the parent untouched.
+
+        Scale guard (VERDICT r2 item 5): the dense result's row width is
+        the INPUT's nrow — transposing a tall matrix would materialize
+        nrow-wide arrays on every row (60k rows → 480 KB/row; 100× that
+        is a hard stop). Widths beyond ``_T_MAX_WIDTH`` raise with
+        guidance: use :meth:`t_coo` (sparse triplets, no dense blowup)
+        or :meth:`aggregate_rows_by_key` (the aggregation use-case).
         """
         if self._transpose_of is not None and width is None:
             return self._transpose_of
         w = width if width is not None else self.nrow
+        if w is not None and w > _T_MAX_WIDTH:
+            raise ValueError(
+                f"t(): dense transpose of a {w}-row DRM would build "
+                f"{w}-wide rows (> _T_MAX_WIDTH={_T_MAX_WIDTH}). Use "
+                "t_coo() for a sparse transposed view, or "
+                "aggregate_rows_by_key() if the goal is per-key sums."
+            )
         exploded = (
             self.df.select(KEY, F.posexplode(F.col(FEAT)).alias("pos", "v"))
             .filter(F.col("v") != 0.0)
@@ -489,6 +509,24 @@ class Drm:
         out = Drm(assembled, ncol=w, nrow=self.ncol)
         out._transpose_of = self
         return out
+
+    def t_coo(self, aggregate: bool = True) -> DataFrame:
+        """Transpose as sparse triplets ``(row_id, pos, v)`` — the
+        any-width path: in COO form a transpose is a coordinate swap
+        (one narrow projection, NO shuffle unless aggregating). With
+        ``aggregate=True`` duplicate input row keys SUM into one output
+        column, matching :meth:`t`'s dup-key semantics (one groupBy with
+        map-side partial aggregation); pass ``False`` when keys are
+        known-unique to skip that shuffle entirely. Feed the result to
+        :meth:`from_coo` (with a sane ncol) or keep it relational."""
+        swapped = self.to_coo().select(
+            F.col("pos").cast("long").alias("row_id"),
+            F.col(KEY).cast("long").alias("pos"),
+            F.col("v"),
+        )
+        if not aggregate:
+            return swapped
+        return swapped.groupBy("row_id", "pos").agg(F.sum("v").alias("v"))
 
     def aggregate_rows_by_key(self) -> Drm:
         """The clean form of the reference's 'transpose trick' (§1.2:
@@ -685,6 +723,35 @@ class Drm:
         # linear pipeline, which also makes the unmaterialized
         # monotonically_increasing_id tag safe (no plan fork to
         # recompute it differently).
+        #
+        # PRECONDITION (VERDICT r2 item 6): the sentinel trick — and the
+        # matmul semantics themselves — require B's row keys to be
+        # positional 0..nrow-1 without duplicates (DrmLike[Int]'s
+        # contract; the codebase otherwise supports sparse keys via
+        # reindex()). A non-positional B would silently VANISH any A row
+        # whose kept entries reference only missing B keys. Validate with
+        # one narrow agg over B's key column (cheap next to the join
+        # itself) and fail loudly with guidance instead.
+        kstats = other.df.agg(
+            F.min(KEY).alias("kmin"),
+            F.max(KEY).alias("kmax"),
+            F.count(KEY).alias("kcnt"),
+            F.countDistinct(KEY).alias("kdst"),
+        ).first()
+        if (
+            kstats["kcnt"] != 0
+            and not (
+                kstats["kmin"] == 0
+                and kstats["kmax"] == kstats["kcnt"] - 1
+                and kstats["kcnt"] == kstats["kdst"]
+            )
+        ):
+            raise ValueError(
+                "mmul(strategy='coo') requires positional row keys "
+                f"0..nrow-1 on the right operand (got min={kstats['kmin']}, "
+                f"max={kstats['kmax']}, rows={kstats['kcnt']}, "
+                f"distinct={kstats['kdst']}). Call .reindex() on it first."
+            )
         tagged = self.df.withColumn("_rtag", F.monotonically_increasing_id())
         a_coo = tagged.select(
             "_rtag",

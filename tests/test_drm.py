@@ -248,3 +248,52 @@ def test_sample_k_rows_deterministic(spark, mx):
     assert np.allclose(s1, s2)
     s3 = d.sample_k_rows(5, seed=124)
     assert not np.allclose(s1, s3)
+
+
+def test_t_width_guard_and_t_coo(spark, mx):
+    """VERDICT r2 item 5: t() refuses to build rows wider than the
+    guard; t_coo() is the any-width sparse path with the same dup-key
+    SUM semantics."""
+    from mahout_samsara_book_spark.drm import drm as drm_mod
+
+    d = Drm.from_numpy(spark, mx, num_partitions=3)
+    # force the guard with a tiny threshold instead of a 65k-row fixture
+    orig = drm_mod._T_MAX_WIDTH
+    drm_mod._T_MAX_WIDTH = 8
+    try:
+        with pytest.raises(ValueError, match="t_coo"):
+            d.t()  # width would be nrow=40 > 8
+    finally:
+        drm_mod._T_MAX_WIDTH = orig
+    # t_coo matches the dense transpose without materializing wide rows
+    coo = d.t_coo().toPandas()
+    dense = np.zeros((6, 40))
+    dense[coo["row_id"].to_numpy(), coo["pos"].to_numpy()] = coo["v"].to_numpy()
+    assert np.allclose(dense, mx.T)
+    # dup-key SUM semantics match t(width=...)
+    labels = np.arange(40) % 4
+    dd = Drm.from_numpy(spark, mx, num_partitions=3).map_block(
+        lambda keys, block: (labels[keys], block)
+    )
+    coo2 = dd.t_coo().toPandas()
+    dense2 = np.zeros((6, 4))
+    dense2[coo2["row_id"].to_numpy(), coo2["pos"].to_numpy()] = coo2["v"].to_numpy()
+    expect = np.zeros((6, 4))
+    for lbl in range(4):
+        expect[:, lbl] = mx[labels == lbl].sum(axis=0)
+    assert np.allclose(dense2, expect)
+
+
+def test_mmul_coo_rejects_nonpositional_b(spark, mx):
+    """VERDICT r2 item 6: a right operand whose keys aren't positional
+    0..nrow-1 must error loudly (the sentinel pruning would silently
+    drop rows), and reindex() restores the contract."""
+    b = symmetric_uniform_view(6, 2, 79)
+    da = Drm.from_numpy(spark, mx, num_partitions=3)
+    db_bad = Drm.from_numpy(spark, b).map_block(
+        lambda keys, block: (keys * 10 + 3, block)  # sparse, offset keys
+    )
+    with pytest.raises(ValueError, match="reindex"):
+        da.mmul(db_bad, strategy="coo")
+    fixed = db_bad.reindex(unique_keys=True)
+    assert np.allclose(da.mmul(fixed, strategy="coo").collect(), mx @ b)
