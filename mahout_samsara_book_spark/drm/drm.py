@@ -860,15 +860,33 @@ class Drm:
         self,
         fn: Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]],
         ncol: int | None = None,
+        flavor: str = "dense",
     ) -> Drm:
         """``mapBlock(ncol?)(fn)`` (A12 — TWCNB.scala:90-147,
         BahmaniSketch.scala:23-26): per-block functional transform. ``fn``
-        receives ``(keys: int64[b], block: float64[b, ncol])`` numpy views
-        of one Arrow batch (the vertical block — SURVEY §1.2) and returns
-        possibly re-keyed / re-shaped ``(keys', block')``. Narrow unless
-        ``fn`` itself changes geometry."""
+        receives ``(keys: int64[b], block)`` and returns possibly
+        re-keyed / re-shaped ``(keys', block')``. Narrow unless ``fn``
+        itself changes geometry.
+
+        ``flavor`` is the in-core matrix-flavor dispatch (B5/B14 —
+        reference ``getFlavor``/``SparseRowMatrix``, ``MMul.scala:37-39``):
+
+        - ``dense``: ``block`` is a ``float64[b, ncol]`` numpy view of
+          one Arrow batch (the vertical block — SURVEY §1.2).
+        - ``sparse``: ``block`` is a :class:`~mahout_samsara_book_spark.
+          kernels.sparse.CsrMatrix` built from the COO view, so zeros
+          are filtered JVM-SIDE and the Python worker's peak memory is
+          O(nnz) — the 1e5-column TF-IDF shape never materializes
+          b×ncol doubles. ``fn`` sees the whole partition as one block
+          (Samsara's one-block-per-partition contract) and may return a
+          CsrMatrix or a dense array. Contract: row keys must be unique
+          (duplicate keys would merge) and all-zero rows do not reach
+          ``fn`` (COO carries no geometry for them).
+        """
         out_ncol = ncol if ncol is not None else self.ncol
         in_ncol = self.ncol
+        if flavor == "sparse":
+            return self._map_block_sparse(fn, in_ncol, out_ncol)
 
         def op(batches):
             for pdf in batches:
@@ -886,10 +904,49 @@ class Drm:
         out = self.df.mapInPandas(op, schema=f"{KEY} long, {FEAT} array<double>")
         return Drm(out, out_ncol, self._nrow if out_ncol == in_ncol else None)
 
+    def _map_block_sparse(self, fn, in_ncol: int, out_ncol: int) -> Drm:
+        """Sparse-flavor map_block: one CSR block per partition, fed from
+        the zero-pruned COO projection (see :meth:`map_block`)."""
+        from mahout_samsara_book_spark.kernels.sparse import CsrMatrix
+
+        coo = self.to_coo()
+
+        def op(batches):
+            rs, cs, vs = [], [], []
+            for pdf in batches:
+                if len(pdf):
+                    rs.append(pdf[KEY].to_numpy(dtype=np.int64))
+                    cs.append(pdf["pos"].to_numpy(dtype=np.int64))
+                    vs.append(pdf["v"].to_numpy(dtype=np.float64))
+            if not rs:
+                return
+            r = np.concatenate(rs)
+            keys, local = np.unique(r, return_inverse=True)
+            csr = CsrMatrix.from_coo(
+                local,
+                np.concatenate(cs),
+                np.concatenate(vs),
+                (len(keys), in_ncol),
+            )
+            keys2, block2 = fn(keys, csr)
+            if isinstance(block2, CsrMatrix):
+                block2 = block2.to_dense()
+            block2 = np.asarray(block2, dtype=np.float64)
+            if block2.ndim != 2 or block2.shape[1] != out_ncol:
+                raise ValueError(
+                    f"mapBlock fn returned shape {block2.shape}, "
+                    f"declared ncol={out_ncol}"
+                )
+            yield _rows_to_pdf(np.asarray(keys2, dtype=np.int64), block2)
+
+        out = coo.mapInPandas(op, schema=f"{KEY} long, {FEAT} array<double>")
+        return Drm(out, out_ncol)
+
     def allreduce_block(
         self,
         map_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
         reduce_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+        flavor: str = "dense",
     ) -> np.ndarray:
         """``allreduceBlock(mapFn, reduceFn)`` (A13 — TWCNB.scala:54-83,
         BahmaniSketch.scala:63-92): map each partition's block to an
@@ -898,7 +955,12 @@ class Drm:
         ``map_fn`` sees the whole partition (matching Samsara's
         one-block-per-partition contract); partials come back as rows and
         reduce on the driver — legal because allreduce results are
-        declared-small by contract."""
+        declared-small by contract.
+
+        ``flavor='sparse'`` hands ``map_fn`` a CSR block built from the
+        zero-pruned COO view (same contract as :meth:`map_block`): the
+        wide-TF-IDF partial (e.g. per-class colsums) then costs O(nnz)
+        worker memory instead of b×ncol."""
         in_ncol = self.ncol
 
         def op(batches):
@@ -928,8 +990,42 @@ class Drm:
                 }
             )
 
-        pdf = self.df.mapInPandas(
-            op, schema=f"pid int, ridx int, {FEAT} array<double>"
+        def op_sparse(batches):
+            from pyspark import TaskContext
+
+            from mahout_samsara_book_spark.kernels.sparse import CsrMatrix
+
+            pid = TaskContext.get().partitionId()
+            rs, cs, vs = [], [], []
+            for pdf in batches:
+                if len(pdf):
+                    rs.append(pdf[KEY].to_numpy(dtype=np.int64))
+                    cs.append(pdf["pos"].to_numpy(dtype=np.int64))
+                    vs.append(pdf["v"].to_numpy(dtype=np.float64))
+            if not rs:
+                return
+            r = np.concatenate(rs)
+            keys, local = np.unique(r, return_inverse=True)
+            csr = CsrMatrix.from_coo(
+                local, np.concatenate(cs), np.concatenate(vs), (len(keys), in_ncol)
+            )
+            partial = np.asarray(map_fn(keys, csr), dtype=np.float64)
+            if partial.ndim == 1:
+                partial = partial[None, :]
+            if partial.shape[0] == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "ridx": np.arange(partial.shape[0]),
+                    FEAT: pd.Series([r_.tolist() for r_ in partial], dtype=object),
+                }
+            )
+
+        src = self.to_coo() if flavor == "sparse" else self.df
+        pdf = src.mapInPandas(
+            op_sparse if flavor == "sparse" else op,
+            schema=f"pid int, ridx int, {FEAT} array<double>",
         ).toPandas()
         if len(pdf) == 0:
             raise ValueError("allreduce_block over an empty DRM")
