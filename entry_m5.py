@@ -622,6 +622,23 @@ FROM documents
 """
 
 
+def o_multimodal_decode() -> str:
+    # Replays multimodal._fake_decode byte-for-byte: media is
+    # UTF-8(text) and the corpus is pure ASCII (verified: 0 non-ASCII
+    # docs across SFs), so byte i == ascii(text[i+1]). The stride-8 fold
+    # with zero padding is just a groupBy on (i % 8) — padding adds
+    # zeros, which never change the stride-class sums.
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, (t.i - 1) % 8 AS pos, ascii(text[t.i]) AS b
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       {_sci_sql('(sum(b) % 997) / 997.0')} AS v
+FROM bytes GROUP BY doc_id, pos
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -659,5 +676,5 @@ def oracles() -> dict[str, str]:
         "text_token_stats": o_text_token_stats(),
         "text_fingerprint": o_text_fingerprint(),
         "multimodal_meta": o_multimodal_meta(),
-        # multimodal_decode: rows-only (numpy byte-fold stub)
+        "multimodal_decode": o_multimodal_decode(),
     }
