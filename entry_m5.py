@@ -127,6 +127,15 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _sci(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(
+        _augmented_docs(spark, sf_dir), n=3, threshold=0.5, max_df=None
+    )
+    return out.select("doc_a", "doc_b", _sci(F.col("jaccard")).alias("jaccard"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import simhash
 
@@ -404,6 +413,26 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
 """
 
 
+def o_dedup_ngram_jaccard() -> str:
+    # inverted-index candidates (any shared shingle hash) instead of LSH
+    # buckets; same exact-Jaccard verify as o_dedup_lsh_jaccard
+    return f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       {_sci_sql('CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)')} AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+"""
+
+
 def o_dedup_simhash() -> str:
     votes = ", ".join(
         f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s_{j}"
@@ -643,6 +672,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -664,6 +694,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": o_dedup_exact(),
         "dedup_minhash_sig": o_dedup_minhash_sig(),
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
+        "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_simhash": o_dedup_simhash(),
         "dedup_embedding": o_dedup_embedding(),
         "sim_cosine_topk": o_sim_cosine_topk(),

@@ -254,6 +254,58 @@ def minhash_lsh_dedup(
     )
 
 
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Standalone EXACT n-gram Jaccard near-dup — the non-probabilistic
+    sibling of :func:`minhash_lsh_dedup`: candidate pairs come from the
+    inverted index itself (docs sharing ≥1 shingle hash), then the exact
+    Jaccard verify. ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold;
+    no LSH false negatives.
+
+    Scale design: the self-join is on the 8-byte shingle hash, never
+    all-pairs — the pair stream is Σ df(h)² over shingles, so its cost
+    is governed by the inverted-index posting sizes, not corpus². At
+    100 TB the standard stop-gram cap applies: ``max_df`` drops shingles
+    appearing in more than max_df docs from the CANDIDATE stage only
+    (a shingle shared by half the corpus generates df²/2 pairs and
+    identifies nothing); the Jaccard itself is always computed on the
+    FULL shingle sets, so scores stay exact — only recall for pairs
+    whose entire overlap is stop-grams is traded, mirroring how a pair
+    sharing zero rare shingles is unlikely to clear any useful
+    threshold. With max_df=None the result is the exact all-sharing
+    ground truth (what the LSH pipeline approximates)."""
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    cand_src = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= F.lit(max_df))
+            .select("h")
+        )
+        cand_src = sh.join(rare, "h", "leftsemi")
+    a = cand_src.select(F.col(id_col).alias("doc_a"), "h").alias("pa")
+    b = cand_src.select(F.col(id_col).alias("doc_b"), "h").alias("pb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.doc_a") < F.col("pb.doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return ngram_jaccard(sh, pairs, id_col).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
 # ------------------------------------------------------------------ #
 # SimHash
 # ------------------------------------------------------------------ #

@@ -12,6 +12,7 @@ from mahout_samsara_book_spark.functions.text_analysis import (
     token_stats,
 )
 from mahout_samsara_book_spark.operators.dedup import (
+    ngram_jaccard_dedup,
     embedding_near_dups,
     exact_dedup,
     minhash_lsh_dedup,
@@ -78,6 +79,42 @@ def test_minhash_lsh_dedup_finds_near_dups(dup_docs):
     assert (0, 1) in found  # exact dup: jaccard 1.0
     assert (0, 2) in found  # near-dup
     assert (0, 3) not in found and (1, 3) not in found
+
+
+def test_ngram_jaccard_dedup_matches_lsh_ground_truth(dup_docs):
+    out = ngram_jaccard_dedup(dup_docs, n=3, threshold=0.5).toPandas()
+    found = {(int(a), int(b)): j for a, b, j in
+             zip(out.doc_a, out.doc_b, out.jaccard)}
+    assert found[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in found  # near-dup (no LSH false-negative risk)
+    assert (0, 3) not in found and (0, 4) not in found
+
+
+def test_ngram_jaccard_dedup_max_df_caps_candidates(spark):
+    # docs 0/1 share ONLY a corpus-wide stop-gram ("the quick brown" in
+    # every doc); docs 2/3 share a rare overlap. With max_df set below
+    # the corpus size, the stop-gram generates no candidates, so the
+    # 0/1 pair disappears while the rare-overlap pair keeps its EXACT
+    # full-set jaccard (the cap affects candidates, never scores).
+    stop = "the quick brown"
+    rows = [
+        (0, f"{stop} alpha beta gamma"),
+        (1, f"{stop} delta epsilon zeta"),
+        (2, f"{stop} shared rare overlap tail one"),
+        (3, f"{stop} shared rare overlap tail two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = ngram_jaccard_dedup(docs, n=3, threshold=0.01).toPandas()
+    capped = ngram_jaccard_dedup(
+        docs, n=3, threshold=0.01, max_df=3
+    ).toPandas()
+    full_pairs = {(int(a), int(b)) for a, b in zip(full.doc_a, full.doc_b)}
+    capped_pairs = {(int(a), int(b)) for a, b in zip(capped.doc_a, capped.doc_b)}
+    assert (0, 1) in full_pairs and (0, 1) not in capped_pairs
+    assert (2, 3) in capped_pairs
+    j_full = full.set_index(["doc_a", "doc_b"]).loc[(2, 3), "jaccard"]
+    j_capped = capped.set_index(["doc_a", "doc_b"]).loc[(2, 3), "jaccard"]
+    assert j_full == j_capped  # scores exact under the cap
 
 
 def test_simhash_near_dup(dup_docs):
