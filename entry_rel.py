@@ -382,8 +382,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.price_percentiles(spark, sf_dir)
+    return out.select(
+        "l_returnflag",
+        *[_sci(F.col(c)).alias(c) for c in ["p25", "p50", "p75", "p95"]],
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_percentiles() -> str:
+    cols = ", ".join(
+        f"{_sci_sql(f'quantile_cont(l_extendedprice, {p})')} AS p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.75, 0.95)
+    )
+    return f"""
+SELECT l_returnflag, {cols}, count(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.measure_unpivot(spark, sf_dir)
+    return out.select(
+        "l_returnflag",
+        "measure",
+        _sci(F.col("total")).alias("total"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def o_unpivot() -> str:
+    parts = [
+        f"SELECT l_returnflag, '{m}' AS measure, "
+        f"{_sci_sql(f'sum({m})')} AS total, count(*) AS n "
+        f"FROM lineitem GROUP BY 1"
+        for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    ]
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
     "rel_grouping_sets": q_grouping_sets,
+    "rel_percentiles": q_percentiles,
+    "rel_unpivot": q_unpivot,
     "rel_lead_lag": q_lead_lag,
     "rel_pivot": q_rel_pivot,
     "rel_range_join": q_range_join,
@@ -403,6 +445,8 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "rel_grouping_sets": o_grouping_sets(),
+        "rel_percentiles": o_percentiles(),
+        "rel_unpivot": o_unpivot(),
         "rel_lead_lag": o_lead_lag(),
         "rel_pivot": o_rel_pivot(),
         "rel_range_join": o_range_join(),

@@ -296,3 +296,54 @@ def range_join_clicks_before_errors(
             F.sum("value").alias("click_value_sum"),
         )
     )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (percentile_cont semantics: linear
+    interpolation between closest ranks) of l_extendedprice per
+    l_returnflag — the ordered-set aggregate category of §2E.
+
+    Scale note: EXACT percentiles buffer each group's values (Spark's
+    `percentile` agg). That is the right call here — group count is tiny
+    (3 flags) and cardinality-per-group is what a single executor sorts
+    comfortably; at 100 TB with huge groups the scale path is
+    `approx_percentile` (t-digest sketch, map-side mergeable), traded
+    deliberately because the DuckDB oracle must match bit-wise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("p"), F.count("*").alias("n_items"))
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+            F.col("p")[3].alias("p95"),
+            "n_items",
+        )
+    )
+
+
+def measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the four lineitem measures, then a
+    per-(flag, measure) rollup — the UNPIVOT category of §2E. The
+    unpivot is a narrow projection (each input row emits 4 (measure,
+    value) rows with NO shuffle — Catalyst expands it to an Expand
+    node); the only exchange is the final 12-group aggregation, fully
+    map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    up = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return up.groupBy("l_returnflag", "measure").agg(
+        F.sum("value").alias("total"),
+        F.count("*").alias("n"),
+    )
