@@ -422,10 +422,73 @@ def o_unpivot() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import (
+        dedup_replayed_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # simulate at-least-once delivery: every event arrives twice
+    replayed = ev.unionByName(ev)
+    out = dedup_replayed_events(replayed)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("t_sec").cast("long").alias("t_sec"),
+        _sci(F.col("value")).alias("value"),
+    )
+
+
+def o_ev_dedup() -> str:
+    # event_id is unique in the fixture, so dedup of the doubled relation
+    # is just the original relation
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
+       {_sci_sql('value')} AS value
+FROM events
+"""
+
+
+def q_ev_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import (
+        enriched_nation_counts,
+    )
+
+    out = enriched_nation_counts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_enriched() -> str:
+    return f"""
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       e.event_type,
+       count(*) AS n,
+       {_sci_sql('sum(e.value)')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rel_grouping_sets": q_grouping_sets,
     "rel_percentiles": q_percentiles,
     "rel_unpivot": q_unpivot,
+    "ev_dedup": q_ev_dedup,
+    "ev_enriched": q_ev_enriched,
     "rel_lead_lag": q_lead_lag,
     "rel_pivot": q_rel_pivot,
     "rel_range_join": q_range_join,
@@ -447,6 +510,8 @@ def oracles() -> dict[str, str]:
         "rel_grouping_sets": o_grouping_sets(),
         "rel_percentiles": o_percentiles(),
         "rel_unpivot": o_unpivot(),
+        "ev_dedup": o_ev_dedup(),
+        "ev_enriched": o_ev_enriched(),
         "rel_lead_lag": o_lead_lag(),
         "rel_pivot": o_rel_pivot(),
         "rel_range_join": o_range_join(),

@@ -144,3 +144,64 @@ def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.expr(f"max(t_us) div {US_PER_SEC}").alias("session_end"),
         F.sum("value").alias("total_value"),
     )
+
+
+def dedup_replayed_events(ev: DataFrame) -> DataFrame:
+    """Batch twin of :func:`stream_dedup_events`: keep one row per
+    event_id. Duplicates produced by at-least-once delivery are full-row
+    identical, so which copy survives is immaterial — output is
+    deterministic. ``(event_id, user_id, event_type, t_sec, value)``."""
+    ev = ev.withColumn("t_us", ts_us(ev))
+    return ev.dropDuplicates(["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(f"t_us div {US_PER_SEC}").alias("t_sec"),
+        "value",
+    )
+
+
+def stream_dedup_events(
+    ev_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming at-least-once dedup: ``dropDuplicatesWithinWatermark``
+    on event_id — the canonical replay-dedup shape. State holds one key
+    per event_id seen within the watermark horizon and is EVICTED once
+    the event time falls behind it, so state is bounded by (arrival
+    rate × watermark), not by stream history — the property that keeps
+    this runnable forever at 100 TB/day. A replayed duplicate arriving
+    within the horizon is dropped even if its timestamp differs slightly
+    from the original (the within-watermark contract, vs the exact-match
+    semantics of plain streaming dropDuplicates)."""
+    ev = ev_stream.withColumn("t_us", ts_us(ev_stream)).withColumn(
+        "event_time",
+        F.timestamp_seconds(F.expr(f"t_us div {US_PER_SEC}")),
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(f"t_us div {US_PER_SEC}").alias("t_sec"),
+            "value",
+        )
+    )
+
+
+def enriched_nation_counts(ev: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + rollup: events enriched with the
+    customer dimension (user_id → c_custkey) and aggregated per
+    (c_nationkey, event_type). The dimension side is explicitly
+    broadcast — on a stream the static side re-resolves per micro-batch
+    and the join is a broadcast hash join, so the unbounded side never
+    shuffles; in batch it is the same plan. Works on either a batch or
+    streaming ``ev`` (aggregation on a stream then needs an output mode,
+    see the streaming test)."""
+    dim = customers.select("c_custkey", "c_nationkey")
+    return (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy("c_nationkey", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )

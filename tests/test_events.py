@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from mahout_samsara_book_spark.sources.tables import ts_us
 from mahout_samsara_book_spark.streaming.events import (
     US_PER_SEC,
+    dedup_replayed_events,
+    enriched_nation_counts,
     sessionize,
+    stream_dedup_events,
     stream_click_error_join,
     stream_windowed_counts,
     windowed_counts,
@@ -104,3 +107,57 @@ def test_stream_stream_join_matches_batch(spark, events, tmp_path_factory):
     b = expect.sort_values(key).reset_index(drop=True)
     assert (g.error_id == b.error_id).all()
     assert abs(g.click_value - b.click_value).max() < 1e-12
+
+
+def test_stream_dedup_matches_batch(spark, events, tmp_path_factory):
+    """dropDuplicatesWithinWatermark over a doubled (at-least-once
+    replayed) stream ≡ batch dedup of the doubled relation ≡ the
+    original relation (event_id is unique in the fixture)."""
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    replayed = events.unionByName(events)
+    replayed.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    ded = stream_dedup_events(stream, watermark="30 minutes")
+    q = (
+        ded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ev_dedup_out").toPandas()
+    expect = dedup_replayed_events(replayed).toPandas()
+    assert len(got) == len(expect) == events.count()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    b = expect.sort_values("event_id").reset_index(drop=True)
+    assert (g.event_id == b.event_id).all()
+    assert (g.t_sec == b.t_sec).all()
+    assert abs(g.value - b.value).max() < 1e-12
+
+
+def test_stream_static_enrichment_matches_batch(
+    spark, events, tmp_path_factory
+):
+    """Stream-static broadcast join + agg (complete mode) ≡ batch."""
+    src = str(tmp_path_factory.mktemp("enrich_src"))
+    shutil.copy(f"{SF_DIR}/events.parquet", src)
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = enriched_nation_counts(stream, customers)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ev_enrich_out").toPandas()
+    expect = enriched_nation_counts(events, customers).toPandas()
+    key = ["c_nationkey", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = expect.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert (g.n == b.n).all()
+    assert abs(g.total_value - b.total_value).max() < 1e-9
