@@ -38,9 +38,10 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     None on Connect or if the internal API moves; callers then fall back
     to a count-based dispatch."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala.BigInt to a Python int on some Spark versions
+        # and hands back a JavaObject on others
+        return int(sz if isinstance(sz, int) else sz.toString())
     except Exception:  # noqa: BLE001 — internal API, any failure → fallback
         return None
 

@@ -90,6 +90,21 @@ def test_ngram_jaccard_dedup_matches_lsh_ground_truth(dup_docs):
     assert (0, 3) not in found and (0, 4) not in found
 
 
+def test_ngram_jaccard_dedup_strategies_agree(dup_docs):
+    # index (inline intersection count) and prefix (PPJoin candidates +
+    # full-set verify) are both exact — identical output
+    idx = ngram_jaccard_dedup(dup_docs, n=3, threshold=0.5).toPandas()
+    pfx = ngram_jaccard_dedup(
+        dup_docs, n=3, threshold=0.5, strategy="prefix"
+    ).toPandas()
+    key = ["doc_a", "doc_b"]
+    i = idx.sort_values(key).reset_index(drop=True)
+    p = pfx.sort_values(key).reset_index(drop=True)
+    assert len(i) == len(p) > 0
+    assert (i.doc_a == p.doc_a).all() and (i.doc_b == p.doc_b).all()
+    assert abs(i.jaccard - p.jaccard).max() < 1e-15
+
+
 def test_ngram_jaccard_dedup_max_df_caps_candidates(spark):
     # docs 0/1 share ONLY a corpus-wide stop-gram ("the quick brown" in
     # every doc); docs 2/3 share a rare overlap. With max_df set below
