@@ -1,0 +1,97 @@
+"""Interchange formats beyond the canonical parquet store: CSV, JSON
+Lines, and ORC read/write for every engine table.
+
+The parquet fixtures remain the source of truth; these are the
+import/export edges a production deployment needs (landing zones drop
+CSV/JSONL; ORC for Hive-ecosystem interop). All three ride Spark's
+native DataSource implementations, so scans stay columnar/vectorized
+where the format allows (ORC) and schema is supplied explicitly on read
+— never inferred, inference is a full extra pass at 100 TB and can
+silently widen types.
+
+Round-trip contracts (tested):
+
+- CSV: header on, explicit schema back; timestamps ISO-8601 with
+  microsecond precision (``timestampNTZFormat`` pinned); nested
+  ``array``/``map`` columns are NOT representable — callers drop or
+  serialize them first (:func:`flatten_for_csv`).
+- JSONL: full fidelity for nested types; timestamps pinned like CSV.
+- ORC: full fidelity incl. TIMESTAMP_NTZ, zlib by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_CSV_OPTS = {
+    "header": "true",
+    "timestampFormat": _TS_FMT,
+    "timestampNTZFormat": _TS_FMT,
+}
+_JSON_OPTS = {
+    "timestampFormat": _TS_FMT,
+    "timestampNTZFormat": _TS_FMT,
+}
+
+
+def _is_nested(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+
+
+def flatten_for_csv(df: DataFrame) -> DataFrame:
+    """CSV cannot carry nested columns: serialize them to JSON strings
+    (reversible with ``from_json`` given the original schema)."""
+    cols = [
+        F.to_json(F.col(f.name)).alias(f.name)
+        if _is_nested(f.dataType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    flatten_for_csv(df).write.mode(mode).options(**_CSV_OPTS).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Explicit-schema CSV read; nested columns in the target schema are
+    parsed back from their JSON-string serialization."""
+    flat = T.StructType(
+        [
+            T.StructField(f.name, T.StringType() if _is_nested(f.dataType)
+                          else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    raw = spark.read.options(**_CSV_OPTS).schema(flat).csv(path)
+    cols = [
+        F.from_json(F.col(f.name), f.dataType).alias(f.name)
+        if _is_nested(f.dataType)
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    return raw.select(*cols)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).options(**_JSON_OPTS).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    return spark.read.options(**_JSON_OPTS).schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
