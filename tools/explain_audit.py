@@ -209,6 +209,29 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p10 = plan_of(ngram_jaccard_dedup(docs, n=3, threshold=0.5))
+    checks.append(
+        (
+            "ngram_jaccard_dedup (inline intersection count)",
+            p10,
+            [
+                (
+                    "intersection counted in the candidate join "
+                    "(map-side partial count, no second shingle pass)",
+                    "partial_count" in p10,
+                ),
+                (
+                    "no cartesian/nested-loop pair generation",
+                    "CartesianProduct" not in p10
+                    and "BroadcastNestedLoopJoin" not in p10,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
