@@ -303,19 +303,32 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation between closest ranks) of l_extendedprice per
     l_returnflag — the ordered-set aggregate category of §2E.
 
-    Scale note: EXACT percentiles buffer each group's values (Spark's
-    `percentile` agg). That is the right call here — group count is tiny
-    (3 flags) and cardinality-per-group is what a single executor sorts
-    comfortably; at 100 TB with huge groups the scale path is
-    `approx_percentile` (t-digest sketch, map-side mergeable), traded
-    deliberately because the DuckDB oracle must match bit-wise."""
+    Scale design — weighted two-level formulation: a naive
+    ``percentile(col, ps)`` buffers EVERY row of a group inside one
+    ObjectHashAggregate task (measured: a single task pinned for
+    9+ minutes at the 6M-row scale experiment — each buffered row is an
+    UnsafeRow append-copy, and with 3 groups there is no parallelism to
+    hide it). Instead, duplicate values first collapse in a fully
+    parallel codegen'd ``groupBy(flag, value).count()`` (map-side
+    combinable, any number of tasks), and the exact percentile runs over
+    the (value, frequency) relation via ``percentile(value, ps, freq)``
+    — semantically the frequency-expanded multiset, so the result is
+    BIT-IDENTICAL to the row-level aggregate and to DuckDB's
+    quantile_cont, while the single-threaded buffer holds only the
+    distinct values of a group. For groups whose distinct-value count
+    itself is huge, the remaining scale lever is ``approx_percentile``
+    (t-digest, fully mergeable) — traded here because the oracle must
+    match exactly."""
     li = load_table(spark, sf_dir, "lineitem")
+    vf = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("freq")
+    )
     p = F.expr(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), freq)"
     )
     return (
-        li.groupBy("l_returnflag")
-        .agg(p.alias("p"), F.count("*").alias("n_items"))
+        vf.groupBy("l_returnflag")
+        .agg(p.alias("p"), F.sum("freq").alias("n_items"))
         .select(
             "l_returnflag",
             F.col("p")[0].alias("p25"),
