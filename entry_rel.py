@@ -483,10 +483,29 @@ GROUP BY 1, 2
 """
 
 
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.customer_set_ops(spark, sf_dir)
+    return out.select(F.col("o_custkey").cast("long").alias("o_custkey"))
+
+
+def o_setops() -> str:
+    return """
+(SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+ WHERE year(o_orderdate) = 1995
+ INTERSECT
+ SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+ WHERE year(o_orderdate) = 1996)
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
 QUERIES = {
     "rel_grouping_sets": q_grouping_sets,
     "rel_percentiles": q_percentiles,
     "rel_unpivot": q_unpivot,
+    "rel_setops": q_setops,
     "ev_dedup": q_ev_dedup,
     "ev_enriched": q_ev_enriched,
     "rel_lead_lag": q_lead_lag,
@@ -510,6 +529,7 @@ def oracles() -> dict[str, str]:
         "rel_grouping_sets": o_grouping_sets(),
         "rel_percentiles": o_percentiles(),
         "rel_unpivot": o_unpivot(),
+        "rel_setops": o_setops(),
         "ev_dedup": o_ev_dedup(),
         "ev_enriched": o_ev_enriched(),
         "rel_lead_lag": o_lead_lag(),

@@ -360,3 +360,18 @@ def measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total"),
         F.count("*").alias("n"),
     )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True set operators (§2E title: 'set-ops'): customers ordering in
+    BOTH 1995 and 1996 (INTERSECT) minus customers with any 'F'-status
+    order (EXCEPT). Catalyst rewrites both set-ops into left-semi /
+    left-anti hash joins over pre-aggregated distinct keys — no sort,
+    shuffles carry distinct custkeys only, so each exchange is bounded
+    by customer cardinality, not order count."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    c95 = o.filter(y == 1995).select("o_custkey")
+    c96 = o.filter(y == 1996).select("o_custkey")
+    cf = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return c95.intersect(c96).subtract(cf)
