@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.functions.text import tokenize
+from mahout_samsara_book_spark.operators.similarity import ensure_min_partitions
 from mahout_samsara_book_spark.operators.hashing import (
     P31,
     affine,
@@ -100,6 +101,7 @@ def shingle_hashes(
     gram string: one md5 per token rather than per n-gram, and no gram
     string allocations at all. The DuckDB oracle replays the identical
     integer math."""
+    docs = ensure_min_partitions(docs)
     toks = tokenize(F.col(text_col))
     th = F.transform(toks, lambda t: h31(t))
 
@@ -492,7 +494,7 @@ def embedding_near_dups(
         _pick_verify_strategy,
     )
 
-    base = emb.select(
+    base = ensure_min_partitions(emb).select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
     )

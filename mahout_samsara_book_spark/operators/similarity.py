@@ -59,6 +59,21 @@ def _pick_verify_strategy(
     return "broadcast" if base.count() <= 200_000 else "join"
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Small-file inputs arrive as one or two scan partitions (a whole
+    fixture table fits one ``maxPartitionBytes`` split), and every stage
+    Catalyst pipelines onto that scan — candidate self-joins, explode +
+    partial aggregation — then runs on ONE core regardless of cluster
+    size. Repartition up to the session's default parallelism when the
+    plan is below it; when the scan is already wide (any real-scale
+    table) this is a no-op, so no gratuitous shuffle at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.select(
         F.col(id_col),
@@ -90,6 +105,7 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    emb = ensure_min_partitions(emb)
     base = _normed(emb, id_col, vec_col)
     if strategy == "auto":
         strategy = (
@@ -205,7 +221,7 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = emb.crossJoin(F.broadcast(centers)).select(
+    scored = ensure_min_partitions(emb).crossJoin(F.broadcast(centers)).select(
         F.col(id_col), F.col("cid"), d2.alias("d2")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
@@ -242,7 +258,7 @@ def ivf_topk(
         F.col("d2").asc(), F.col("cid").asc()
     )
     probes = (
-        emb.crossJoin(F.broadcast(centers))
+        ensure_min_partitions(emb).crossJoin(F.broadcast(centers))
         .select(F.col(id_col), F.col("cid"), d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
@@ -304,7 +320,7 @@ def lsh_sign_buckets(
     """``(vec_id, bucket)`` — bucket = packed sign bits of ±1-projections.
     The planes are literal ±1 vectors, so each projection is one
     ``zip_with``/``aggregate`` fold — no UDF, oracle-replayable."""
-    base = emb.select(
+    base = ensure_min_partitions(emb).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     # ONE parsed SQL string instead of n_planes×dim py4j-built literal
@@ -330,6 +346,7 @@ def lsh_topk(
     ``(vec_id, neighbor, cosine, rank)``. Per-table collision prob for
     angle θ is (1-θ/π)^n_planes — size n_planes for bucket width,
     n_tables for recall."""
+    emb = ensure_min_partitions(emb)
     base = _normed(emb, id_col, vec_col)
     # ALL tables' buckets in ONE scan (8×4 sign projections in a single
     # codegen'd projection), exploded to (table, bucket) rows, then a

@@ -49,6 +49,15 @@ def get_spark(
         # nanos and is a no-op for the current TIMESTAMP(MICROS) fixtures.
         # sources.tables.ts_us normalizes both representations.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan-split size scaled to the test SFs: the fixtures are single
+        # parquet files (sf1 lineitem ≈ 100 MB), and the 128 MB default
+        # hands an entire table to ONE scan task — every stage pipelined
+        # onto the scan (explode + partial agg, broadcast-join probe)
+        # then runs serially no matter how many cores local[32] has.
+        # 8 MB splits the biggest fixture ~16-way. A real cluster tunes
+        # this per deployment (at 100 TB the default's ~800k splits are
+        # already far beyond executor count).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
