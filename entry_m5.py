@@ -183,7 +183,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = lsh_topk(emb, k=3, n_planes=3, n_tables=8, seed=5)
+    # n_planes='auto' resolves to 3 at the driver-checked SF (500
+    # vectors), matching the oracle's baked plane literals, and scales
+    # the bucket grid with the corpus beyond it (9 planes at the sf1
+    # scale fixture — see lsh_topk docstring)
+    out = lsh_topk(emb, k=3, n_planes="auto", n_tables=8, seed=5)
     return out.select(
         "vec_id",
         "neighbor",

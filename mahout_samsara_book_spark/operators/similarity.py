@@ -332,7 +332,7 @@ def lsh_sign_buckets(
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | str = "auto",
     n_tables: int = 8,
     seed: int = 5,
     id_col: str = "vec_id",
@@ -345,8 +345,23 @@ def lsh_topk(
     standard multi-probe recall lever: P(found) = 1-(1-p^planes)^tables).
     ``(vec_id, neighbor, cosine, rank)``. Per-table collision prob for
     angle θ is (1-θ/π)^n_planes — size n_planes for bucket width,
-    n_tables for recall."""
+    n_tables for recall.
+
+    ``n_planes='auto'`` sizes the bucket grid to the CORPUS:
+    ``max(3, ceil(log2(n / 64)))`` targets ~64-vector buckets. A fixed
+    plane count is the classic LSH scale trap — bucket width grows
+    linearly with the corpus and candidate volume quadratically (a fixed
+    3-plane/8-bucket grid at the 20k-vector scale fixture produced
+    ~200M candidate pairs and minutes of GC-bound aggregation; auto
+    sizing to 9 planes cuts it ~50×). Costs one metadata-only count()
+    on the scan; pass an int to pin the grid (the registered query's
+    oracle bakes plane literals, so it pins at the driver-checked SF)."""
+    import math
+
     emb = ensure_min_partitions(emb)
+    if n_planes == "auto":
+        n = emb.count()
+        n_planes = max(3, min(12, math.ceil(math.log2(max(n, 2) / 64))))
     base = _normed(emb, id_col, vec_col)
     # ALL tables' buckets in ONE scan (8×4 sign projections in a single
     # codegen'd projection), exploded to (table, bucket) rows, then a
