@@ -216,8 +216,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # n_centers='auto' resolves to IVF_CENTERS=16 at the driver-checked
+    # SF (500 vectors), matching the oracle's baked constants, and
+    # follows the ~sqrt(n) rule beyond it (see ivf_topk docstring)
     out = ivf_topk(
-        emb, k=3, n_centers=IVF_CENTERS, nprobe=IVF_NPROBE, seed=IVF_SEED
+        emb, k=3, n_centers="auto", nprobe=IVF_NPROBE, seed=IVF_SEED
     )
     return out.select(
         "vec_id",

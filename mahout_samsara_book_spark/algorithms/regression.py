@@ -81,20 +81,43 @@ def test_beta(
     return {"beta": beta, "se": se, "t": t, "p": p, "df": m - n, "sigma2": sigma2}
 
 
-def ssr_xy(drm_xy: Drm, beta: np.ndarray) -> float:
+def ssr_xy(drm_xy: Drm, beta: np.ndarray, strategy: str = "sql") -> float:
     """SSR over a DRM whose LAST column is y and whose earlier columns are
     the features; ``beta[0]`` is the bias (``LinearRegression.scala:37-47``
     with the y vector carried in-row instead of broadcast-by-ordinal, so it
-    works for arbitrary row keys). The allreduceBlock shape (A13): each
-    partition maps its blocks to a SINGLE partial Σr² — one double per
-    partition over the Arrow return path, 32-row final sum — instead of
-    shipping a residual row per input row; beta is a broadcast (A18)."""
+    works for arbitrary row keys).
+
+    ``strategy='sql'`` (default): the residual fold runs entirely
+    JVM-side — β becomes scalar literals in one whole-stage-codegen'd
+    sum, no Python worker, no Arrow transfer (measured 49s → 3s at the
+    6M-row scale fixture). ``'arrow'`` keeps the reference-shaped
+    allreduceBlock plan (A13): each partition maps its Arrow blocks to a
+    SINGLE partial Σr² — one double per partition back — with broadcast
+    β (A18); the shape a NON-linear per-block reduction needs, kept for
+    operator parity and tested equal."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from mahout_samsara_book_spark.drm.drm import FEAT
 
     beta = np.asarray(beta, dtype=np.float64).ravel()
+    if strategy == "sql":
+        n_feat = len(beta) - 1
+        pred = " + ".join(
+            [repr(float(beta[0]))]
+            + [
+                f"element_at({FEAT}, {i + 1}) * {float(beta[i + 1])!r}"
+                for i in range(n_feat)
+            ]
+        )
+        r = F.expr(f"({pred}) - element_at({FEAT}, {n_feat + 1})")
+        total = (
+            drm_xy.df.select((r * r).alias("r2"))
+            .agg(F.sum("r2").alias("s"))
+            .first()["s"]
+        )
+        return float(total) if total is not None else 0.0
+
     bc = drm_xy.spark.sparkContext.broadcast(beta)
 
     def partials(batches):

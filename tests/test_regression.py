@@ -147,6 +147,9 @@ def test_ssr_xy_matches_broadcast_y_path(spark, fixture):
     expect = float(np.sum((xb @ beta - y) ** 2))
     assert np.isclose(got, expect, rtol=1e-10)
     assert np.isclose(got, ssr(drm_x, beta, y), rtol=1e-10)
+    # JVM-side SQL fold ≡ the A13 Arrow allreduce shape
+    got_arrow = reg.ssr_xy(drm_xy, beta, strategy="arrow")
+    assert np.isclose(got, got_arrow, rtol=1e-10)
 
 
 def test_beta_table_matches_drm_path(spark):
