@@ -136,6 +136,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _sci(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(
+        _augmented_docs(spark, sf_dir),
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    out = dup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import simhash
 
@@ -420,6 +441,31 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
 """
 
 
+def o_dedup_clusters() -> str:
+    # connected components via recursive transitive closure over the
+    # SAME LSH pair graph (the pairs CTE nests the full lsh_jaccard
+    # oracle); cluster = smallest reachable id — identical fixpoint to
+    # the engine's min-label propagation
+    return f"""
+WITH RECURSIVE pairs AS (
+{o_dedup_lsh_jaccard()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT CAST(src AS BIGINT) AS doc_id,
+       CAST(least(src, min(dst)) AS BIGINT) AS cluster
+FROM reach GROUP BY src
+"""
+
+
 def o_dedup_ngram_jaccard() -> str:
     # inverted-index candidates (any shared shingle hash) instead of LSH
     # buckets; same exact-Jaccard verify as o_dedup_lsh_jaccard
@@ -680,6 +726,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -702,6 +749,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash_sig": o_dedup_minhash_sig(),
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
+        "dedup_clusters": o_dedup_clusters(),
         "dedup_simhash": o_dedup_simhash(),
         "dedup_embedding": o_dedup_embedding(),
         "sim_cosine_topk": o_sim_cosine_topk(),

@@ -547,3 +547,65 @@ def embedding_near_dups(
     return base.mapInPandas(
         pairs, schema="vec_a long, vec_b long, cosine double"
     )
+
+
+# ------------------------------------------------------------------ #
+# duplicate clustering (connected components over the pair graph)
+# ------------------------------------------------------------------ #
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step that
+    turns pairwise matches into dedup GROUPS so a pipeline can keep one
+    canonical doc per cluster. ``(doc_id, cluster)`` for every doc in at
+    least one pair; cluster = smallest doc_id in the component.
+
+    Min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (a handful of
+    rounds), and each round is one equi-join + one groupBy, both linear
+    in edge count. ``localCheckpoint`` cuts the lineage each round so
+    plan depth stays O(1) instead of O(rounds) — the classic iterative-
+    algorithm trap at scale. The driver-side loop runs one tiny count
+    action per round (the convergence test), matching the reference's
+    iterative-algorithm shape (Bahmani dSample)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))

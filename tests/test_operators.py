@@ -12,6 +12,7 @@ from mahout_samsara_book_spark.functions.text_analysis import (
     token_stats,
 )
 from mahout_samsara_book_spark.operators.dedup import (
+    dup_clusters,
     ngram_jaccard_dedup,
     embedding_near_dups,
     exact_dedup,
@@ -130,6 +131,19 @@ def test_ngram_jaccard_dedup_max_df_caps_candidates(spark):
     j_full = full.set_index(["doc_a", "doc_b"]).loc[(2, 3), "jaccard"]
     j_capped = capped.set_index(["doc_a", "doc_b"]).loc[(2, 3), "jaccard"]
     assert j_full == j_capped  # scores exact under the cap
+
+
+def test_dup_clusters_connected_components(spark):
+    # chain 1-2-3 + triangle 10-11-12 + isolated pair (20, 21):
+    # components resolve to their min id even when no direct edge
+    # connects the extremes (label propagation over >1 hop)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = dup_clusters(pairs).toPandas()
+    got = dict(zip(out.doc_id, out.cluster))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 def test_simhash_near_dup(dup_docs):
