@@ -157,6 +157,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.pipeline import (
+        select_training_docs,
+    )
+
+    out = select_training_docs(
+        _augmented_docs(spark, sf_dir),
+        quality_min=0.65,
+        lang="en",
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def o_docs_pipeline() -> str:
+    # the full selection chain with each stage's oracle nested as a CTE
+    # (quality raw for the numeric threshold; clusters bring their own
+    # WITH RECURSIVE scope)
+    return f"""
+WITH
+{_AUG_DOCS_SQL},
+q AS ({o_text_quality('aug', raw=True)}),
+l AS ({o_text_langid('aug')}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+clus AS ({o_dedup_clusters()})
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id
+FROM aug a
+JOIN q ON a.doc_id = q.doc_id
+JOIN l ON a.doc_id = l.doc_id
+JOIN keepers kp ON a.doc_id = kp.doc_id
+WHERE q.quality >= 0.65 AND l.lang_pred = 'en'
+  AND a.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import simhash
 
@@ -612,7 +651,7 @@ SELECT vec_id, {bits} AS bucket FROM b
 """
 
 
-def o_text_langid() -> str:
+def o_text_langid(src: str = "documents") -> str:
     from mahout_samsara_book_spark.functions.text_analysis import LANG_PROFILES
 
     per_lang = " UNION ALL ".join(
@@ -622,7 +661,7 @@ def o_text_langid() -> str:
         for lang, words in sorted(LANG_PROFILES.items())
     )
     return f"""
-WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM {src}),
 scores AS ({per_lang}),
 ranked AS (
   SELECT doc_id, lang, score,
@@ -637,12 +676,13 @@ FROM ranked WHERE rn = 1
 """
 
 
-def o_text_quality() -> str:
+def o_text_quality(src: str = "documents", raw: bool = False) -> str:
     from mahout_samsara_book_spark.functions.text_analysis import LANG_PROFILES
 
     en = LANG_PROFILES["en"]
+    fmt = (lambda e: f"({e})") if raw else _sci_sql
     return rf"""
-WITH tk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+WITH tk AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM {src}),
 feat AS (
   SELECT doc_id,
     len(list_filter(toks, t -> list_contains({en!r}::VARCHAR[], t)))
@@ -656,10 +696,10 @@ feat AS (
   FROM tk
 )
 SELECT doc_id,
-  {_sci_sql('stop_ratio')} AS stopword_ratio,
-  {_sci_sql('alpha_ratio')} AS alpha_ratio,
-  {_sci_sql('mean_len')} AS mean_tok_len,
-  {_sci_sql(
+  {fmt('stop_ratio')} AS stopword_ratio,
+  {fmt('alpha_ratio')} AS alpha_ratio,
+  {fmt('mean_len')} AS mean_tok_len,
+  {fmt(
       "least(1.0, 0.35 * least(stop_ratio * 4.0, 1.0) + 0.35 * alpha_ratio"
       " + 0.15 * len_band"
       " + 0.15 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0"
@@ -727,6 +767,7 @@ QUERIES = {
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "docs_pipeline": q_docs_pipeline,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -750,6 +791,7 @@ def oracles() -> dict[str, str]:
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_clusters": o_dedup_clusters(),
+        "docs_pipeline": o_docs_pipeline(),
         "dedup_simhash": o_dedup_simhash(),
         "dedup_embedding": o_dedup_embedding(),
         "sim_cosine_topk": o_sim_cosine_topk(),

@@ -1,0 +1,77 @@
+"""End-to-end training-set selection: the composition the individual
+north-star operators exist FOR — a pretraining-corpus filter chain
+(C4/Gopher-style) run as ONE Spark job graph:
+
+    quality floor → language filter → exact-dup keeper →
+    near-dup cluster keeper → selected doc ids
+
+Every stage is the registered operator (quality_score, language_id,
+exact_dedup, minhash_lsh_dedup + dup_clusters), composed with semi/anti
+joins so the doc relation streams through once per filter and nothing
+materializes driver-side. The DuckDB oracle replays the identical chain
+by nesting each stage's oracle SQL as a CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text_analysis import (
+    language_id,
+    quality_score,
+)
+from mahout_samsara_book_spark.operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    minhash_lsh_dedup,
+)
+
+
+def select_training_docs(
+    docs: DataFrame,
+    quality_min: float = 0.65,
+    lang: str = "en",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id,)`` of documents that pass all four filters. Semi/anti
+    joins keep every stage's output key-only (8-byte ids on the wire);
+    the near-dup stage keeps exactly one doc per connected component
+    (the cluster minimum), subsuming exact dups that also collide in
+    LSH while the explicit exact-keeper stage guarantees byte-identical
+    dups dedup even when shingling misses them (short docs)."""
+    q_ok = (
+        quality_score(docs, id_col, text_col)
+        .filter(F.col("quality") >= F.lit(quality_min))
+        .select(id_col)
+    )
+    l_ok = (
+        language_id(docs, id_col, text_col)
+        .filter(F.col("lang_pred") == F.lit(lang))
+        .select(id_col)
+    )
+    keep_exact = exact_dedup(docs, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    pairs = minhash_lsh_dedup(
+        docs, n=n, k=k, bands=bands, seed=seed, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    losers = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return (
+        docs.select(id_col)
+        .join(q_ok, id_col, "leftsemi")
+        .join(l_ok, id_col, "leftsemi")
+        .join(keep_exact, id_col, "leftsemi")
+        .join(losers, id_col, "left_anti")
+    )
