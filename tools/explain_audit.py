@@ -200,9 +200,10 @@ def main() -> int:
             [
                 ("bucket self-join broadcast", "BroadcastHashJoin" in p9),
                 (
-                    "ONE shuffle (map-side partial collect_set; no "
-                    "distinct or window shuffles)",
-                    n_shuffles(p9) == 1,
+                    "TWO shuffles: the small-input parallelism "
+                    "repartition (no-op at scale) + the collect_set "
+                    "groupBy; no distinct or window shuffles",
+                    n_shuffles(p9) <= 2 and "Sort " not in p9,
                 ),
                 ("partial neighbor-set aggregation", "partial_collect_set" in p9),
             ],
