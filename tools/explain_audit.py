@@ -200,10 +200,11 @@ def main() -> int:
             [
                 ("bucket self-join broadcast", "BroadcastHashJoin" in p9),
                 (
-                    "TWO shuffles: the small-input parallelism "
-                    "repartition (no-op at scale) + the collect_set "
-                    "groupBy; no distinct or window shuffles",
-                    n_shuffles(p9) <= 2 and "Sort " not in p9,
+                    "ONE data shuffle (collect_set groupBy) + the "
+                    "small-input parallelism repartition executed per "
+                    "self-join side (no-op at scale); no distinct or "
+                    "window shuffles, no sorts",
+                    n_shuffles(p9) <= 3 and " Sort " not in p9,
                 ),
                 ("partial neighbor-set aggregation", "partial_collect_set" in p9),
             ],
