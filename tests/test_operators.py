@@ -288,3 +288,21 @@ def test_multimodal_real_codec_raises(spark, dup_docs):
     )
     with pytest.raises(Exception, match="codec"):
         decode_features(media).collect()
+
+
+def test_ensure_min_partitions_contract(spark):
+    from mahout_samsara_book_spark.operators.similarity import (
+        ensure_min_partitions,
+    )
+
+    narrow = spark.range(1000).repartition(2)
+    widened = ensure_min_partitions(narrow)
+    assert widened.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    # already-wide input passes through untouched (no added shuffle at
+    # scale): same plan object back
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism + 8
+    )
+    assert ensure_min_partitions(wide) is wide
