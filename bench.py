@@ -59,6 +59,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                # a slow query's rep-2 steady-state gain isn't worth
+                # doubling its wall contribution — bound total harness
+                # time (first rep is the pessimistic estimate; recorded
+                # as-is)
+                if best > 30.0:
+                    break
             times[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — any query failure is recorded
             errors[name] = f"{type(e).__name__}: {e}"[:500]
