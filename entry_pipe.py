@@ -1,0 +1,341 @@
+"""Training-set assembly + sketch registry (north-star extensions,
+round 3): deterministic split / stratified sample / shard / pack,
+KMV distinct sketches, and three more relational join/JSON queries.
+Merged into __spark_entry__ like entry_m5 / entry_rel.
+
+Every oracle REPLAYS the engine pipeline over the same portable
+md5-derived hash (operators/hashing.py) so hash-matches certify the
+full decision chain, not just output shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.hashing import h60_sql
+
+_sci = None
+_sci_sql = None
+
+
+def _init(sci, sci_sql):
+    global _sci, _sci_sql
+    _sci, _sci_sql = sci, sci_sql
+
+
+# DuckDB twin of functions.text.tokenize (same regex class)
+TOKS_SQL = (
+    r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+'), "
+    r"t -> t <> '')"
+)
+
+SEED = 42
+N_SHARDS = 8
+PACK_BUDGET = 512
+KMV_K = 32
+_H60_SPAN_F = float(1 << 60)
+
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.1}
+
+
+def _doc_hash_sql(seed: int = SEED) -> str:
+    return h60_sql(f"concat('s{seed}:', CAST(doc_id AS VARCHAR))")
+
+
+# ------------------------------------------------------------------ #
+# selection queries
+# ------------------------------------------------------------------ #
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assign(docs, seed=SEED)
+
+
+def o_split_assign() -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_doc_hash_sql()} % 1000 AS bucket FROM documents)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang", STRATA_FRACTIONS, seed=SEED)
+    return out.select("doc_id", "lang")
+
+
+def o_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(v * 10000))}"
+        for k, v in sorted(STRATA_FRACTIONS.items())
+    )
+    draw = h60_sql(
+        f"concat('s{SEED}:', lang, ':', CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {draw} % 10000 < (CASE {cases} ELSE 0 END)
+"""
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import shard_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_assign(docs, N_SHARDS, seed=SEED)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def o_shard_assign() -> str:
+    return f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM (SELECT doc_id, {_doc_hash_sql()} % {N_SHARDS} AS shard,
+             {_doc_hash_sql()} AS h
+      FROM documents)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text import tokenize
+    from mahout_samsara_book_spark.operators.selection import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    out = pack_sequences(
+        docs, "n_tok", PACK_BUDGET, N_SHARDS, seed=SEED
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "pack_id",
+        "pack_off",
+    )
+
+
+def o_pack_sequences() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, len({TOKS_SQL}) AS tok,
+                  {_doc_hash_sql()} AS h
+           FROM documents),
+c AS (SELECT doc_id, h % {N_SHARDS} AS shard,
+             COALESCE(SUM(tok) OVER (
+                 PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum
+      FROM t)
+SELECT doc_id, shard,
+       CAST(floor(cum / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(cum % {PACK_BUDGET} AS BIGINT) AS pack_off
+FROM c
+"""
+
+
+# ------------------------------------------------------------------ #
+# sketch queries
+# ------------------------------------------------------------------ #
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=KMV_K)
+
+
+def _kmv_tail_sql(k: int = KMV_K) -> str:
+    """Shared rank→sketch→estimate tail over a CTE named ``hashed``
+    with columns (grp, h)."""
+    return f"""
+r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+      FROM hashed),
+sk AS (SELECT grp, max(h) AS rk, count(*) AS n_seen
+       FROM r WHERE r <= {k} GROUP BY grp)
+SELECT grp AS event_type,
+       CAST(floor(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE)
+                       ELSE ({float(k - 1)} * {_H60_SPAN_F}) / rk END)
+            AS BIGINT) AS n_est,
+       CAST(n_seen AS BIGINT) AS n_seen
+FROM sk
+"""
+
+
+def o_kmv_distinct() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         {h60_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+{_kmv_tail_sql()}
+"""
+
+
+def q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import (
+        kmv_union_distinct,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+    )
+    return kmv_union_distinct(
+        ev, "event_type", ("user_id", "k_str"), k=KMV_K
+    )
+
+
+def o_kmv_union() -> str:
+    return f"""
+WITH stacked AS (
+  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS v FROM events
+  UNION ALL
+  SELECT event_type AS grp, json_extract_string(props, '$.k') AS v
+  FROM events
+),
+hashed AS (
+  SELECT DISTINCT grp, {h60_sql("v")} AS h FROM stacked
+),
+{_kmv_tail_sql()}
+"""
+
+
+# ------------------------------------------------------------------ #
+# relational queries
+# ------------------------------------------------------------------ #
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        shipping_priority,
+    )
+
+    out = shipping_priority(spark, sf_dir, k=10)
+    return out.select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        _sci(F.col("revenue")).alias("revenue"),
+    )
+
+
+def o_shipping_priority() -> str:
+    return f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_sci_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import large_orders
+
+    out = large_orders(spark, sf_dir, min_qty=150.0)
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        _sci(F.col("o_totalprice")).alias("totalprice"),
+        _sci(F.col("total_qty")).alias("total_qty"),
+    )
+
+
+def o_large_orders() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150.0
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_sci_sql("o_totalprice")} AS totalprice,
+       {_sci_sql("total_qty")} AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        json_props_rollup,
+    )
+
+    out = json_props_rollup(spark, sf_dir)
+    return out.select(
+        "event_type",
+        "k_bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("k_sum").cast("long").alias("k_sum"),
+        _sci(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+def o_json_extract() -> str:
+    return f"""
+SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
+            AS BIGINT) AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       {_sci_sql("sum(value)")} AS value_sum
+FROM events
+GROUP BY event_type, CAST(floor(CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT) / 10) AS BIGINT)
+"""
+
+
+QUERIES = {
+    "sel_split_assign": q_split_assign,
+    "sel_stratified_sample": q_stratified_sample,
+    "sel_shard_assign": q_shard_assign,
+    "sel_pack_sequences": q_pack_sequences,
+    "sketch_kmv_distinct": q_kmv_distinct,
+    "sketch_kmv_union": q_kmv_union,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_large_orders": q_large_orders,
+    "rel_json_extract": q_json_extract,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "sel_split_assign": o_split_assign(),
+        "sel_stratified_sample": o_stratified_sample(),
+        "sel_shard_assign": o_shard_assign(),
+        "sel_pack_sequences": o_pack_sequences(),
+        "sketch_kmv_distinct": o_kmv_distinct(),
+        "sketch_kmv_union": o_kmv_union(),
+        "rel_shipping_priority": o_shipping_priority(),
+        "rel_large_orders": o_large_orders(),
+        "rel_json_extract": o_json_extract(),
+    }

@@ -375,3 +375,103 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c96 = o.filter(y == 1996).select("o_custkey")
     cf = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return c95.intersect(c96).subtract(cf)
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join chain with per-table pushed filters,
+    then a revenue groupBy and global top-k.
+
+    Scale shape: customer (filtered to one segment) is the small side —
+    an explicit broadcast hint keeps the orders scan shuffle-free; the
+    orders⋈lineitem join is the one real shuffle, on o_orderkey, which
+    AQE sizes at runtime. The top-k is TakeOrderedAndProject (limit
+    pushed into the sort), never a full global sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(
+            F.broadcast(cust.select("c_custkey"))
+            .join(
+                orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def large_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 150.0
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING on a grouped
+    lineitem aggregate, semi-joined back through orders to customers.
+
+    The aggregate-then-join order matters at scale: grouping lineitem
+    FIRST shrinks the join input from |lineitem| to |orderkeys over
+    threshold| before any wider row is built; the orders/customer joins
+    then run on the reduced key set (AQE typically converts them to
+    broadcasts once the filter bites)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: extract the numeric ``k`` property
+    from the events.props JSON payload, bucket it, and aggregate per
+    (event_type, bucket). get_json_object evaluates JVM-side inside
+    whole-stage codegen — the semi-structured column never touches
+    Python — and the groupBy is an ordinary partial-aggregated shuffle
+    on a low-cardinality composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", kv.alias("k"), "value")
+        .groupBy(
+            "event_type", F.floor(F.col("k") / 10).cast("long").alias("k_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.sum("value").alias("value_sum"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Training-set assembly operators (north-star extension, BASELINE.json):
+deterministic split / stratified sample / shard / sequence-pack — the
+selection-and-layout stage that turns a filtered corpus into training
+shards. Everything is keyed on the portable md5-derived hash
+(:mod:`mahout_samsara_book_spark.operators.hashing`), never ``rand()``,
+so (a) the DuckDB oracle replays every decision bit-identically and
+(b) task retries / speculative execution can't flip an assignment —
+the determinism rule SURVEY §7 pins for the engine (reference analog:
+seeded per-partition RNG, BahmaniSketch.scala:71).
+
+Scale posture (100 TB): every operator is a narrow projection or a
+window PARTITIONED BY a key whose cardinality the caller controls
+(shard count) — no global single-partition window, no driver collect.
+The pack operator deliberately packs WITHIN shards for exactly that
+reason: a global greedy pack is a sequential scan by definition, while
+per-shard packing is how production pipelines lay out training data
+anyway (each output file packed independently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.hashing import h60
+
+# h60 yields 60-bit hashes; bucket arithmetic stays in signed 64-bit in
+# both engines.
+_H60_SPAN = 1 << 60
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+    buckets: int = 1000,
+) -> DataFrame:
+    """``(id, split)`` — deterministic train/val/test assignment.
+
+    bucket = h60(seed || id) % buckets; cumulative weight thresholds
+    carve the bucket range. A pure per-row projection: no shuffle, no
+    RNG, stable under retries, and joinable back to the corpus as a
+    broadcast-free equi-join on the id. The classic hash-mod split used
+    for LLM corpus holdouts (doc-level, so near-dups of a train doc
+    can't leak into test once dedup ran upstream).
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = float(sum(weights))
+    bucket = h60(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))) % buckets
+    acc = 0.0
+    expr = F.lit(names[-1])
+    # build a CASE WHEN bucket < t1 THEN n1 WHEN bucket < t2 ... chain
+    conds = []
+    for w, n in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        conds.append((int(acc * buckets), n))
+    expr = F.lit(names[-1])
+    for t, n in reversed(conds):
+        expr = F.when(bucket < t, n).otherwise(expr)
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    h60(seed || stratum || id) % resolution < fraction·resolution.
+
+    The hash replaces ``DataFrame.sampleBy`` (whose rand() draw is not
+    replayable across engines or retries); the acceptance decision is a
+    pure function of (seed, stratum, id). Strata missing from
+    ``fractions`` default to 0.0 (dropped) — matching sampleBy.
+    Narrow op: filter only, no shuffle; at 100 TB this is a pushed-down
+    scan predicate over the id/stratum columns.
+    """
+    frac_col = None
+    for k, v in sorted(fractions.items()):
+        thresh = F.lit(int(round(v * resolution)))
+        frac_col = (
+            F.when(F.col(strata_col) == k, thresh)
+            if frac_col is None
+            else frac_col.when(F.col(strata_col) == k, thresh)
+        )
+    frac_col = frac_col.otherwise(F.lit(0)) if frac_col is not None else F.lit(0)
+    draw = (
+        h60(
+            F.concat(
+                F.lit(f"s{seed}:"),
+                F.col(strata_col),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        )
+        % resolution
+    )
+    return df.filter(draw < frac_col)
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, shard, pos)`` — the global deterministic shuffle that
+    precedes training: every row lands in shard h60(seed||id) % n with
+    a dense position ordered by (hash, id) inside the shard.
+
+    This IS the scalable formulation of "shuffle the corpus": the only
+    wide operation is one hash-partitioned window whose partition count
+    (n_shards) the caller sizes to the cluster — each shard's sort is
+    independent and spills locally. A global orderBy(rand()) would be
+    one total sort with a nondeterministic key; this is n independent
+    sorts with a replayable key.
+    """
+    h = h60(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+    shard = (h % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), shard, h.alias("h"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", "pos")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, shard, pack_id, pack_off)`` — contiguous token-budget
+    packing of the sharded, hash-shuffled corpus: within each shard,
+    documents are laid out in shard order and cut into packs of
+    ``budget`` tokens; ``pack_id = floor(exclusive_cumsum / budget)``,
+    ``pack_off`` the doc's token offset inside its pack.
+
+    The sequence-packing layout LLM loaders consume (docs concatenated
+    then split at context-window boundaries — a doc may straddle two
+    packs, exactly like the loader's token stream does). One window
+    per shard (cumulative sum), same scale shape as :func:`shard_assign`:
+    parallelism = n_shards, no global sort, no collect.
+    """
+    h = h60(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col), F.col(token_col).alias("_tok"), h.alias("h")
+    ).withColumn("shard", F.col("h") % n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_tok").over(w), F.lit(0).cast("long"))
+    return base.select(
+        id_col,
+        "shard",
+        F.floor(cum / budget).cast("long").alias("pack_id"),
+        (cum % budget).cast("long").alias("pack_off"),
+    )

@@ -1,0 +1,120 @@
+"""Training-set assembly (operators/selection.py) + KMV sketches
+(operators/sketches.py): determinism, partition/invariant contracts,
+and estimator accuracy — the properties the DuckDB hash-match can't
+see (idempotence under re-execution, sharding balance, estimate error
+bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.selection import (
+    pack_sequences,
+    shard_assign,
+    split_assign,
+    stratified_sample,
+)
+from mahout_samsara_book_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_union_distinct,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_split_assign_deterministic_and_total(docs):
+    a = split_assign(docs, seed=7)
+    b = split_assign(docs, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = dict(a.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # 80/10/10 within a loose binomial band on 500 docs
+    assert counts["train"] > 300
+
+
+def test_split_assign_seed_changes_assignment(docs):
+    a = split_assign(docs, seed=1).withColumnRenamed("split", "s1")
+    b = split_assign(docs, seed=2).withColumnRenamed("split", "s2")
+    diff = (
+        a.join(b, "doc_id")
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_stratified_sample_respects_zero_fraction(docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0}, seed=3)
+    langs = {r[0] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # fraction 1.0 keeps every row
+
+
+def test_stratified_sample_fraction_band(docs):
+    out = stratified_sample(docs, "lang", {"en": 0.5}, seed=3)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0.25 * n_en <= out.count() <= 0.75 * n_en
+
+
+def test_shard_assign_positions_dense(docs):
+    out = shard_assign(docs, 4, seed=5).cache()
+    assert out.count() == docs.count()
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1  # dense 0..n-1
+    assert out.select("shard").distinct().count() == 4
+    out.unpersist()
+
+
+def test_pack_sequences_offsets_within_budget(docs):
+    from mahout_samsara_book_spark.functions.text import tokenize
+
+    d = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    out = pack_sequences(d, "n_tok", 256, 4, seed=5).cache()
+    assert out.count() == docs.count()
+    assert out.filter((F.col("pack_off") < 0) | (F.col("pack_off") >= 256)).count() == 0
+    # pack ids per shard are contiguous from 0
+    per = out.groupBy("shard").agg(F.min("pack_id").alias("mn"))
+    assert all(r["mn"] == 0 for r in per.collect())
+    out.unpersist()
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "g string, v int"
+    )
+    out = kmv_distinct(df, "g", "v", k=32).collect()
+    assert len(out) == 1
+    assert out[0]["n_est"] == 7 and out[0]["n_seen"] == 7
+
+
+def test_kmv_estimate_within_rse(spark):
+    # 2000 distinct values, k=64 → RSE ≈ 1/sqrt(62) ≈ 13%; gate at 4σ
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    out = kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert out["n_seen"] == 64
+    assert abs(out["n_est"] - 2000) / 2000 < 0.52
+    assert out["n_est"] > 0
+
+
+def test_kmv_union_superset_of_parts(spark):
+    df = spark.createDataFrame(
+        [("g", i, i + 500) for i in range(400)], "g string, a long, b long"
+    )
+    u = kmv_union_distinct(df, "g", ("a", "b"), k=1000).collect()[0]
+    # below k the union sketch is exact: |{0..399} ∪ {500..899}| = 800
+    assert u["n_est"] == 800 and u["n_seen"] == 800
