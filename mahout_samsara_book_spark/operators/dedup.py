@@ -565,16 +565,37 @@ def dup_clusters(
     canonical doc per cluster. ``(doc_id, cluster)`` for every doc in at
     least one pair; cluster = smallest doc_id in the component.
 
-    Min-label propagation: every vertex repeatedly adopts the smallest
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds — near-dup clusters are shallow (a handful of
-    rounds), and each round is one equi-join + one groupBy, both linear
-    in edge count. ``localCheckpoint`` cuts the lineage each round so
-    plan depth stays O(1) instead of O(rounds) — the classic iterative-
-    algorithm trap at scale. The driver-side loop runs one tiny count
-    action per round (the convergence test), matching the reference's
-    iterative-algorithm shape (Bahmani dSample)."""
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    Size-dispatched like the ANN verify stages (similarity.py): LSH
+    banding leaves the pair graph ORDERS of magnitude smaller than the
+    corpus, so the common case — a Catalyst-estimated edge relation
+    under the broadcast threshold — collects the pairs once and runs
+    driver union-find (path-halving, min-root), one job total. Above
+    the threshold, distributed min-label propagation: every vertex
+    repeatedly adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (a handful of rounds), and each round is one
+    equi-join + one groupBy, both linear in edge count.
+    ``localCheckpoint`` cuts the lineage each round so plan depth stays
+    O(1) instead of O(rounds) — the classic iterative-algorithm trap at
+    scale. The driver-side loop runs one tiny count action per round
+    (the convergence test), matching the reference's
+    iterative-algorithm shape (Bahmani dSample). Both paths emit the
+    identical labeling (cluster = component minimum)."""
+    # Materialize the edge relation ONCE — both paths consume it, and
+    # the pair pipeline upstream (LSH join + verify) is the expensive
+    # part; everything after is linear in |edges|. The dispatch count
+    # is therefore free (it IS the materialization action). A Catalyst
+    # size estimate is useless here: join-cardinality estimates on the
+    # LSH self-join are inflated by ~15 orders of magnitude.
+    edges0 = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).persist()
+    n_edges = edges0.count()
+    if n_edges <= _UNIONFIND_MAX_EDGES:
+        out = _clusters_unionfind(edges0)
+        edges0.unpersist()
+        return out
+    fwd = edges0
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -608,4 +629,41 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    edges0.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+# Edge graphs at or below this ride the driver union-find fast path
+# (~16 bytes/edge → tens of MB collected); larger graphs use the
+# distributed propagation loop. Post-LSH near-dup graphs are sparse —
+# at 100 TB this threshold still catches the typical case while the
+# loop handles the adversarial one.
+_UNIONFIND_MAX_EDGES = 2_000_000
+
+
+def _clusters_unionfind(edges_df: DataFrame) -> DataFrame:
+    """Driver union-find fast path for a small pair graph: one collect,
+    path-halving find, min-id roots (components are labeled by their
+    smallest member, matching the propagation path bit-for-bit)."""
+    edges = [(r[0], r[1]) for r in edges_df.collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the cluster label
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = sorted((x, find(x)) for x in parent)
+    return edges_df.sparkSession.createDataFrame(
+        rows, "doc_id long, cluster long"
+    )
