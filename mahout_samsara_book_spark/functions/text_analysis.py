@@ -30,22 +30,12 @@ BPE_ISH_PATTERN = r"[\p{L}]+|[\p{Nd}]+|[^\p{L}\p{Nd}\s]"
 WS_PATTERN = r"\s+"
 
 
-def language_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """``(doc_id, lang_pred, lang_score)`` — argmax of stopword coverage
-    (ties broken by language code; zero coverage → 'und').
-
-    Tokens are materialized in their OWN projection: higher-order
-    functions evaluate interpreted (outside whole-stage codegen's
-    subexpression elimination), so inlining ``tokenize`` into each
-    language's filter would re-run the regex split once per language per
-    row. CollapseProject keeps a multiply-referenced non-cheap alias in
-    its own stage — measured ~2.7× on the langid query."""
-    base = docs.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
-    )
-    toks = F.col("_toks")
+def langid_best(toks) -> "F.Column":
+    """Expression form of the language-ID argmax over a tokens column:
+    a struct ``(lang, score)`` of the best stopword-coverage language
+    (score desc, lang asc tiebreak). Shared by :func:`language_id` and
+    the fused quality+lang stage in ``operators.pipeline`` so a caller
+    that already materialized tokens pays for them exactly once."""
     n_tok = F.greatest(F.size(toks), F.lit(1))
 
     def coverage(words: list[str]):
@@ -62,7 +52,7 @@ def language_id(
         ]
     )
     # max by (score desc, lang asc): array_sort then take first
-    best = F.array_sort(
+    return F.array_sort(
         pairs,
         lambda a, b: F.when(a["score"] > b["score"], -1)
         .when(a["score"] < b["score"], 1)
@@ -70,6 +60,24 @@ def language_id(
         .when(a["lang"] > b["lang"], 1)
         .otherwise(0),
     )[0]
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, lang_pred, lang_score)`` — argmax of stopword coverage
+    (ties broken by language code; zero coverage → 'und').
+
+    Tokens are materialized in their OWN projection: higher-order
+    functions evaluate interpreted (outside whole-stage codegen's
+    subexpression elimination), so inlining ``tokenize`` into each
+    language's filter would re-run the regex split once per language per
+    row. CollapseProject keeps a multiply-referenced non-cheap alias in
+    its own stage — measured ~2.7× on the langid query."""
+    base = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    best = langid_best(F.col("_toks"))
     return base.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
@@ -112,8 +120,20 @@ def quality_score(
         F.col(text_col),
         tokenize(F.col(text_col)).alias("_toks"),
     )
-    text = F.col(text_col)
-    toks = F.col("_toks")
+    q = quality_exprs(F.col(text_col), F.col("_toks"))
+    return base.select(
+        F.col(id_col),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["mean_tok_len"].cast("double").alias("mean_tok_len"),
+        q["quality"].alias("quality"),
+    )
+
+
+def quality_exprs(text, toks) -> dict:
+    """Expression form of the quality features over (text, tokens)
+    columns — shared by :func:`quality_score` and the fused stage in
+    ``operators.pipeline`` (one tokenization per corpus scan)."""
     n_tok = F.greatest(F.size(toks), F.lit(1))
     en_stop = LANG_PROFILES["en"]
     stop_ratio = (
@@ -135,13 +155,12 @@ def quality_score(
             + F.lit(0.15) * tok_band
         ),
     )
-    return base.select(
-        F.col(id_col),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        mean_len.cast("double").alias("mean_tok_len"),
-        quality.alias("quality"),
-    )
+    return {
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
+        "mean_tok_len": mean_len,
+        "quality": quality,
+    }
 
 
 def fingerprint(

@@ -17,9 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.functions.text import tokenize
 from mahout_samsara_book_spark.functions.text_analysis import (
-    language_id,
-    quality_score,
+    langid_best,
+    quality_exprs,
 )
 from mahout_samsara_book_spark.operators.dedup import (
     dup_clusters,
@@ -46,14 +47,27 @@ def select_training_docs(
     (the cluster minimum), subsuming exact dups that also collide in
     LSH while the explicit exact-keeper stage guarantees byte-identical
     dups dedup even when shingling misses them (short docs)."""
-    q_ok = (
-        quality_score(docs, id_col, text_col)
-        .filter(F.col("quality") >= F.lit(quality_min))
-        .select(id_col)
+    # Fused quality+language stage: ONE corpus scan, ONE tokenization
+    # feeding both predicates (the standalone operators each tokenize;
+    # composing them as separate semi-joins would scan and tokenize the
+    # corpus twice). Semantically identical to chaining the two
+    # operators — same expressions, same thresholds.
+    toked = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("_toks"),
     )
-    l_ok = (
-        language_id(docs, id_col, text_col)
-        .filter(F.col("lang_pred") == F.lit(lang))
+    best = langid_best(F.col("_toks"))
+    q = quality_exprs(F.col(text_col), F.col("_toks"))["quality"]
+    lang_pred = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    ql_ok = (
+        toked.select(
+            F.col(id_col), q.alias("_q"), lang_pred.alias("_lp")
+        )
+        .filter(
+            (F.col("_q") >= F.lit(quality_min))
+            & (F.col("_lp") == F.lit(lang))
+        )
         .select(id_col)
     )
     keep_exact = exact_dedup(docs, id_col, text_col).select(
@@ -69,9 +83,6 @@ def select_training_docs(
         .select(F.col("doc_id").alias(id_col))
     )
     return (
-        docs.select(id_col)
-        .join(q_ok, id_col, "leftsemi")
-        .join(l_ok, id_col, "leftsemi")
-        .join(keep_exact, id_col, "leftsemi")
+        ql_ok.join(keep_exact, id_col, "leftsemi")
         .join(losers, id_col, "left_anti")
     )
