@@ -284,6 +284,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.streaming.events import session_window_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_window_agg(ev, gap_minutes=20)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_session_window() -> str:
+    # native session_window boundary (verified by
+    # test_session_window_gap_boundary): an event exactly gap after its
+    # predecessor MERGES — the session's half-open window [start,
+    # last+gap) treats ts == last+gap as overlap — so new-session is
+    # strictly diff > gap, same rule as the composed sessionize
+    gap_us = 20 * 60 * 1_000_000
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(epoch_us(ts)) // 1000000 AS session_start,
+       (max(epoch_us(ts)) + {gap_us}) // 1000000 AS session_end,
+       count(*) AS n_events,
+       {{SCI_TOTAL}} AS total_value
+FROM s GROUP BY user_id, sid
+""".replace("{SCI_TOTAL}", _sci_sql("sum(value)"))
+
+
 def o_ev_sessionize() -> str:
     gap_us = 30 * 60 * 1_000_000
     return f"""
@@ -514,6 +558,7 @@ QUERIES = {
     "rel_cube": q_rel_cube,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_sessionize": q_ev_sessionize,
+    "ev_session_window": q_ev_session_window,
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
     "rel_topk_customers": q_topk_customers,
@@ -538,6 +583,7 @@ def oracles() -> dict[str, str]:
         "rel_cube": o_rel_cube(),
         "ev_windowed_counts": o_ev_windowed_counts(),
         "ev_sessionize": o_ev_sessionize(),
+        "ev_session_window": o_ev_session_window(),
         "rel_pricing_summary": o_pricing_summary(),
         "rel_revenue_by_nation": o_revenue_by_nation(),
         "rel_topk_customers": o_topk_customers(),

@@ -146,6 +146,65 @@ def sessionize(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_window_agg(ev: DataFrame, gap_minutes: int = 20) -> DataFrame:
+    """Native session windows (``F.session_window`` — Spark's
+    UpdatingSessions physical operator, the engine-supported twin of the
+    composed :func:`sessionize` islands): per user, merge events whose
+    gap is at most ``gap_minutes`` — an exact-gap event MERGES (Spark
+    treats ts == last+gap as overlapping the session's extension
+    window), the same ``diff > gap`` new-session rule as the composed
+    formulation; pinned by test_session_window_gap_boundary. ``(user_id, session_start, session_end, n_events,
+    total_value)``; start = first event's epoch-sec, end = (last event
+    + gap) epoch-sec, both integer-truncated from µs."""
+    ev = ev.withColumn("_t_us", ts_us(ev)).withColumn(
+        "_et", F.timestamp_micros(F.col("_t_us"))
+    )
+    return (
+        ev.groupBy(
+            F.session_window("_et", f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_counts(
+    ev_stream: DataFrame,
+    gap_minutes: int = 20,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`session_window_agg`: watermarked native
+    session windows in append mode — a session emits once the watermark
+    passes its close (last event + gap). The stateful merge
+    (UpdatingSessions + state store) is exactly the path a 100 TB
+    event stream would run; the batch twin is the replayable oracle."""
+    ev = ev_stream.withColumn("_t_us", ts_us(ev_stream)).withColumn(
+        "_et", F.timestamp_micros(F.col("_t_us"))
+    )
+    return (
+        ev.withWatermark("_et", watermark)
+        .groupBy(
+            F.session_window("_et", f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            F.col("sw.end").cast("long").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_replayed_events(ev: DataFrame) -> DataFrame:
     """Batch twin of :func:`stream_dedup_events`: keep one row per
     event_id. Duplicates produced by at-least-once delivery are full-row

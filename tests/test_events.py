@@ -161,3 +161,68 @@ def test_stream_static_enrichment_matches_batch(
     assert len(g) == len(b) > 0
     assert (g.n == b.n).all()
     assert abs(g.total_value - b.total_value).max() < 1e-9
+
+
+def test_stream_session_window_matches_batch(spark, events, tmp_path_factory):
+    """Native session_window: streaming (availableNow, append) emits
+    exactly the sessions the batch twin computes, minus any session not
+    yet closed by the watermark at end-of-stream."""
+    from mahout_samsara_book_spark.streaming.events import (
+        session_window_agg,
+        stream_session_counts,
+    )
+
+    src = str(tmp_path_factory.mktemp("ev_sess_src"))
+    shutil.copy(f"{SF_DIR}/events.parquet", src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = stream_session_counts(stream, gap_minutes=20, watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ev_sess_out").toPandas()
+    batch = session_window_agg(events, gap_minutes=20).toPandas()
+    max_sec = (
+        events.withColumn("t_us", ts_us(events))
+        .agg(F.max(F.expr(f"t_us div {US_PER_SEC}")))
+        .collect()[0][0]
+    )
+    finalized = batch[batch.session_end <= max_sec]
+    key = ["user_id", "session_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = finalized.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    assert (g.user_id.values == b.user_id.values).all()
+    assert (g.session_start.values == b.session_start.values).all()
+    assert (g.session_end.values == b.session_end.values).all()
+    assert (g.n_events.values == b.n_events.values).all()
+
+
+def test_session_window_gap_boundary(spark):
+    """Exact-gap event MERGES into the native session (ts == last+gap
+    counts as overlap); only diff > gap splits."""
+    from mahout_samsara_book_spark.streaming.events import session_window_agg
+
+    gap_us = 20 * 60 * 1_000_000
+    df = spark.createDataFrame(
+        [
+            (1, 0, 1_000_000_000_000_000, "click", 1.0, "{}"),
+            (2, 0, 1_000_000_000_000_000 + gap_us, "click", 1.0, "{}"),
+            (3, 0, 1_000_000_000_000_000 + 2 * gap_us + 1, "click", 1.0, "{}"),
+        ],
+        "event_id long, user_id long, _us long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = session_window_agg(df, gap_minutes=20).toPandas()
+    assert len(out) == 2
+    assert sorted(out.n_events.tolist()) == [1, 2]
