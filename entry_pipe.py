@@ -314,6 +314,61 @@ GROUP BY event_type, CAST(floor(CAST(json_extract_string(props, '$.k')
 """
 
 
+def q_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        monthly_revenue_trend,
+    )
+
+    out = monthly_revenue_trend(spark, sf_dir)
+    return out.select(
+        "month",
+        "yr",
+        "mo",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def o_date_trunc() -> str:
+    return f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       {_sci_sql("sum(o_totalprice)")} AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        customer_name_stats,
+    )
+
+    out = customer_name_stats(spark, sf_dir)
+    return out.select(
+        "prefix",
+        F.col("n").cast("long").alias("n"),
+        F.col("name_chars").cast("long").alias("name_chars"),
+        F.col("n_with_zero").cast("long").alias("n_with_zero"),
+        _sci(F.col("balance_sum")).alias("balance_sum"),
+    )
+
+
+def o_string_funcs() -> str:
+    return f"""
+SELECT upper(substring(c_name, 1, 9)) AS prefix,
+       count(*) AS n,
+       CAST(sum(length(c_name)) AS BIGINT) AS name_chars,
+       CAST(sum(CASE WHEN c_name LIKE '%0%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_zero,
+       {_sci_sql("sum(c_acctbal)")} AS balance_sum
+FROM customer
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
@@ -324,6 +379,8 @@ QUERIES = {
     "rel_shipping_priority": q_shipping_priority,
     "rel_large_orders": q_large_orders,
     "rel_json_extract": q_json_extract,
+    "rel_date_trunc": q_date_trunc,
+    "rel_string_funcs": q_string_funcs,
 }
 
 
@@ -338,4 +395,6 @@ def oracles() -> dict[str, str]:
         "rel_shipping_priority": o_shipping_priority(),
         "rel_large_orders": o_large_orders(),
         "rel_json_extract": o_json_extract(),
+        "rel_date_trunc": o_date_trunc(),
+        "rel_string_funcs": o_string_funcs(),
     }

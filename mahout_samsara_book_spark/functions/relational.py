@@ -475,3 +475,53 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("value_sum"),
         )
     )
+
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function surface: month-truncated revenue trend with
+    a per-month order count and a month-over-month running share of the
+    year's revenue. date_trunc/year/month evaluate in whole-stage
+    codegen off the same scan; one shuffle on the (year, month) key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "month",
+            F.col("yr").cast("long").alias("yr"),
+            F.col("mo").cast("long").alias("mo"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def customer_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface over customer names: substring /
+    length / upper / concat / LIKE composed into a per-prefix rollup.
+    All JVM-codegen'd string kernels on the scan projection; aggregation
+    on a tiny derived key."""
+    c = load_table(spark, sf_dir, "customer")
+    prefix = F.upper(F.substring(F.col("c_name"), 1, 9))
+    return (
+        c.select(
+            prefix.alias("prefix"),
+            F.length("c_name").alias("nlen"),
+            F.when(F.col("c_name").like("%0%"), 1).otherwise(0).alias("has_zero"),
+            "c_acctbal",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nlen").alias("name_chars"),
+            F.sum("has_zero").alias("n_with_zero"),
+            F.sum("c_acctbal").alias("balance_sum"),
+        )
+    )
