@@ -234,6 +234,57 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.operators.selection import (
+        shard_assign,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p11 = plan_of(shard_assign(docs, 8))
+    checks.append(
+        (
+            "shard_assign (deterministic global shuffle)",
+            p11,
+            [
+                # the window must partition by shard — a global
+                # single-partition sort would serialize the corpus
+                (
+                    "window partitioned by shard key",
+                    "windowspecdefinition(shard#" in p11
+                    and "hashpartitioning(shard#" in p11,
+                ),
+                (
+                    "exactly one shuffle (the shard hash partitioning)",
+                    n_shuffles(p11) == 1,
+                ),
+                (
+                    "scan prunes to the id column",
+                    "text" not in p11.split("ReadSchema")[1].split("\n")[0]
+                    if "ReadSchema" in p11
+                    else False,
+                ),
+            ],
+        )
+    )
+
+    p12 = plan_of(
+        stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25})
+    )
+    checks.append(
+        (
+            "stratified_sample (hash Bernoulli filter)",
+            p12,
+            [
+                ("narrow plan: zero shuffles", n_shuffles(p12) == 0),
+                (
+                    "single scan, filter evaluated on the scan projection",
+                    p12.count("+- Scan parquet") + p12.count("* Scan parquet") == 1
+                    and "Filter" in p12,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
