@@ -369,6 +369,158 @@ GROUP BY 1
 """
 
 
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def _bloom_pos_list_sql(hexpr: str) -> str:
+    """DuckDB list of the k probe positions for a precomputed h60
+    column expression — replays operators/bloom._positions exactly."""
+    return (
+        "["
+        + ", ".join(
+            f"(({hexpr}) % 1073741824 + {i} * (({hexpr}) >> 30)) % {BLOOM_M}"
+            for i in range(BLOOM_K)
+        )
+        + "]"
+    )
+
+
+def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.bloom import bloom_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bloom_build(ev, "event_type", "user_id", m_bits=BLOOM_M, k=BLOOM_K)
+
+
+def o_bloom_build() -> str:
+    return f"""
+WITH h AS (SELECT event_type AS grp,
+                  {h60_sql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events),
+pos AS (SELECT grp, unnest({_bloom_pos_list_sql("h")}) AS pos FROM h)
+SELECT grp AS event_type, pos // 63 AS word_idx,
+       bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word_bits
+FROM pos GROUP BY grp, pos // 63
+"""
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bloom = bloom_build(ev, "event_type", "user_id", m_bits=BLOOM_M, k=BLOOM_K)
+    present = ev.select("event_type", "user_id").distinct()
+    absent = present.select(
+        "event_type", (F.col("user_id") + 10_000_000).alias("user_id")
+    )
+    probes = present.unionByName(absent)
+    out = bloom_probe(
+        bloom, probes, "event_type", "user_id", m_bits=BLOOM_M, k=BLOOM_K
+    )
+    return out.select(
+        "event_type", F.col("value").cast("long").alias("value"), "maybe_present"
+    )
+
+
+def o_bloom_probe() -> str:
+    return f"""
+WITH h0 AS (SELECT event_type AS grp,
+                   {h60_sql("CAST(user_id AS VARCHAR)")} AS h
+            FROM events),
+pos0 AS (SELECT grp, unnest({_bloom_pos_list_sql("h")}) AS pos FROM h0),
+bm AS (SELECT grp, pos // 63 AS word_idx,
+              bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word_bits
+       FROM pos0 GROUP BY grp, pos // 63),
+probes AS (
+  SELECT DISTINCT event_type AS grp, user_id AS value FROM events
+  UNION ALL
+  SELECT DISTINCT event_type AS grp, user_id + 10000000 AS value FROM events
+),
+ph AS (SELECT grp, value,
+              {h60_sql("CAST(value AS VARCHAR)")} AS h
+       FROM probes),
+pp AS (SELECT grp, value, unnest({_bloom_pos_list_sql("h")}) AS pos FROM ph),
+j AS (SELECT pp.grp, pp.value,
+             (COALESCE(bm.word_bits, 0)
+              & (1::BIGINT << CAST(pp.pos % 63 AS INT))) <> 0 AS hit
+      FROM pp LEFT JOIN bm
+        ON pp.grp = bm.grp AND (pp.pos // 63) = bm.word_idx)
+SELECT grp AS event_type, CAST(value AS BIGINT) AS value,
+       bool_and(hit) AS maybe_present
+FROM j GROUP BY grp, value
+"""
+
+
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        order_rank_family,
+    )
+
+    out = order_rank_family(spark, sf_dir)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
+        _sci(F.col("prnk")).alias("prnk"),
+        _sci(F.col("cdist")).alias("cdist"),
+        F.col("quartile").cast("long").alias("quartile"),
+    )
+
+
+def o_rank_family() -> str:
+    return f"""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       {_sci_sql("percent_rank() OVER w")} AS prnk,
+       {_sci_sql("cume_dist() OVER w")} AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import upsert_orders
+
+    out = upsert_orders(spark, sf_dir, bump=1.1)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        _sci(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+
+
+def o_upsert() -> str:
+    band = h60_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders),
+banded AS (SELECT *, {band} % 100 AS b FROM base),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM banded WHERE b < 10
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+  FROM banded WHERE b >= 10 AND b < 15
+)
+SELECT CAST(COALESCE(c.o_orderkey, b.o_orderkey) AS BIGINT) AS o_orderkey,
+       CAST(COALESCE(c.o_custkey, b.o_custkey) AS BIGINT) AS o_custkey,
+       COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       {_sci_sql("COALESCE(c.o_totalprice, b.o_totalprice)")} AS o_totalprice
+FROM changes c FULL OUTER JOIN base b ON c.o_orderkey = b.o_orderkey
+"""
+
+
 QUERIES = {
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
@@ -381,6 +533,10 @@ QUERIES = {
     "rel_json_extract": q_json_extract,
     "rel_date_trunc": q_date_trunc,
     "rel_string_funcs": q_string_funcs,
+    "bloom_build": q_bloom_build,
+    "bloom_probe": q_bloom_probe,
+    "rel_rank_family": q_rank_family,
+    "rel_upsert": q_upsert,
 }
 
 
@@ -397,4 +553,8 @@ def oracles() -> dict[str, str]:
         "rel_json_extract": o_json_extract(),
         "rel_date_trunc": o_date_trunc(),
         "rel_string_funcs": o_string_funcs(),
+        "bloom_build": o_bloom_build(),
+        "bloom_probe": o_bloom_probe(),
+        "rel_rank_family": o_rank_family(),
+        "rel_upsert": o_upsert(),
     }

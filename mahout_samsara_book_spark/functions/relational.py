@@ -525,3 +525,67 @@ def customer_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("balance_sum"),
         )
     )
+
+
+def order_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface beyond row_number: per customer,
+    rank / dense_rank / percent_rank / cume_dist / ntile(4) over order
+    totalprice. One shuffle on o_custkey; all five functions share one
+    window frame so WindowExec evaluates them in a single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def upsert_orders(
+    spark: SparkSession, sf_dir: str, bump: float = 1.1
+) -> DataFrame:
+    """Batch MERGE / SCD-1 upsert pattern (no Delta/Iceberg needed):
+    apply a deterministic change set to the orders relation — updates
+    (every order whose h60(orderkey) lands in a 10% hash band gets
+    totalprice × bump) plus inserts (re-keyed clones of a disjoint 5%
+    band). Expressed as changes-first full-outer coalesce — the
+    exchange-reuse shape: one shuffle per side on the merge key, and
+    the column-wise ``coalesce(change, base)`` is exactly how
+    MERGE WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+    lowers into a join at any scale."""
+    from mahout_samsara_book_spark.operators.hashing import h60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    band = h60(F.col("o_orderkey").cast("string")) % 100
+    updates = o.filter(band < 10).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * bump).alias("o_totalprice"),
+    )
+    inserts = o.filter((band >= 10) & (band < 15)).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = updates.unionByName(inserts)
+    c = changes.alias("c")
+    b = o.alias("b")
+    merged = c.join(
+        b, F.col("c.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce("c.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.o_custkey", "b.o_custkey").alias("o_custkey"),
+        F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+    )
+    return merged

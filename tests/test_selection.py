@@ -118,3 +118,40 @@ def test_kmv_union_superset_of_parts(spark):
     u = kmv_union_distinct(df, "g", ("a", "b"), k=1000).collect()[0]
     # below k the union sketch is exact: |{0..399} ∪ {500..899}| = 800
     assert u["n_est"] == 800 and u["n_seen"] == 800
+
+
+def test_bloom_no_false_negatives(spark):
+    from mahout_samsara_book_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(300)], "g string, v long"
+    )
+    bloom = bloom_build(df, "g", "v", m_bits=4096, k=4)
+    hits = bloom_probe(bloom, df, "g", "v", m_bits=4096, k=4)
+    assert hits.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_rejects_most_absent(spark):
+    from mahout_samsara_book_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    present = spark.createDataFrame(
+        [("g", i) for i in range(300)], "g string, v long"
+    )
+    absent = spark.createDataFrame(
+        [("g", i) for i in range(1_000_000, 1_000_300)], "g string, v long"
+    )
+    bloom = bloom_build(present, "g", "v", m_bits=4096, k=4)
+    fp = (
+        bloom_probe(bloom, absent, "g", "v", m_bits=4096, k=4)
+        .filter(F.col("maybe_present"))
+        .count()
+    )
+    # 300 keys in 4096 bits, k=4: theoretical FP ~ (1-e^(-4*300/4096))^4
+    # ~ 0.6%; gate loosely at 10%
+    assert fp <= 30
