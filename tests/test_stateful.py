@@ -48,3 +48,73 @@ def test_running_totals_across_batches(spark, tmp_path_factory):
     first = got[got.epoch == got.epoch.min()].set_index("event_type")
     joined = first.join(batch, rsuffix="_full")
     assert (joined.n < joined.n_full).any()
+
+
+def test_spend_tracker_transform_with_state(spark, tmp_path_factory):
+    """Spark 4 transformWithStateInPandas: per-user ValueState
+    accumulates across micro-batches and converges to the batch
+    aggregate; threshold-crossing counter is monotone."""
+    from mahout_samsara_book_spark.streaming.stateful import (
+        _HAS_TWS,
+        start_spend_tracking,
+    )
+
+    if not _HAS_TWS:
+        pytest.skip("transformWithState requires Spark 4.x")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState's state-server protocol needs the "
+            "protobuf package (absent in this container; the operator "
+            "is declared env-gated like the multimodal codecs)"
+        )
+
+    src = str(tmp_path_factory.mktemp("tws_src"))
+    table = pq.read_table(f"{SF_DIR}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), f"{src}/part1.parquet")
+    pq.write_table(table.slice(half), f"{src}/part2.parquet")
+
+    docs = spark.read.parquet(src)
+    out = str(tmp_path_factory.mktemp("tws_out"))
+    ckpt = str(tmp_path_factory.mktemp("tws_ckpt"))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_spend_tracking(stream, out, ckpt, threshold=50.0)
+        q.awaitTermination(240)
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = spark.read.parquet(out).toPandas()
+    assert got.epoch.nunique() >= 2
+    latest = got.sort_values("epoch").groupby("user_id").last()
+
+    batch = (
+        docs.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    cmp = latest.join(batch, rsuffix="_b")
+    assert (cmp.n == cmp.n_b).all()
+    assert abs(cmp.total_value - cmp.total_value_b).max() < 1e-6
+    assert (latest.crossed == (latest.total_value // 50.0).astype(int)).all()
