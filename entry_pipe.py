@@ -521,6 +521,43 @@ FROM changes c FULL OUTER JOIN base b ON c.o_orderkey = b.o_orderkey
 """
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.layout import (
+        zorder_layout_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("y"),
+    )
+    out = zorder_layout_stats(ev, "x", "y", bits=16, bucket_shift=10)
+    return out.select(
+        "z_bucket",
+        F.col("n").cast("long").alias("n"),
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+    )
+
+
+def o_zorder_stats() -> str:
+    from mahout_samsara_book_spark.operators.layout import z_value_sql
+
+    z = z_value_sql("x", "y", bits=16)
+    return f"""
+WITH xy AS (
+  SELECT user_id & 65535 AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events
+)
+SELECT {z} >> 10 AS z_bucket, count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM xy GROUP BY 1
+"""
+
+
 QUERIES = {
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
@@ -537,6 +574,7 @@ QUERIES = {
     "bloom_probe": q_bloom_probe,
     "rel_rank_family": q_rank_family,
     "rel_upsert": q_upsert,
+    "zorder_stats": q_zorder_stats,
 }
 
 
@@ -557,4 +595,5 @@ def oracles() -> dict[str, str]:
         "bloom_probe": o_bloom_probe(),
         "rel_rank_family": o_rank_family(),
         "rel_upsert": o_upsert(),
+        "zorder_stats": o_zorder_stats(),
     }

@@ -155,3 +155,35 @@ def test_bloom_rejects_most_absent(spark):
     # 300 keys in 4096 bits, k=4: theoretical FP ~ (1-e^(-4*300/4096))^4
     # ~ 0.6%; gate loosely at 10%
     assert fp <= 30
+
+
+def test_zorder_buckets_are_tight_rectangles(spark):
+    """Fixed z-ranges must cover small rectangles in (x, y): every
+    bucket's x-extent and y-extent are bounded by the bits the bucket
+    shift leaves free (z>>10 fixes all but 5 x-bits and 5 y-bits)."""
+    from mahout_samsara_book_spark.operators.layout import (
+        zorder_layout_stats,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 7) % 256).alias("y"),
+    )
+    out = zorder_layout_stats(df, "x", "y", bits=16, bucket_shift=10).toPandas()
+    assert len(out) > 1
+    # 10 free z-bits → 5 free bits per dimension → extent < 2^5
+    assert ((out.x_max - out.x_min) < 32).all()
+    assert ((out.y_max - out.y_min) < 32).all()
+    assert out.n.sum() == 20000
+
+
+def test_z_value_interleave_exact(spark):
+    from mahout_samsara_book_spark.operators.layout import z_value
+
+    rows = spark.createDataFrame(
+        [(0b1011, 0b0110)], "x long, y long"
+    ).select(z_value(F.col("x"), F.col("y"), bits=4).alias("z"))
+    # interleave x=1011, y=0110 → z bits (y3 x3 y2 x2 y1 x1 y0 x0) =
+    # 0 1 1 0 1 1 1 0 … little-endian: x0=1,y0=0,x1=1,y1=1,x2=0,y2=1,x3=1,y3=0
+    expect = (1 << 0) | (0 << 1) | (1 << 2) | (1 << 3) | (0 << 4) | (1 << 5) | (1 << 6) | (0 << 7)
+    assert rows.collect()[0]["z"] == expect
