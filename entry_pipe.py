@@ -558,6 +558,58 @@ FROM xy GROUP BY 1
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, size=200, stride=150)
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text"
+    )
+
+
+def o_chunk_docs() -> str:
+    return """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text,
+             unnest(range(0, 1 + (greatest(n - 200, 0) + 149) // 150))
+               AS chunk_id
+      FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text
+FROM c
+"""
+
+
+def q_incr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        incremental_order_summary,
+    )
+
+    out = incremental_order_summary(spark, sf_dir)
+    return out.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("price_sum")).alias("price_sum"),
+        _sci(F.col("price_min")).alias("price_min"),
+        _sci(F.col("price_max")).alias("price_max"),
+    )
+
+
+def o_incr_summary() -> str:
+    # the oracle computes the summary DIRECTLY — a hash-match proves the
+    # base+delta merge path reproduces the ground-truth aggregate
+    return f"""
+SELECT o_orderstatus, count(*) AS n,
+       {_sci_sql("sum(o_totalprice)")} AS price_sum,
+       {_sci_sql("min(o_totalprice)")} AS price_min,
+       {_sci_sql("max(o_totalprice)")} AS price_max
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
@@ -575,6 +627,8 @@ QUERIES = {
     "rel_rank_family": q_rank_family,
     "rel_upsert": q_upsert,
     "zorder_stats": q_zorder_stats,
+    "sel_chunk_docs": q_chunk_docs,
+    "rel_incr_summary": q_incr_summary,
 }
 
 
@@ -596,4 +650,6 @@ def oracles() -> dict[str, str]:
         "rel_rank_family": o_rank_family(),
         "rel_upsert": o_upsert(),
         "zorder_stats": o_zorder_stats(),
+        "sel_chunk_docs": o_chunk_docs(),
+        "rel_incr_summary": o_incr_summary(),
     }

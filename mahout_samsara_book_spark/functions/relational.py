@@ -589,3 +589,54 @@ def upsert_orders(
         F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
     )
     return merged
+
+
+def incremental_order_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance: per-status order summary computed
+    as MERGE(agg(base), agg(delta)) where base/delta is a deterministic
+    hash split of orders — the algebraic-state recombination
+    (count/sum/min/max merge with +/+/least/greatest) that keeps a
+    materialized aggregate fresh without rescanning history. The oracle
+    computes the summary DIRECTLY from the full relation, so the
+    hash-match certifies the merge path is exact, not just plausible."""
+    from mahout_samsara_book_spark.operators.hashing import h60
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        (h60(F.col("o_orderkey").cast("string")) % 10 < 8).alias("_in_base"),
+    )
+
+    def summarize(part: DataFrame) -> DataFrame:
+        return part.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("price_sum"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+        )
+
+    base = summarize(o.filter(F.col("_in_base")))
+    delta = summarize(o.filter(~F.col("_in_base")))
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(
+        d, F.col("b.o_orderstatus") == F.col("d.o_orderstatus"), "full_outer"
+    ).select(
+        F.coalesce("b.o_orderstatus", "d.o_orderstatus").alias("o_orderstatus"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce("b.price_sum", F.lit(0.0))
+            + F.coalesce("d.price_sum", F.lit(0.0))
+        ).alias("price_sum"),
+        F.least(
+            F.coalesce("b.price_min", F.col("d.price_min")),
+            F.coalesce("d.price_min", F.col("b.price_min")),
+        ).alias("price_min"),
+        F.greatest(
+            F.coalesce("b.price_max", F.col("d.price_max")),
+            F.coalesce("d.price_max", F.col("b.price_max")),
+        ).alias("price_max"),
+    )

@@ -167,3 +167,39 @@ def pack_sequences(
         F.floor(cum / budget).cast("long").alias("pack_id"),
         (cum % budget).cast("long").alias("pack_off"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """``(id, chunk_id, chunk_text)`` — overlapping character-window
+    chunking (RAG/embedding prep): chunk i covers
+    ``[i·stride, i·stride + size)``; the final window is the first one
+    whose end reaches the text end (no degenerate tail slivers).
+
+    Pure SQL: a ``sequence`` of offsets exploded against the row, then
+    one ``substring`` per chunk — a narrow projection whose output size
+    is input·(size/stride); no shuffle, no UDF, safe at any corpus
+    scale (chunking is embarrassingly row-local)."""
+    n = F.length(F.col(text_col))
+    # number of chunks: 1 + ceil(max(n - size, 0) / stride), as integer
+    # arithmetic: 1 + (max(n - size, 0) + stride - 1) div stride
+    extra = F.greatest(n - size, F.lit(0))
+    n_chunks = F.lit(1) + ((extra + stride - 1) - ((extra + stride - 1) % stride)) / stride
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), n_chunks.cast("long") - 1)
+        ).alias("chunk_id"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col(text_col), (F.col("chunk_id") * stride + 1).cast("int"), size
+        ).alias("chunk_text"),
+    )

@@ -187,3 +187,24 @@ def test_z_value_interleave_exact(spark):
     # 0 1 1 0 1 1 1 0 … little-endian: x0=1,y0=0,x1=1,y1=1,x2=0,y2=1,x3=1,y3=0
     expect = (1 << 0) | (0 << 1) | (1 << 2) | (1 << 3) | (0 << 4) | (1 << 5) | (1 << 6) | (0 << 7)
     assert rows.collect()[0]["z"] == expect
+
+
+def test_chunk_documents_covers_text(spark):
+    from mahout_samsara_book_spark.operators.selection import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 200), (3, "c" * 10), (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=200, stride=150).toPandas()
+    n = dict(out.groupby("doc_id").size())
+    # 500 chars: ceil(300/150)+1 = 3 chunks; 200 → 1; 10 → 1; "" → 1
+    assert n == {1: 3, 2: 1, 3: 1, 4: 1}
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert [len(t) for t in d1.chunk_text] == [200, 200, 200]
+    # stride-150 overlap: chunk 1 starts at char 150
+    assert d1.chunk_text.iloc[-1].endswith("a")
+    # reassembly: first chars of consecutive chunks step by stride
+    assert len(out[out.doc_id == 2].chunk_text.iloc[0]) == 200
