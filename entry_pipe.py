@@ -610,6 +610,66 @@ FROM orders GROUP BY 1
 """
 
 
+EMB_DIM = 64
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = label_centroids(emb)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.transform(F.col("centroid"), lambda m: _sci(m)).alias("centroid"),
+        "n",
+    )
+
+
+def o_emb_centroids() -> str:
+    sci_m = _sci_sql("m")
+    return f"""
+WITH l AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT label, i, v[i + 1] AS x FROM l, range({EMB_DIM}) t(i)),
+pd AS (SELECT label, i AS dim, avg(x) AS m, count(*) AS cnt
+       FROM e GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label,
+       list({sci_m} ORDER BY dim) AS centroid,
+       CAST(min(cnt) AS BIGINT) AS n
+FROM pd GROUP BY label
+"""
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = centroid_outliers(emb)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _sci(F.col("dist2")).alias("dist2"),
+    )
+
+
+def o_emb_outliers() -> str:
+    return f"""
+WITH l AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT label, i, v[i + 1] AS x FROM l, range({EMB_DIM}) t(i)),
+pd AS (SELECT label, i AS dim, avg(x) AS m FROM e GROUP BY 1, 2),
+c AS (SELECT label, list(m ORDER BY dim) AS centroid FROM pd GROUP BY 1)
+SELECT l.vec_id, CAST(l.label AS BIGINT) AS label,
+       {_sci_sql(
+           "list_aggregate(list_transform(range(1, " + str(EMB_DIM + 1) + "), "
+           "i -> (l.v[i] - c.centroid[i]) * (l.v[i] - c.centroid[i])), 'sum')"
+       )} AS dist2
+FROM l JOIN c ON l.label = c.label
+"""
+
+
 QUERIES = {
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
@@ -629,6 +689,8 @@ QUERIES = {
     "zorder_stats": q_zorder_stats,
     "sel_chunk_docs": q_chunk_docs,
     "rel_incr_summary": q_incr_summary,
+    "emb_centroids": q_emb_centroids,
+    "emb_outliers": q_emb_outliers,
 }
 
 
@@ -652,4 +714,6 @@ def oracles() -> dict[str, str]:
         "zorder_stats": o_zorder_stats(),
         "sel_chunk_docs": o_chunk_docs(),
         "rel_incr_summary": o_incr_summary(),
+        "emb_centroids": o_emb_centroids(),
+        "emb_outliers": o_emb_outliers(),
     }

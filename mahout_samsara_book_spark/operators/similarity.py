@@ -512,3 +512,70 @@ def _grouped_topk_broadcast(
     return grouped.mapInPandas(
         topk, schema="vec_id long, neighbor long, cosine double, rank int"
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``(label, centroid: array<double>, n)`` — per-label mean vector
+    via posexplode + (label, dim) partial-aggregated average, then
+    dense reassembly with array_agg ordered by dim. Two shuffles, both
+    on small keys (labels × dims); never collects vectors. The
+    embedding-space analog of the DRM key-aggregating transpose
+    (TWCNB.scala:48-50's per-class sums)."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.avg("x").alias("m"), F.count("*").alias("cnt")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("dm"),
+            F.first("cnt").alias("n"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``(vec_id, label, dist2)`` — squared L2 distance of each vector
+    to its label's centroid: the standard embedding-quality outlier
+    score (mislabeled/garbage detection before training). The centroid
+    relation is labels×1 rows — broadcast back onto the corpus, the
+    distance is one codegen'd zip_with/aggregate fold. Single corpus
+    scan beyond the centroid build."""
+    cents = label_centroids(emb, id_col, vec_col, label_col)
+    v = F.col(vec_col).cast("array<double>")
+    return emb.join(
+        F.broadcast(
+            cents.select(
+                F.col("label").alias("_clabel"), "centroid"
+            )
+        ),
+        F.col(label_col) == F.col("_clabel"),
+    ).select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.aggregate(
+            F.zip_with(v, F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("dist2"),
+    )
