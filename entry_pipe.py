@@ -610,6 +610,72 @@ FROM orders GROUP BY 1
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        asof_with_tolerance,
+    )
+
+    out = asof_with_tolerance(spark, sf_dir, tolerance_minutes=60)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        _sci(F.col("value")).alias("value"),
+        _sci(F.col("recent_prior_value")).alias("recent_prior_value"),
+    )
+
+
+def o_asof_tolerance() -> str:
+    tol_us = 60 * 60 * 1_000_000
+    return f"""
+WITH tl AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us,
+         last_value(CASE WHEN event_type <> 'purchase' THEN value END
+                    IGNORE NULLS) OVER w AS prior_v,
+         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w AS prior_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       {_sci_sql("value")} AS value,
+       {_sci_sql(
+           f"CASE WHEN t_us - prior_t <= {tol_us} THEN prior_v END"
+       )} AS recent_prior_value
+FROM tl WHERE event_type = 'purchase'
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        discount_vs_avg_sql,
+    )
+
+    out = discount_vs_avg_sql(spark, sf_dir)
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        _sci(F.col("c_acctbal")).alias("c_acctbal"),
+        _sci(F.col("above_avg")).alias("above_avg"),
+    )
+
+
+def o_scalar_subquery() -> str:
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       {_sci_sql("c_acctbal")} AS c_acctbal,
+       {_sci_sql(
+           "c_acctbal - (SELECT avg(c2.c_acctbal) FROM customer c2 "
+           "WHERE c2.c_nationkey = c1.c_nationkey)"
+       )} AS above_avg
+FROM customer c1
+WHERE c_acctbal > (SELECT avg(c3.c_acctbal) FROM customer c3
+                   WHERE c3.c_nationkey = c1.c_nationkey)
+"""
+
+
 EMB_DIM = 64
 
 
@@ -691,6 +757,8 @@ QUERIES = {
     "rel_incr_summary": q_incr_summary,
     "emb_centroids": q_emb_centroids,
     "emb_outliers": q_emb_outliers,
+    "rel_asof_tolerance": q_asof_tolerance,
+    "rel_scalar_subquery": q_scalar_subquery,
 }
 
 
@@ -716,4 +784,6 @@ def oracles() -> dict[str, str]:
         "rel_incr_summary": o_incr_summary(),
         "emb_centroids": o_emb_centroids(),
         "emb_outliers": o_emb_outliers(),
+        "rel_asof_tolerance": o_asof_tolerance(),
+        "rel_scalar_subquery": o_scalar_subquery(),
     }

@@ -640,3 +640,70 @@ def incremental_order_summary(
             F.coalesce("d.price_max", F.col("b.price_max")),
         ).alias("price_max"),
     )
+
+
+def asof_with_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_minutes: int = 60
+) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    ``tolerance=``): for each purchase, the most recent prior
+    non-purchase value — but only if it happened within the last
+    ``tolerance_minutes``; otherwise NULL. Same single-shuffle
+    interleaved-window formulation as the unbounded as-of, carrying the
+    prior event's timestamp so the bound is one residual comparison
+    (no second join, no range explosion)."""
+    tol_us = tolerance_minutes * 60 * 1_000_000
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id",
+        ts_us(ev0).alias("t_us"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    other = F.when(F.col("event_type") != "purchase", F.col("value"))
+    other_t = F.when(F.col("event_type") != "purchase", F.col("t_us"))
+    prior_v = F.last(other, ignorenulls=True).over(w)
+    prior_t = F.last(other_t, ignorenulls=True).over(w)
+    return (
+        ev.withColumn("prior_v", prior_v)
+        .withColumn("prior_t", prior_t)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.when(
+                F.col("t_us") - F.col("prior_t") <= tol_us, F.col("prior_v")
+            ).alias("recent_prior_value"),
+        )
+    )
+
+
+def discount_vs_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface with a correlated scalar subquery: customers
+    whose balance beats their nation's average, with the delta —
+    Catalyst decorrelates the subquery into an aggregate + join, which
+    is exactly the plan you'd hand-write; registered via temp views to
+    exercise the engine's spark.sql entry point."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               c_acctbal - (SELECT avg(c2.c_acctbal)
+                            FROM v_customer c2
+                            WHERE c2.c_nationkey = c1.c_nationkey)
+                 AS above_avg
+        FROM v_customer c1
+        WHERE c_acctbal > (SELECT avg(c3.c_acctbal)
+                           FROM v_customer c3
+                           WHERE c3.c_nationkey = c1.c_nationkey)
+        """
+    )
