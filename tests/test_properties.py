@@ -134,3 +134,76 @@ def test_group_sum_partition_invariance(sp, mx, labels_seed):
         keys, out = d.aggregate_rows_by_key().collect_keys_matrix()
         for k, row in zip(keys, out):
             assert np.allclose(row, mx[labels == k].sum(axis=0), atol=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# selection-layer properties (round 3): partition laws that must hold
+# for ANY id set / weights / shard count
+# ------------------------------------------------------------------ #
+
+id_lists = st.lists(
+    st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True
+)
+
+
+@given(ids=id_lists, n_shards=st.integers(1, 9))
+@settings(**_SETTINGS)
+def test_shard_assign_partition_law(sp, ids, n_shards):
+    """Sharding is a partition: every id appears exactly once, shards
+    within range, positions dense per shard."""
+    from mahout_samsara_book_spark.operators.selection import shard_assign
+
+    df = sp.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = shard_assign(df, n_shards).toPandas()
+    assert sorted(out.doc_id) == sorted(ids)
+    assert out.shard.between(0, n_shards - 1).all()
+    for _, g in out.groupby("shard"):
+        assert sorted(g.pos) == list(range(len(g)))
+
+
+@given(
+    ids=id_lists,
+    w=st.tuples(
+        st.floats(0.05, 1, allow_nan=False),
+        st.floats(0.05, 1, allow_nan=False),
+        st.floats(0.05, 1, allow_nan=False),
+    ),
+)
+@settings(**_SETTINGS)
+def test_split_assign_total_function(sp, ids, w):
+    """Any positive weight vector yields a total assignment into the
+    declared names, regardless of normalization."""
+    from mahout_samsara_book_spark.operators.selection import split_assign
+
+    df = sp.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = split_assign(df, weights=w).toPandas()
+    assert len(out) == len(ids)
+    assert set(out.split) <= {"train", "val", "test"}
+
+
+@given(
+    # strictly positive: zero-token docs tie on (pack_id, pack_off),
+    # making the shard-order reconstruction below ambiguous
+    toks=st.lists(st.integers(1, 400), min_size=1, max_size=50),
+    budget=st.integers(32, 512),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conservation(sp, toks, budget):
+    """Token conservation: within each shard, pack_id/pack_off must
+    equal the running token count's div/mod — i.e. offsets reconstruct
+    the exclusive cumulative sum exactly."""
+    from mahout_samsara_book_spark.operators.selection import pack_sequences
+
+    df = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "n_tok", budget, 3).toPandas()
+    toks_by_id = dict(enumerate(toks))
+    for _, g in out.groupby("shard"):
+        # reconstruct shard order from (pack_id, pack_off) — cumsum is
+        # strictly nondecreasing in shard order
+        g = g.sort_values(["pack_id", "pack_off", "doc_id"]).reset_index(drop=True)
+        cum = 0
+        for _, row in g.iterrows():
+            assert row.pack_id * budget + row.pack_off == cum
+            cum += toks_by_id[row.doc_id]
