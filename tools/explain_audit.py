@@ -285,6 +285,49 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.operators.bloom import bloom_build
+    from mahout_samsara_book_spark.operators.sketches import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p13 = plan_of(bloom_build(ev, "event_type", "user_id"))
+    checks.append(
+        (
+            "bloom_build (mergeable bitmap aggregate)",
+            p13,
+            [
+                (
+                    "one shuffle: bitmap words combine map-side",
+                    n_shuffles(p13) == 1 and "partial_bit_or" in p13,
+                ),
+                (
+                    "scan prunes to (event_type, user_id)",
+                    "props" not in p13.split("ReadSchema")[1].split("\n")[0]
+                    if "ReadSchema" in p13
+                    else False,
+                ),
+            ],
+        )
+    )
+
+    p14 = plan_of(kmv_distinct(ev, "event_type", "user_id"))
+    checks.append(
+        (
+            "kmv_distinct (bottom-k sketch)",
+            p14,
+            [
+                (
+                    "distinct-ify has map-side partial aggregation",
+                    "partial" in p14.lower(),
+                ),
+                (
+                    "per-group window partitioned by the group key "
+                    "(no global sort)",
+                    "windowspecdefinition(grp#" in p14,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
