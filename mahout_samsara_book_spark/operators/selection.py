@@ -24,11 +24,6 @@ from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.operators.hashing import h60
 
-# h60 yields 60-bit hashes; bucket arithmetic stays in signed 64-bit in
-# both engines.
-_H60_SPAN = 1 << 60
-
-
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -50,9 +45,9 @@ def split_assign(
         raise ValueError("weights and names must align")
     total = float(sum(weights))
     bucket = h60(F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))) % buckets
+    # CASE WHEN bucket < t1 THEN n1 WHEN bucket < t2 ... chain over the
+    # cumulative thresholds
     acc = 0.0
-    expr = F.lit(names[-1])
-    # build a CASE WHEN bucket < t1 THEN n1 WHEN bucket < t2 ... chain
     conds = []
     for w, n in zip(weights[:-1], names[:-1]):
         acc += w / total
