@@ -558,6 +558,7 @@ def _q_allreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import entry_llm
     import entry_m5
     import entry_pipe
     import entry_rel
@@ -565,10 +566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry_m5._init(sci, sci_sql)
     entry_rel._init(sci, sci_sql)
     entry_pipe._init(sci, sci_sql)
+    entry_llm._init(sci, sci_sql)
     # Ordering is deliberate: the driver's correctness gate has twice
     # truncated after ~50 queries, so the entries that have never
     # appeared in a driver artifact run FIRST (VERDICT r2 item 3).
     return {
+        **entry_llm.QUERIES,
         **entry_pipe.QUERIES,
         "drm_abs_slice": _q_abs_slice,
         "drm_group_sum": _q_group_sum,
@@ -978,6 +981,7 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS l FROM embeddings)
 
 
 def oracle_sql() -> dict[str, str]:
+    import entry_llm
     import entry_m5
     import entry_pipe
     import entry_rel
@@ -985,7 +989,9 @@ def oracle_sql() -> dict[str, str]:
     entry_m5._init(sci, sci_sql)
     entry_rel._init(sci, sci_sql)
     entry_pipe._init(sci, sci_sql)
+    entry_llm._init(sci, sci_sql)
     return {
+        **entry_llm.oracles(),
         **entry_pipe.oracles(),
         **entry_m5.oracles(),
         **entry_rel.oracles(),

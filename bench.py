@@ -54,16 +54,21 @@ def main() -> None:
     # error per query and keep timing the rest
     for name, fn in entry.queries().items():
         best = float("inf")
+        spent = 0.0
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-                # a slow query's rep-2 steady-state gain isn't worth
-                # doubling its wall contribution — bound total harness
-                # time (first rep is the pessimistic estimate; recorded
-                # as-is)
-                if best > 30.0:
+                dt = time.perf_counter() - t0
+                best = min(best, dt)
+                spent += dt
+                # bound the harness's wall time per query WITHOUT letting
+                # a cold first rep (codegen/JIT-dominated) stand as the
+                # recorded number: a >30s first rep still gets its warm
+                # rep — skipping it once recorded 42s for a query whose
+                # steady state is 2.5s — and only a genuinely huge query
+                # (budget 120s) stops early
+                if spent > 120.0:
                     break
             times[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — any query failure is recorded

@@ -1,0 +1,238 @@
+"""LLM-corpus curation registry (round 3 additions): benchmark
+decontamination, domain mixture sampling, repetition-quality stats, and
+exact heavy-hitter vocabulary audit. Merged into __spark_entry__ like
+entry_m5 / entry_rel / entry_pipe.
+
+Every oracle REPLAYS the engine pipeline in DuckDB over the same
+portable md5-derived hashes (operators/hashing.py) and the same
+double-precision expressions, so hash-matches certify the full decision
+chain (split membership, gram hashing, acceptance thresholds), not just
+output shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.hashing import (
+    P31,
+    h31_sql,
+    h60,
+    h60_sql,
+)
+
+_sci = None
+_sci_sql = None
+
+
+def _init(sci, sci_sql):
+    global _sci, _sci_sql
+    _sci, _sci_sql = sci, sci_sql
+
+
+# DuckDB twin of functions.text.tokenize (same regex class)
+TOKS_SQL = (
+    r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+'), "
+    r"t -> t <> '')"
+)
+
+DECON_SEED = 42
+DECON_N = 5          # gram width (13 in the GPT-3 writeup; 5 at test SF)
+DECON_EVAL_MOD = 20  # ~5% of docs act as the held-out eval suite
+
+MIX_SEED = 42
+MIX_FRAC = 0.5
+MIX_RES = 1 << 20
+MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.05}
+
+HH_K = 50
+
+
+def _eval_hash_sql() -> str:
+    return h60_sql(f"concat('e{DECON_SEED}:', CAST(doc_id AS VARCHAR))")
+
+
+def _gram_fold_sql(n: int) -> str:
+    """DuckDB lambda body replaying dedup.shingle_hashes's arithmetic
+    gram hash: fold of (acc·31 + h_tok) mod P31 over n per-token
+    hashes, for the gram starting at 1-based list index i."""
+    expr = "th[i]"
+    for j in range(1, n):
+        expr = f"(({expr} * 31 + th[i + {j}]) % {P31})"
+    return expr
+
+
+def _gram_cte(src: str, n: int = DECON_N) -> str:
+    """``SELECT DISTINCT doc_id, h`` of hashed n-grams for docs in CTE
+    ``src`` (which must expose doc_id, text)."""
+    fold = _gram_fold_sql(n)
+    return f"""(
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(th) >= {n}
+                  THEN list_transform(range(1, len(th) - {n - 2}),
+                       i -> {fold})
+                  ELSE []::BIGINT[] END) AS h
+    FROM (SELECT doc_id,
+                 list_transform({TOKS_SQL}, t -> {h31_sql('t')}) AS th
+          FROM {src})
+  )
+)"""
+
+
+# ------------------------------------------------------------------ #
+# queries
+# ------------------------------------------------------------------ #
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    draw = (
+        h60(F.concat(F.lit(f"e{DECON_SEED}:"), F.col("doc_id").cast("string")))
+        % DECON_EVAL_MOD
+    )
+    eval_df = docs.filter(draw == 0)
+    train = docs.filter(draw != 0)
+    return decontaminate(train, eval_df, n=DECON_N)
+
+
+def o_decontaminate() -> str:
+    return f"""
+WITH ev AS (SELECT doc_id, text FROM documents
+            WHERE {_eval_hash_sql()} % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, text FROM documents
+       WHERE {_eval_hash_sql()} % {DECON_EVAL_MOD} <> 0),
+evg AS (SELECT DISTINCT h FROM {_gram_cte('ev')}),
+trg AS {_gram_cte('tr')},
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM trg t JOIN evg e USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM tr d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import (
+        domain_mix_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix_sample(
+        docs,
+        "lang",
+        MIX_WEIGHTS,
+        sample_frac=MIX_FRAC,
+        seed=MIX_SEED,
+        resolution=MIX_RES,
+    ).select("doc_id", "lang")
+
+
+def o_domain_mix() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {float(v)!r}"
+        for k, v in sorted(MIX_WEIGHTS.items())
+    )
+    draw = h60_sql(
+        f"concat('m{MIX_SEED}:', lang, ':', CAST(doc_id AS VARCHAR))"
+    )
+    # same IEEE double expression, same op order as domain_mix_sample:
+    # least(1.0, ((w * frac) * n) / n_d), thresholded at floor(rate*RES)
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, lang
+FROM documents JOIN c USING (lang) CROSS JOIN t
+WHERE ({draw} % {MIX_RES}) <
+  CAST(floor(least(1.0,
+      (CASE {cases} ELSE 0.0 END) * {float(MIX_FRAC)!r}
+      * CAST(n AS DOUBLE) / CAST(n_d AS DOUBLE)) * {float(MIX_RES)!r})
+    AS BIGINT)
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        _sci(F.col("dup_token_frac")).alias("dup_token_frac"),
+        _sci(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+    )
+
+
+def o_text_repetition() -> str:
+    # [NULL]::VARCHAR[] mirrors Spark's explode_outer on the empty
+    # bigram array: short docs keep one NULL-gram row
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [NULL]::VARCHAR[] END) AS gram
+  FROM tk
+),
+cnt AS (
+  SELECT doc_id, n_tok, n_uniq, gram, count(*) AS c
+  FROM ex GROUP BY 1, 2, 3, 4
+),
+agg AS (
+  SELECT doc_id, n_tok, n_uniq,
+         max(CASE WHEN gram IS NOT NULL THEN c END) AS top,
+         sum(CASE WHEN gram IS NOT NULL THEN c END) AS tot
+  FROM cnt GROUP BY 1, 2, 3
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+  {_sci_sql('CASE WHEN n_tok > 0 THEN 1.0 - CAST(n_uniq AS DOUBLE)'
+            ' / CAST(n_tok AS DOUBLE) ELSE 0.0 END')} AS dup_token_frac,
+  {_sci_sql('CASE WHEN tot > 0 THEN CAST(top AS DOUBLE)'
+            ' / CAST(tot AS DOUBLE) ELSE 0.0 END')} AS top_bigram_frac
+FROM agg
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, k=HH_K)
+
+
+def o_heavy_hitters() -> str:
+    return f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({TOKS_SQL}) AS term FROM documents)
+GROUP BY 1 ORDER BY n DESC, term LIMIT {HH_K}
+"""
+
+
+QUERIES = {
+    "sel_decontaminate": q_decontaminate,
+    "sel_domain_mix": q_domain_mix,
+    "text_repetition": q_text_repetition,
+    "sketch_heavy_hitters": q_heavy_hitters,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "sel_decontaminate": o_decontaminate(),
+        "sel_domain_mix": o_domain_mix(),
+        "text_repetition": o_text_repetition(),
+        "sketch_heavy_hitters": o_heavy_hitters(),
+    }

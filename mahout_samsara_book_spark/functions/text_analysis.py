@@ -163,6 +163,61 @@ def quality_exprs(text, toks) -> dict:
     }
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_tok, dup_token_frac, top_bigram_frac)`` — the
+    Gopher-style repetition filters: fraction of non-unique tokens and
+    the share of bigram occurrences claimed by the single most frequent
+    bigram (high values flag boilerplate / keyword-stuffed docs).
+
+    Shape at scale: one explode + ONE aggregation keyed on
+    (doc_id, bigram) then a per-doc rollup — both map-side combinable,
+    both partitioned by doc_id-derived keys so skew is bounded by the
+    longest single document, never by corpus size. The unigram stats
+    ride along as row-local array expressions (no second pass)."""
+    toks = tokenize(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("_n_uniq"),
+        F.explode_outer(bigrams).alias("_gram"),
+    )
+    counts = base.groupBy(id_col, "n_tok", "_n_uniq", "_gram").agg(
+        F.count("*").alias("_c")
+    )
+    gram_c = F.when(F.col("_gram").isNotNull(), F.col("_c"))
+    agg = counts.groupBy(id_col, "n_tok", "_n_uniq").agg(
+        F.max(gram_c).alias("_top"),
+        F.sum(gram_c).alias("_tot"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.when(
+            F.col("n_tok") > 0,
+            1.0 - F.col("_n_uniq").cast("double") / F.col("n_tok").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("dup_token_frac"),
+        F.when(
+            F.col("_tot") > 0,
+            F.col("_top").cast("double") / F.col("_tot").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

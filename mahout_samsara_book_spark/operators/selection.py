@@ -164,6 +164,119 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, n_hits, contaminated)`` — benchmark decontamination: flag
+    every training document sharing at least one word n-gram with the
+    held-out eval corpus (the n-gram-overlap rule LLM pipelines apply
+    before training; n=13 in the GPT-3/PaLM writeups, parameterized
+    here).
+
+    Scale shape: the eval side is a benchmark suite — tiny relative to
+    a 100 TB corpus — so its DISTINCT hashed-gram set is broadcast and
+    the train side streams through one explode + broadcast-hash
+    semi-join + per-doc count; the only wide op keyed on the corpus is
+    the final per-doc aggregation (map-side combinable count). Gram
+    identity is the hashed-fold from
+    :func:`~mahout_samsara_book_spark.operators.dedup.shingle_hashes`
+    (8-byte longs, no gram strings move through the join).
+    ``n_hits`` counts the train doc's DISTINCT grams seen in eval.
+    """
+    from mahout_samsara_book_spark.operators.dedup import shingle_hashes
+
+    ev_grams = (
+        shingle_hashes(eval_df, n=n, id_col=id_col, text_col=text_col,
+                       distinct=False)
+        .select("h")
+        .distinct()
+    )
+    tr_grams = shingle_hashes(
+        train, n=n, id_col=id_col, text_col=text_col, distinct=True
+    )
+    hits = (
+        tr_grams.join(F.broadcast(ev_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    sample_frac: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1 << 20,
+) -> DataFrame:
+    """``(id, domain)`` — deterministic mixture sampling: draw a corpus
+    of ``sample_frac·N`` rows whose domain proportions target ``weights``
+    (the data-mixing stage of LLM corpus assembly — e.g. upweight
+    wikipedia, downweight crawl). Per-domain acceptance rate
+    ``min(1, w_d·sample_frac·N / n_d)`` — a domain short of its target
+    is taken whole, never oversampled (sampling without replacement).
+
+    Fully distributed: domain counts come from one tiny groupBy joined
+    back via broadcast (domains ≪ rows; no driver collect), the draw is
+    the portable h60 hash (replayable by the oracle, stable under task
+    retries), and the filter is a narrow projection — the same
+    single-pass shape at 100 TB. Float rate → integer threshold uses
+    one double-precision expression evaluated identically by Spark and
+    DuckDB (same IEEE ops, same order).
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n_d"))
+    total = df.agg(F.count("*").alias("_n"))
+    w_expr = None
+    for k, v in sorted(weights.items()):
+        w_expr = (
+            F.when(F.col(domain_col) == k, F.lit(float(v)))
+            if w_expr is None
+            else w_expr.when(F.col(domain_col) == k, F.lit(float(v)))
+        )
+    w_expr = (
+        w_expr.otherwise(F.lit(0.0)) if w_expr is not None else F.lit(0.0)
+    )
+    rate = F.least(
+        F.lit(1.0),
+        w_expr
+        * F.lit(float(sample_frac))
+        * F.col("_n").cast("double")
+        / F.col("_n_d").cast("double"),
+    )
+    thresh = F.floor(rate * F.lit(float(resolution))).cast("long")
+    draw = (
+        h60(
+            F.concat(
+                F.lit(f"m{seed}:"),
+                F.col(domain_col),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        )
+        % resolution
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .crossJoin(F.broadcast(total))
+        .filter(draw < thresh)
+        .select(F.col(id_col), F.col(domain_col))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

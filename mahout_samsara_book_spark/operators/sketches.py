@@ -87,3 +87,32 @@ def kmv_union_distinct(
     return kmv_distinct(stacked, "grp", "v", k=k).withColumnRenamed(
         "grp", group_col
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(term, n)`` — the corpus's k most frequent tokens with exact
+    counts (vocabulary audit / stopword discovery over a training
+    corpus).
+
+    Exact two-phase plan, not a sketch: explode → hash-aggregate on the
+    term (partial map-side combine collapses each partition's counts to
+    its local vocabulary before the shuffle — the vocabulary, not the
+    corpus, is what moves) → global top-k via TakeOrderedAndProject
+    (per-partition top-k, k-row merge on the driver; no global sort).
+    Total tie-break (n DESC, term ASC) keeps the selected row set
+    deterministic for the oracle. At 100 TB the shuffled payload is
+    ~|vocabulary|·partitions rows of (term, long) — the same shape
+    word-count has at any scale."""
+    from mahout_samsara_book_spark.functions.text import tokenize
+
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
