@@ -221,11 +221,151 @@ GROUP BY 1 ORDER BY n DESC, term LIMIT {HH_K}
 """
 
 
+# ------------------------------------------------------------------ #
+# product quantization (IVF-PQ ANN)
+# ------------------------------------------------------------------ #
+
+PQ_M = 8
+PQ_K = 16
+PQ_SEED = 11
+PQ_SUB = 8  # 64-dim embeddings / 8 subspaces
+IVFPQ_CENTERS = 16
+IVFPQ_NPROBE = 2
+IVFPQ_TOPK = 3
+
+
+def _pq_ctes() -> str:
+    """DuckDB replay of pq_codebooks + pq_scored + the encode argmin
+    (CTE names prefixed p* to compose with entry_m5's _IVF_CTES, which
+    owns ``e``)."""
+    return f"""
+pe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+psamp AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS code, v
+  FROM (SELECT vec_id, v,
+               ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':{PQ_SEED}'),
+                1, 15))::BIGINT AS h
+        FROM pe ORDER BY h, vec_id LIMIT {PQ_K})
+),
+pbooks AS (
+  SELECT CAST(m AS BIGINT) AS m, code,
+         list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sub
+  FROM psamp CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+pscored AS (
+  SELECT vec_id, m, code,
+         list_sum(list_transform(range(1, {PQ_SUB + 1}),
+           i -> (seg[i] - sub[i]) * (seg[i] - sub[i]))) AS d2
+  FROM (SELECT pe.vec_id, b.m, b.code, b.sub,
+               list_slice(pe.v, b.m * {PQ_SUB} + 1,
+                          b.m * {PQ_SUB} + {PQ_SUB}) AS seg
+        FROM pe CROSS JOIN pbooks b)
+),
+penc AS (
+  SELECT vec_id, m, code, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, code) AS rn
+    FROM pscored
+  ) WHERE rn = 1
+)"""
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_encode(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
+    return out.select(
+        "vec_id", "m", "code", _sci(F.col("d2")).alias("d2")
+    )
+
+
+def o_pq_encode() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, m, code,
+       {_sci_sql('d2')} AS d2
+FROM penc
+"""
+
+
+def q_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import pq_mse
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_mse(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
+    return out.select("vec_id", _sci(F.col("mse")).alias("mse"))
+
+
+def o_pq_mse() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       {_sci_sql('list_sum(list(d2 ORDER BY m))')} AS mse
+FROM penc GROUP BY vec_id
+"""
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_ivfpq_topk(
+        emb,
+        topk=IVFPQ_TOPK,
+        n_centers=IVFPQ_CENTERS,
+        nprobe=IVFPQ_NPROBE,
+        pq_m=PQ_M,
+        pq_k=PQ_K,
+        pq_seed=PQ_SEED,
+    )
+    return out.select(
+        "vec_id", "neighbor", _sci(F.col("ad2")).alias("ad2"), "rank"
+    )
+
+
+def o_ann_ivfpq_topk() -> str:
+    import entry_m5
+
+    return f"""
+WITH {entry_m5._IVF_CTES},
+probes AS (SELECT vec_id AS q_id, cid FROM ranked_c
+           WHERE rn <= {IVFPQ_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS neighbor
+  FROM probes p JOIN assign a ON p.cid = a.cid AND p.q_id <> a.vec_id
+),
+{_pq_ctes().lstrip()},
+perm AS (
+  SELECT c.q_id, c.neighbor, s.m, s.d2
+  FROM cand c
+  JOIN penc n ON n.vec_id = c.neighbor
+  JOIN pscored s ON s.vec_id = c.q_id AND s.m = n.m AND s.code = n.code
+),
+ad2 AS (
+  SELECT q_id, neighbor, list_sum(list(d2 ORDER BY m)) AS ad2
+  FROM perm GROUP BY 1, 2
+),
+rk AS (
+  SELECT q_id, neighbor, ad2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY ad2, neighbor) AS rank
+  FROM ad2
+)
+SELECT CAST(q_id AS BIGINT) AS vec_id, CAST(neighbor AS BIGINT) AS neighbor,
+       {_sci_sql('ad2')} AS ad2, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {IVFPQ_TOPK}
+"""
+
+
 QUERIES = {
     "sel_decontaminate": q_decontaminate,
     "sel_domain_mix": q_domain_mix,
     "text_repetition": q_text_repetition,
     "sketch_heavy_hitters": q_heavy_hitters,
+    "pq_encode": q_pq_encode,
+    "pq_mse": q_pq_mse,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 
@@ -235,4 +375,7 @@ def oracles() -> dict[str, str]:
         "sel_domain_mix": o_domain_mix(),
         "text_repetition": o_text_repetition(),
         "sketch_heavy_hitters": o_heavy_hitters(),
+        "pq_encode": o_pq_encode(),
+        "pq_mse": o_pq_mse(),
+        "ann_ivfpq_topk": o_ann_ivfpq_topk(),
     }

@@ -579,3 +579,250 @@ def centroid_outliers(
             lambda s, x: s + x,
         ).alias("dist2"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Product quantization (IVF-PQ — the FAISS-style 100 TB ANN memory
+# path: vectors compressed to M sub-space codes, distances scored from
+# a per-query lookup table instead of raw floats)
+# ------------------------------------------------------------------ #
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """``(m, code, sub: array<double>)`` — M per-subspace codebooks of K
+    codewords each. Codewords are the sub-vectors of K deterministic
+    hash-sampled corpus rows (the same portable drmSampleKRows ordering
+    as :func:`ivf_centers` — oracle-replayable, no Lloyd iterations, no
+    float literals in the plan). Sampled codebooks are the zero-train
+    baseline a k-means refinement would warm-start from; the schema and
+    every consumer stay unchanged when one is plugged in."""
+    sub_dim = dim // m
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", id_col)) - 1)
+            .cast("long")
+            .alias("code"),
+            "v",
+        )
+    )
+    return sampled.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col("code"),
+        F.col("v"),
+    ).select(
+        F.col("m").cast("long").alias("m"),
+        "code",
+        F.slice(F.col("v"), F.col("m").cast("int") * sub_dim + 1, sub_dim).alias(
+            "sub"
+        ),
+    )
+
+
+def _sub_d2(vec_col: str, m_col: str, sub_dim: int) -> Column:
+    """Squared L2 between vector slice m and the codeword ``sub`` —
+    sequential fold, same evaluation order as the oracle's list_sum."""
+    seg = F.slice(
+        F.col(vec_col), F.col(m_col).cast("int") * sub_dim + 1, sub_dim
+    )
+    return F.aggregate(
+        F.zip_with(seg, F.col("sub"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_scored(
+    emb: DataFrame,
+    books: DataFrame,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, m, code, d2)`` for EVERY (vector, subspace, codeword):
+    one broadcast cross join against the M·K-row codebook (128 rows for
+    the default geometry — a trivially broadcastable dimension at any
+    corpus size). This single relation is both the encoder input (argmin
+    per (vec_id, m)) and the ADC lookup table (all rows per query)."""
+    base = ensure_min_partitions(emb).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return base.crossJoin(F.broadcast(books)).select(
+        F.col(id_col),
+        F.col("m"),
+        F.col("code"),
+        _sub_d2("v", "m", sub_dim).alias("d2"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """``(vec_id, m, code, d2)`` — each vector's nearest codeword per
+    subspace (ties by code asc): the PQ compression step. 64 doubles →
+    M 4-bit codes (with the default geometry), a 128× compression — the
+    representation that lets a 100 TB embedding table live in cluster
+    memory for ADC scoring. Cost: one broadcast cross join + one window
+    argmin partitioned by (vec_id, m) — linear in the corpus."""
+    books = pq_codebooks(emb, m, k, seed, id_col, vec_col, dim)
+    scored = pq_scored(emb, books, dim // m, id_col, vec_col)
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "m", "code", "d2")
+    )
+
+
+def pq_mse(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """``(vec_id, mse)`` — per-vector quantization error (sum of the M
+    chosen sub-space d2s): the audit metric that decides whether a
+    codebook is good enough to serve. Order-fixed sum: the M addends are
+    sorted by subspace then folded sequentially, so Spark and the oracle
+    add in the same order (a plain groupBy SUM leaves float
+    associativity to partial-agg order)."""
+    codes = pq_encode(emb, m, k, seed, id_col, vec_col, dim)
+    folded = codes.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "d2"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d2"],
+        ).alias("mse")
+    )
+    return folded
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    topk: int = 3,
+    n_centers: int = 16,
+    nprobe: int = 2,
+    ivf_seed: int = 9,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate top-k, the composed FAISS-style scale
+    architecture: IVF buckets prune candidates (nprobe/n_centers of the
+    corpus per query), then PQ asymmetric-distance computation ranks
+    them from codes + a per-query lookup table — the raw vectors of the
+    candidates are never touched. ``(vec_id, neighbor, ad2, rank)`` with
+    ad2 = Σ_m d2(query_sub_m, codeword(neighbor, m)).
+
+    Scale shape: LUT is corpus × (M·K) rows (linear, narrow after the
+    broadcast cross join); candidates × M join against the code table is
+    linear in the candidate stream; the only per-query state is the
+    window top-k. Everything shuffles on query or (query, neighbor)
+    keys — no quadratic relation anywhere."""
+    sub_dim = dim // pq_m
+    books = pq_codebooks(emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim)
+    scored = pq_scored(emb, books, sub_dim, id_col, vec_col).persist()
+    # encoder: nearest codeword per (vector, subspace)
+    w_enc = Window.partitionBy(id_col, "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("neighbor"),
+            F.col("m").alias("cm"),
+            F.col("code").alias("ccode"),
+        )
+    )
+    # IVF candidate generation (same shape as ivf_topk)
+    centers = ivf_centers(emb, n_centers, ivf_seed, id_col, vec_col)
+    assign = ivf_assign(emb, centers, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    d2c = F.aggregate(
+        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        ensure_min_partitions(emb).crossJoin(F.broadcast(centers))
+        .select(F.col(id_col), F.col("cid"), d2c.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("q_id"), "cid")
+    )
+    members = assign.select(F.col(id_col).alias("neighbor"), F.col("cid"))
+    cand = (
+        probes.join(members, "cid")
+        .filter(F.col("q_id") != F.col("neighbor"))
+        .select("q_id", "neighbor")
+        .distinct()
+    )
+    # ADC: candidate × M codes, joined to the query's LUT rows, then an
+    # order-fixed fold over the M addends (see pq_mse on associativity)
+    lut = scored.select(
+        F.col(id_col).alias("q_id"),
+        F.col("m").alias("cm"),
+        F.col("code").alias("ccode"),
+        F.col("d2"),
+    )
+    per_m = cand.join(codes, "neighbor").join(lut, ["q_id", "cm", "ccode"])
+    ad2 = per_m.groupBy("q_id", "neighbor").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("cm"), F.col("d2")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d2"],
+        ).alias("ad2")
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("ad2").asc(), F.col("neighbor").asc()
+    )
+    return (
+        ad2.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "neighbor",
+            "ad2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -113,3 +113,60 @@ def test_domain_mix_takes_whole_short_domain(spark):
     out = domain_mix_sample(df, "dom", {"rare": 0.9, "big": 0.1}, 0.5, seed=2)
     rare = [r for r in out.collect() if r["dom"] == "rare"]
     assert len(rare) == 5
+
+
+def test_pq_encode_geometry(spark):
+    import numpy as np
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=8, k=4, seed=1).collect()
+    assert len(books) == 32  # M×K codewords
+    assert all(len(r["sub"]) == 8 for r in books)
+    enc = pq_encode(emb, m=8, k=4, seed=1).collect()
+    # exactly one code per (vector, subspace), codes within range
+    assert len(enc) == 40 * 8
+    assert all(0 <= r["code"] < 4 and r["d2"] >= 0.0 for r in enc)
+    # a sampled codebook row encodes ITSELF with d2 == 0 in every subspace
+    sampled_ids = {
+        r["vec_id"]
+        for r in emb.collect()
+    }
+    zero_docs = {
+        r["vec_id"]
+        for r in enc
+        if r["d2"] == 0.0
+    }
+    assert zero_docs  # the k sampled rows hit their own codewords
+    assert zero_docs <= sampled_ids
+
+
+def test_ivfpq_ranks_are_dense_topk(spark):
+    import numpy as np
+
+    from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_ivfpq_topk(emb, topk=3, n_centers=8, nprobe=2, pq_k=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense 1..k
+        assert len(rs) <= 3
+        # ad2 non-decreasing with rank
+        srt = sorted(rs, key=lambda r: r["rank"])
+        assert all(
+            srt[i]["ad2"] <= srt[i + 1]["ad2"] + 1e-12
+            for i in range(len(srt) - 1)
+        )
+        assert all(r["neighbor"] != q for r in rs)
