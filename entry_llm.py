@@ -358,7 +358,61 @@ FROM rk WHERE rank <= {IVFPQ_TOPK}
 """
 
 
+# ------------------------------------------------------------------ #
+# event analytics: funnel + retention
+# ------------------------------------------------------------------ #
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.streaming.events import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, FUNNEL_STEPS)
+
+
+def o_ev_funnel() -> str:
+    return """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s0 AS (SELECT user_id, min(t) AS t_0 FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.t) AS t_1 FROM ev e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s0.t_0 GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t_2 FROM ev e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s1.t_1 GROUP BY 1)
+SELECT s0.user_id,
+       s0.t_0 // 1000000 AS t_view,
+       s1.t_1 // 1000000 AS t_click,
+       s2.t_2 // 1000000 AS t_purchase,
+       CAST(1 + (s1.user_id IS NOT NULL)::INT
+              + (s2.user_id IS NOT NULL)::INT AS BIGINT) AS steps_reached
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.streaming.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+def o_ev_retention() -> str:
+    return """
+WITH ev AS (SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day
+            FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
     "sel_decontaminate": q_decontaminate,
     "sel_domain_mix": q_domain_mix,
     "text_repetition": q_text_repetition,
@@ -371,6 +425,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ev_funnel": o_ev_funnel(),
+        "ev_retention": o_ev_retention(),
         "sel_decontaminate": o_decontaminate(),
         "sel_domain_mix": o_domain_mix(),
         "text_repetition": o_text_repetition(),

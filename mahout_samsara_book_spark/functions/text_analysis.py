@@ -178,7 +178,11 @@ def repetition_stats(
     both partitioned by doc_id-derived keys so skew is bounded by the
     longest single document, never by corpus size. The unigram stats
     ride along as row-local array expressions (no second pass)."""
-    toks = tokenize(F.col(text_col))
+    # tokens materialized in their own projection — HOF arguments
+    # evaluate interpreted and re-run per use-site (see language_id);
+    # inlining tokenize() into the three consumers below measured 4×
+    # slower at sf0.1
+    toks = F.col("_toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -187,6 +191,8 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("_n_uniq"),

@@ -264,3 +264,70 @@ def enriched_nation_counts(ev: DataFrame, customers: DataFrame) -> DataFrame:
         .groupBy("c_nationkey", "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def funnel_steps(
+    ev: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user with at least one
+    ``steps[0]`` event, the earliest timestamp of each step that occurs
+    STRICTLY AFTER the previous step's chosen timestamp (the classic
+    product-analytics funnel — a later-step event before the first
+    view doesn't count). ``(user_id, t_<step>... epoch secs with NULLs
+    past the drop-off point, steps_reached)``.
+
+    Scale shape: one aggregation per funnel stage, every one keyed on
+    user_id (map-side combinable min), chained by broadcast-free
+    equi-joins on the same user_id key — co-partitioned by the first
+    shuffle, no quadratic relation, no window over the full event
+    stream. Funnel depth (≈3) bounds the stage count, not data size."""
+    ev = ev.withColumn("t_us", ts_us(ev))
+    prev = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_0"))
+    )
+    out = prev
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(out.select("user_id", f"t_{i-1}"), "user_id")
+            .filter(F.col("t_us") > F.col(f"t_{i-1}"))
+            .groupBy("user_id")
+            .agg(F.min("t_us").alias(f"t_{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    reached = F.lit(1)
+    for i in range(1, len(steps)):
+        reached = reached + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    cols = [F.col("user_id")] + [
+        F.expr(f"t_{i} div {US_PER_SEC}").alias(f"t_{s}")
+        for i, s in enumerate(steps)
+    ]
+    return out.select(*cols, reached.cast("long").alias("steps_reached"))
+
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """Day-cohort retention triangle: cohort = the user's first active
+    day (any event type), ``(cohort_day, day_offset, n_users)`` =
+    distinct users from that cohort active ``day_offset`` days later —
+    epoch-day integers, offset 0 row is the cohort size.
+
+    Two shuffles total at any scale: min-day per user (map-side
+    combinable), then a distinct-aggregate keyed on the (cohort,
+    offset) pair after a same-key user join — the standard shape; no
+    per-day scans, no driver loops."""
+    # ts_us materialized once; `day` is integer epoch-days
+    ev = ev.withColumn("ts_us_col", ts_us(ev)).withColumn(
+        "day", F.expr(f"(ts_us_col div {US_PER_SEC}) div 86400")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.select("user_id", "day")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -226,3 +226,60 @@ def test_session_window_gap_boundary(spark):
     out = session_window_agg(df, gap_minutes=20).toPandas()
     assert len(out) == 2
     assert sorted(out.n_events.tolist()) == [1, 2]
+
+
+def test_funnel_requires_strict_order(spark):
+    import datetime as dt
+
+    rows = [
+        # user 1: purchase BEFORE any view — must not count; then full funnel
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1, "purchase", 1.0, ""),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 1, "view", 1.0, ""),
+        (3, dt.datetime(2024, 1, 1, 2, 0), 1, "click", 1.0, ""),
+        (4, dt.datetime(2024, 1, 1, 3, 0), 1, "purchase", 1.0, ""),
+        # user 2: click precedes first view — funnel stops at view
+        (5, dt.datetime(2024, 1, 2, 0, 0), 2, "click", 1.0, ""),
+        (6, dt.datetime(2024, 1, 2, 1, 0), 2, "view", 1.0, ""),
+        # user 3: never views — excluded entirely
+        (7, dt.datetime(2024, 1, 3, 0, 0), 3, "click", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from mahout_samsara_book_spark.streaming.events import funnel_steps
+
+    got = {r["user_id"]: r for r in funnel_steps(ev).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["steps_reached"] == 3
+    # the counted purchase is the one AFTER the click (03:00), not 00:00
+    assert got[1]["t_purchase"] > got[1]["t_click"] > got[1]["t_view"]
+    assert got[2]["steps_reached"] == 1
+    assert got[2]["t_click"] is None and got[2]["t_purchase"] is None
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1, "view", 1.0, ""),
+        (2, dt.datetime(2024, 1, 3, 5), 1, "view", 1.0, ""),   # offset 2
+        (3, dt.datetime(2024, 1, 1, 9), 2, "click", 1.0, ""),
+        (4, dt.datetime(2024, 1, 2, 9), 3, "view", 1.0, ""),   # later cohort
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from mahout_samsara_book_spark.streaming.events import retention_cohorts
+
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert got[(d0, 0)] == 2       # users 1 and 2 on day 0
+    assert got[(d0, 2)] == 1       # user 1 returns at offset 2
+    assert got[(d0 + 1, 0)] == 1   # user 3's own cohort
