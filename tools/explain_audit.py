@@ -328,6 +328,84 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.operators.selection import decontaminate
+    from mahout_samsara_book_spark.operators.similarity import pq_encode
+    from mahout_samsara_book_spark.streaming.events import funnel_steps
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.operators.hashing import h60
+
+    _draw = h60(F.concat(F.lit("e42:"), F.col("doc_id").cast("string"))) % 20
+    p15 = plan_of(
+        decontaminate(docs.filter(_draw != 0), docs.filter(_draw == 0), n=5)
+    )
+    checks.append(
+        (
+            "decontaminate (benchmark n-gram overlap)",
+            p15,
+            [
+                (
+                    "eval gram set broadcast (train side never shuffles "
+                    "for the semi-join)",
+                    "BroadcastHashJoin" in p15,
+                ),
+                (
+                    "per-doc hit count partially aggregated",
+                    "partial_count" in p15,
+                ),
+            ],
+        )
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p16 = plan_of(pq_encode(emb))
+    checks.append(
+        (
+            "pq_encode (codebook cross join + argmin)",
+            p16,
+            [
+                (
+                    "M·K codebook broadcast, corpus side stays partitioned",
+                    "BroadcastNestedLoopJoin" in p16 or "BroadcastExchange" in p16,
+                ),
+                (
+                    "argmin window partitioned by (vec, subspace) — "
+                    "no global sort",
+                    "windowspecdefinition(vec_id#" in p16,
+                ),
+            ],
+        )
+    )
+
+    ev2 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p17 = plan_of(funnel_steps(ev2))
+    checks.append(
+        (
+            "funnel_steps (per-stage min chain)",
+            p17,
+            [
+                (
+                    "every stage aggregation map-side combined",
+                    p17.count("partial_min") >= 3,
+                ),
+                (
+                    "event_type filters pushed to the scan",
+                    "PushedFilters: [IsNotNull(event_type)" in p17
+                    or "EqualTo(event_type" in p17,
+                ),
+                (
+                    "stage joins are shuffle-hash/sort-merge on user_id "
+                    "(co-partitioned chain, no broadcast of the corpus)",
+                    "user_id" in p17,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
