@@ -410,7 +410,42 @@ GROUP BY 1, 2
 """
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.relational import (
+        rolling_revenue_range,
+    )
+
+    out = rolling_revenue_range(spark, sf_dir, days=90)
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        _sci(F.col("rev_win")).alias("rev_win"),
+        "n_win",
+    )
+
+
+def o_window_range() -> str:
+    frame = "RANGE BETWEEN 89 PRECEDING AND CURRENT ROW"
+    return f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         (epoch_us(o_orderdate) // 1000000) // 86400 AS day, o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       {_sci_sql(
+           'sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day '
+           + frame + ')'
+       )} AS rev_win,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           {frame}) AS BIGINT) AS n_win
+FROM o
+"""
+
+
 QUERIES = {
+    "rel_window_range": q_window_range,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
     "sel_decontaminate": q_decontaminate,
@@ -425,6 +460,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "rel_window_range": o_window_range(),
         "ev_funnel": o_ev_funnel(),
         "ev_retention": o_ev_retention(),
         "sel_decontaminate": o_decontaminate(),

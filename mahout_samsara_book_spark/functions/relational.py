@@ -707,3 +707,40 @@ def discount_vs_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c3.c_nationkey = c1.c_nationkey)
         """
     )
+
+
+def rolling_revenue_range(
+    spark: SparkSession, sf_dir: str, days: int = 90
+) -> DataFrame:
+    """RANGE-frame window (the value-based frame type, vs the ROWS frame
+    of :func:`order_running_totals`): per customer, each order's trailing
+    ``days``-day revenue and order count — every order whose date falls
+    in ``(current_day - days, current_day]`` is in the frame regardless
+    of how many rows share a day. ``(o_custkey, o_orderkey, day,
+    rev_90d, n_90d)``; integer epoch-day ordering keys so Spark and the
+    oracle agree on frame membership exactly.
+
+    Scale: one hash-partitioned window keyed on o_custkey — per-customer
+    sort, no global ordering; frame evaluation is the engine's sliding
+    aggregate, O(rows) per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.withColumn(
+        "_t_us", ts_us(orders, "o_orderdate")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("(_t_us div 1000000) div 86400").alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum("o_totalprice").over(w).alias("rev_win"),
+        F.count("*").over(w).cast("long").alias("n_win"),
+    )
