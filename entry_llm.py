@@ -444,7 +444,88 @@ FROM o
 """
 
 
+# ------------------------------------------------------------------ #
+# multimodal plumbing: frame sampling + feature resize
+# ------------------------------------------------------------------ #
+
+FRAME_STRIDE = 64
+FRAME_MAX = 16
+RESIZE_OUT = 4
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_media,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = frame_sample(
+        attach_media(docs), stride=FRAME_STRIDE, max_frames=FRAME_MAX
+    )
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_byte").cast("long").alias("frame_byte"),
+    )
+
+
+def o_multimodal_frames() -> str:
+    # media is UTF-8(text), corpus pure ASCII (see o_multimodal_decode):
+    # frame i is byte [i*stride], 1-based char i*stride+1, capped at 16
+    return f"""
+SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+       CAST(ascii(text[CAST(t.i * {FRAME_STRIDE} + 1 AS INT)]) AS BIGINT)
+         AS frame_byte
+FROM documents,
+     LATERAL unnest(generate_series(
+       0, least({FRAME_MAX - 1}, (length(text) - 1) // {FRAME_STRIDE})
+     )) AS t(i)
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+        resize_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = decode_features(attach_media(docs), out_dim=8)
+    pooled = resize_features(feats, RESIZE_OUT)
+    return pooled.select(
+        "doc_id", F.posexplode("features").alias("pos", "v")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        _sci(F.col("v")).alias("v"),
+    )
+
+
+def o_multimodal_resize() -> str:
+    # decode replay (stride-8 fold, see entry_m5.o_multimodal_decode)
+    # then the adaptive average pool 8 -> 4: mean of adjacent pairs —
+    # exactly 2 addends so IEEE addition is order-free
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, (t.i - 1) % 8 AS pos, ascii(text[t.i]) AS b
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS t(i)
+),
+f AS (
+  SELECT doc_id, pos, (sum(b) % 997) / 997.0 AS v
+  FROM bytes GROUP BY doc_id, pos
+)
+SELECT doc_id, CAST(pos // 2 AS BIGINT) AS pos,
+       {_sci_sql('sum(v) / 2.0')} AS v
+FROM f GROUP BY doc_id, pos // 2
+"""
+
+
 QUERIES = {
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     "rel_window_range": q_window_range,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
@@ -460,6 +541,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "multimodal_frames": o_multimodal_frames(),
+        "multimodal_resize": o_multimodal_resize(),
         "rel_window_range": o_window_range(),
         "ev_funnel": o_ev_funnel(),
         "ev_retention": o_ev_retention(),
