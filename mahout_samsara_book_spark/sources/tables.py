@@ -59,6 +59,12 @@ def ts_us(ev: DataFrame, col: str = "ts") -> F.Column:
     dtype = dict(ev.dtypes).get(col)
     if dtype in ("bigint", "long"):
         return F.expr(f"{col} div 1000")
+    # the NTZ→TZ cast below reads the SESSION timezone — a caller-built
+    # session (the driver's) may not be UTC, which would shift every
+    # epoch value against the oracle's naive timestamps. Pin the confs
+    # through the DataFrame's own session so every ts_us call site is
+    # safe regardless of how the table was loaded.
+    ensure_session_confs(ev.sparkSession)
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
