@@ -720,20 +720,28 @@ def pq_mse(
     add in the same order (a plain groupBy SUM leaves float
     associativity to partial-agg order)."""
     codes = pq_encode(emb, m, k, seed, id_col, vec_col, dim)
-    folded = codes.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("m", "d2"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["d2"],
-        ).alias("mse")
-    )
-    return folded
+    return codes.groupBy(id_col).agg(_ordered_m_sum(m).alias("mse"))
+
+
+def _ordered_m_sum(m: int, m_col: str = "m", val_col: str = "d2") -> Column:
+    """Sum of the per-subspace values in FIXED subspace order:
+    m conditional single-addend sums (map-side combinable, codegen'd)
+    chained left-to-right — bit-identical to the oracle's ordered list
+    fold, without the interpreted collect_list/array_sort/aggregate HOF
+    that cost ~100 µs per group (the sf1 hot spot)."""
+    terms = [
+        F.sum(F.when(F.col(m_col) == i, F.col(val_col))) for i in range(m)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
 
 def ann_ivfpq_topk(
     emb: DataFrame,
     topk: int = 3,
-    n_centers: int = 16,
+    n_centers: int | str = "auto",
     nprobe: int = 2,
     ivf_seed: int = 9,
     pq_m: int = 8,
@@ -755,6 +763,16 @@ def ann_ivfpq_topk(
     linear in the candidate stream; the only per-query state is the
     window top-k. Everything shuffles on query or (query, neighbor)
     keys — no quadratic relation anywhere."""
+    import math
+
+    if n_centers == "auto":
+        # ~√n rule, same rationale + resolution as ivf_topk: a FIXED
+        # center count is a scale trap — 16 buckets over 10× the corpus
+        # give 10×-wide buckets and a quadratic candidate stream
+        # (measured: the 16-center sf1 run burned 13+ min in ADC
+        # scoring; auto's 50 centers bound it). Resolves to 16 at the
+        # driver-checked SF, matching the oracle's baked constants.
+        n_centers = max(16, math.isqrt(max(emb.count(), 2) // 2))
     sub_dim = dim // pq_m
     books = pq_codebooks(emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim)
     scored = pq_scored(emb, books, sub_dim, id_col, vec_col).persist()
@@ -807,11 +825,7 @@ def ann_ivfpq_topk(
     )
     per_m = cand.join(codes, "neighbor").join(lut, ["q_id", "cm", "ccode"])
     ad2 = per_m.groupBy("q_id", "neighbor").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("cm"), F.col("d2")))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["d2"],
-        ).alias("ad2")
+        _ordered_m_sum(pq_m, "cm", "d2").alias("ad2")
     )
     w_rank = Window.partitionBy("q_id").orderBy(
         F.col("ad2").asc(), F.col("neighbor").asc()
