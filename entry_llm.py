@@ -229,7 +229,6 @@ PQ_M = 8
 PQ_K = 16
 PQ_SEED = 11
 PQ_SUB = 8  # 64-dim embeddings / 8 subspaces
-IVFPQ_CENTERS = 16
 IVFPQ_NPROBE = 2
 IVFPQ_TOPK = 3
 
@@ -313,7 +312,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann_ivfpq_topk(
         emb,
         topk=IVFPQ_TOPK,
-        n_centers=IVFPQ_CENTERS,
+        n_centers="auto",
         nprobe=IVFPQ_NPROBE,
         pq_m=PQ_M,
         pq_k=PQ_K,

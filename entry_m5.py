@@ -267,8 +267,10 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centers,
     )
 
+    from mahout_samsara_book_spark.operators.similarity import auto_n_centers
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    centers = ivf_centers(emb, IVF_CENTERS, IVF_SEED)
+    centers = ivf_centers(emb, auto_n_centers(emb), IVF_SEED)
     return ivf_assign(emb, centers)
 
 
@@ -276,9 +278,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # n_centers='auto' resolves to IVF_CENTERS=16 at the driver-checked
-    # SF (500 vectors), matching the oracle's baked constants, and
-    # follows the ~sqrt(n) rule beyond it (see ivf_topk docstring)
+    # n_centers='auto' = max(16, isqrt(n//2)); the oracle CTE computes
+    # the SAME count from the data, so query and oracle agree at every
+    # SF, not just the driver-checked one (see auto_n_centers)
     out = ivf_topk(
         emb, k=3, n_centers="auto", nprobe=IVF_NPROBE, seed=IVF_SEED
     )
@@ -300,7 +302,10 @@ hashed AS (
 centers AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
          v AS center
-  FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT {IVF_CENTERS})
+  FROM (SELECT * FROM hashed ORDER BY h, vec_id
+        LIMIT (SELECT GREATEST({IVF_CENTERS},
+                       CAST(FLOOR(SQRT(count(*) // 2)) AS BIGINT))
+               FROM e))
 ),
 scored AS (
   SELECT e.vec_id, c.cid,

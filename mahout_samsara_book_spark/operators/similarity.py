@@ -169,6 +169,19 @@ def cosine_topk(
     )
 
 
+def auto_n_centers(emb: DataFrame) -> int:
+    """The ~√n IVF list-count rule shared by every IVF consumer:
+    ``max(16, isqrt(n // 2))``. A FIXED center count is a scale trap —
+    the 16-list layout that fits 500 vectors gives 1250-wide buckets at
+    20k vectors and a quadratic candidate stream. The DuckDB oracle
+    mirrors this exactly (``GREATEST(16, FLOOR(SQRT(count(*) // 2)))``,
+    entry_m5 ``_IVF_CTES``), so Spark and oracle pick the SAME layout at
+    every SF. One metadata-only count()."""
+    import math
+
+    return max(16, math.isqrt(max(emb.count(), 2) // 2))
+
+
 def ivf_centers(
     emb: DataFrame,
     n_centers: int = 16,
@@ -252,13 +265,10 @@ def ivf_topk(
     distance folds) against bucket width (n/centers): a fixed centroid
     count is the same scale trap as a fixed LSH grid — the 16-centroid
     list that fits 500 vectors gives 1250-wide buckets at 20k vectors
-    and a 50s verify (measured; auto's 100 centroids → ~7s). Resolves
-    to 16 at the driver-checked SF, matching the oracle's baked
-    constants. One metadata-only count()."""
-    import math
-
+    and a 50s verify (measured; auto's 100 centroids → ~7s). The
+    oracle computes the same count (see :func:`auto_n_centers`)."""
     if n_centers == "auto":
-        n_centers = max(16, math.isqrt(max(emb.count(), 2) // 2))
+        n_centers = auto_n_centers(emb)
     centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
     assign = ivf_assign(emb, centers, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
@@ -763,16 +773,12 @@ def ann_ivfpq_topk(
     linear in the candidate stream; the only per-query state is the
     window top-k. Everything shuffles on query or (query, neighbor)
     keys — no quadratic relation anywhere."""
-    import math
-
     if n_centers == "auto":
-        # ~√n rule, same rationale + resolution as ivf_topk: a FIXED
-        # center count is a scale trap — 16 buckets over 10× the corpus
-        # give 10×-wide buckets and a quadratic candidate stream
-        # (measured: the 16-center sf1 run burned 13+ min in ADC
-        # scoring; auto's 50 centers bound it). Resolves to 16 at the
-        # driver-checked SF, matching the oracle's baked constants.
-        n_centers = max(16, math.isqrt(max(emb.count(), 2) // 2))
+        # ~√n rule, same rationale + resolution as ivf_topk (measured:
+        # the 16-center sf1 run burned 13+ min in ADC scoring; auto's
+        # 100 centers bound it at ~110s). Oracle-mirrored — see
+        # auto_n_centers.
+        n_centers = auto_n_centers(emb)
     sub_dim = dim // pq_m
     books = pq_codebooks(emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim)
     scored = pq_scored(emb, books, sub_dim, id_col, vec_col).persist()
