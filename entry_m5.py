@@ -326,6 +326,30 @@ def o_ivf_assign() -> str:
     return f"WITH {_IVF_CTES} SELECT CAST(vec_id AS BIGINT) AS vec_id, cid FROM assign"
 
 
+def q_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import ivf_refine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_refine(emb, n_centers="auto", seed=IVF_SEED)
+    return out.select(
+        "cid",
+        F.col("pos").cast("long").alias("pos"),
+        _sci(F.col("c")).alias("c"),
+    )
+
+
+def o_ivf_refine() -> str:
+    return f"""
+WITH {_IVF_CTES},
+mem AS (
+  SELECT a.cid, i - 1 AS pos, e.v[i] AS x
+  FROM assign a JOIN e USING (vec_id), range(1, 65) t(i)
+)
+SELECT cid, CAST(pos AS BIGINT) AS pos, {_sci_sql('avg(x)')} AS c
+FROM mem GROUP BY cid, pos
+"""
+
+
 def o_ivf_topk() -> str:
     return f"""
 WITH {_IVF_CTES},
@@ -780,6 +804,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ivf_assign": q_ivf_assign,
     "ivf_topk": q_ivf_topk,
+    "ivf_refine": q_ivf_refine,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_token_stats": q_text_token_stats,
@@ -802,6 +827,7 @@ def oracles() -> dict[str, str]:
         "sim_cosine_topk": o_sim_cosine_topk(),
         "sim_lsh_buckets": o_sim_lsh_buckets(),
         "ivf_assign": o_ivf_assign(),
+        "ivf_refine": o_ivf_refine(),
         "ivf_topk": o_ivf_topk(),
         "ann_lsh_topk": o_ann_lsh_topk(),
         "text_langid": o_text_langid(),

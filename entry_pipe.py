@@ -736,7 +736,139 @@ FROM l JOIN c ON l.label = c.label
 """
 
 
+# ------------------------------------------------------------------ #
+# Count-Min / HyperLogLog / priority sampling (round-3 additions)
+# ------------------------------------------------------------------ #
+
+CMS_W = 256
+CMS_D = 4
+CMS_SEED = 7
+CMS_PROBES = 20
+HLL_B = 6
+PRI_K = 5
+PRI_SEED = 17
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import (
+        cms_estimate,
+        heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = heavy_hitters(docs, k=CMS_PROBES)
+    return cms_estimate(
+        docs, probes, width=CMS_W, depth=CMS_D, seed=CMS_SEED
+    )
+
+
+def o_cms_estimate() -> str:
+    from mahout_samsara_book_spark.operators.hashing import (
+        affine_sql,
+        h31_sql,
+        hash_family,
+    )
+
+    fam = hash_family(CMS_D, CMS_SEED)
+    th = h31_sql("term")
+    arms = " UNION ALL ".join(
+        f"SELECT term, {r} AS r, ({affine_sql(th, a, b)}) % {CMS_W} AS bucket"
+        " FROM toks"
+        for r, (a, b) in enumerate(fam)
+    )
+    parms = " UNION ALL ".join(
+        f"SELECT term, {r} AS r, ({affine_sql(th, a, b)}) % {CMS_W} AS bucket"
+        " FROM probes"
+        for r, (a, b) in enumerate(fam)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({TOKS_SQL}) AS term FROM documents),
+probes AS (SELECT term FROM (SELECT term, count(*) AS n FROM toks GROUP BY 1)
+           ORDER BY n DESC, term LIMIT {CMS_PROBES}),
+counters AS (SELECT r, bucket, count(*) AS c FROM ({arms}) GROUP BY 1, 2),
+pb AS ({parms})
+SELECT pb.term, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS n_est
+FROM pb LEFT JOIN counters c USING (r, bucket)
+GROUP BY pb.term
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "event_type", "user_id", b=HLL_B)
+
+
+def o_hll_distinct() -> str:
+    from mahout_samsara_book_spark.operators.sketches import _hll_alpha
+
+    m = 1 << HLL_B
+    low_bits = 60 - HLL_B
+    span = 1 << low_bits
+    alpha_m2 = repr(_hll_alpha(m) * m * m)
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (SELECT event_type AS grp, {h} AS h FROM events),
+regs AS (
+  SELECT grp, h >> {low_bits} AS j,
+         max(CASE WHEN h % {span} = 0 THEN {low_bits + 1}
+             ELSE {low_bits} - length(bin(h % {span})) + 1 END) AS mj
+  FROM hashed GROUP BY 1, 2
+),
+folded AS (
+  SELECT grp,
+         list_sum(list(power(2.0, -mj) ORDER BY j)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY grp
+),
+est AS (
+  SELECT grp, n_regs,
+         {alpha_m2} / (s_present + CAST({m} - n_regs AS DOUBLE)) AS raw,
+         CAST({m} - n_regs AS DOUBLE) AS zeros
+  FROM folded
+)
+SELECT grp AS event_type,
+       CAST(floor(CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END) AS BIGINT) AS n_est,
+       CAST(n_regs AS BIGINT) AS n_regs
+FROM est
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.selection import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = priority_sample(
+        docs, "lang", F.octet_length("text"), k=PRI_K, seed=PRI_SEED
+    )
+    return out.select(
+        "doc_id", "lang", _sci(F.col("priority")).alias("priority")
+    )
+
+
+def o_priority_sample() -> str:
+    h = h60_sql(f"concat('w{PRI_SEED}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         (CAST(strlen(text) AS DOUBLE) * {_H60_SPAN_F!r})
+           / CAST({h} + 1 AS DOUBLE) AS priority
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY priority DESC, doc_id) AS rn FROM p)
+SELECT doc_id, lang, {_sci_sql('priority')} AS priority
+FROM r WHERE rn <= {PRI_K}
+"""
+
+
 QUERIES = {
+    "sketch_cms": q_cms_estimate,
+    "sketch_hll": q_hll_distinct,
+    "sel_priority_sample": q_priority_sample,
     "sel_split_assign": q_split_assign,
     "sel_stratified_sample": q_stratified_sample,
     "sel_shard_assign": q_shard_assign,
@@ -764,6 +896,9 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "sketch_cms": o_cms_estimate(),
+        "sketch_hll": o_hll_distinct(),
+        "sel_priority_sample": o_priority_sample(),
         "sel_split_assign": o_split_assign(),
         "sel_stratified_sample": o_stratified_sample(),
         "sel_shard_assign": o_shard_assign(),

@@ -311,3 +311,52 @@ def chunk_documents(
             F.col(text_col), (F.col("chunk_id") * stride + 1).cast("int"), size
         ).alias("chunk_text"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col,
+    k: int = 5,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-biased sampling WITHOUT replacement of k rows per group
+    (priority sampling, Duffield-Lund-Thorup 2007): ``(id, group,
+    priority)``. Each row draws priority = w·2^60/(h+1) — the Pareto
+    key w/u for u uniform in (0, 1] — and the k highest priorities per
+    group win, so inclusion probability scales with weight and heavy
+    rows can't be drawn twice (the property frac-sampling lacks for
+    curriculum / quality-weighted subset selection).
+
+    Engine-portability is the design constraint: the classic
+    Efraimidis-Spirakis key u^{1/w} needs ``pow``, whose last-ulp
+    behavior differs between libm implementations — a selection built
+    on it can flip rows between Spark and the oracle. The Pareto key
+    uses one long→double cast, one multiply, one divide — all IEEE
+    correctly-rounded and bit-identical in both engines — so the
+    selected SET replays exactly. Same discipline as domain_mix's
+    integer thresholding.
+
+    Scale: one window per group partition; no global sort, no driver
+    state. Skewed groups sort only their own rows (AQE splits the
+    partition)."""
+    if isinstance(weight_col, str):
+        weight_col = F.col(weight_col)
+    h = h60(F.concat(F.lit(f"w{seed}:"), F.col(id_col).cast("string")))
+    pri = (weight_col.cast("double") * F.lit(float(1 << 60))) / (
+        (h + F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.col(id_col)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            pri.alias("priority"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

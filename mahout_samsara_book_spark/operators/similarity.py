@@ -846,3 +846,36 @@ def ann_ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_refine(
+    emb: DataFrame,
+    n_centers: int | str = "auto",
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd refinement iteration over the IVF coarse quantizer:
+    re-estimate each inverted list's centroid as the elementwise mean of
+    its members. ``(cid, pos, c)`` — the refined centroid matrix in COO
+    layout (cid × dimension), the warm-start k-means step the sampled
+    :func:`ivf_centers` baseline feeds into.
+
+    The full iteration is ONE relational pass: broadcast-assign (linear
+    scan) → posexplode → hash-aggregate on (cid, pos) with map-side
+    partial sums — the shuffled payload is O(centers·dim·partitions)
+    regardless of corpus size, which is why Lloyd's algorithm
+    distributes so well. Chaining t iterations = t such jobs with the
+    centers relation re-broadcast each round (SURVEY §4's iterative
+    checkpoint pattern; Bahmani's sketch loop has the same shape)."""
+    if n_centers == "auto":
+        n_centers = auto_n_centers(emb)
+    centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    assign = ivf_assign(emb, centers, id_col, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    members = ensure_min_partitions(emb).join(assign, id_col).select(
+        "cid", F.posexplode(v).alias("pos", "x")
+    )
+    return members.groupBy("cid", "pos").agg(
+        F.avg("x").alias("c")
+    )

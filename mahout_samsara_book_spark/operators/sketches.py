@@ -116,3 +116,176 @@ def heavy_hitters(
         .agg(F.count("*").alias("n"))
     )
     return counts.orderBy(F.col("n").desc(), F.col("term")).limit(k)
+
+
+# ------------------------------------------------------------------ #
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — the bounded-memory
+# frequency table for 100 TB token streams
+# ------------------------------------------------------------------ #
+
+
+def cms_build(
+    docs: DataFrame,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(r, bucket, c)`` — a depth×width Count-Min sketch of the token
+    stream: row r's bucket for token t is ``(a_r·h31(t) + b_r) mod P31
+    mod width`` over the portable md5-derived hash family
+    (:mod:`.hashing`), so the DuckDB oracle reproduces every counter
+    exactly.
+
+    Scale shape: explode → ONE hash-aggregate on (r, bucket) with
+    map-side combine — each partition collapses to ≤ depth·width partial
+    rows before the shuffle, so the exchanged payload is O(depth·width·
+    partitions) REGARDLESS of corpus size: the whole point of a sketch.
+    The materialized sketch (depth·width rows) broadcasts anywhere."""
+    from mahout_samsara_book_spark.functions.text import tokenize
+    from mahout_samsara_book_spark.operators.hashing import (
+        affine,
+        h31,
+        hash_family,
+    )
+
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    fam = hash_family(depth, seed)
+    rows = [
+        toks.select(
+            F.lit(r).cast("long").alias("r"),
+            (affine(h31(F.col("term")), a, b) % F.lit(width)).alias("bucket"),
+        )
+        for r, (a, b) in enumerate(fam)
+    ]
+    stacked = rows[0]
+    for other in rows[1:]:
+        stacked = stacked.unionByName(other)
+    return stacked.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    docs: DataFrame,
+    probes: DataFrame,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 7,
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """``(term, n_est)`` — point-query the sketch for each probe term:
+    n_est = min over rows of the term's counter, the classic CMS upper
+    bound (n_est ≥ true count always; ε ≈ e/width overestimate w.p.
+    1−e^−depth). Probe terms are a small relation — the join of probes
+    × sketch is broadcast on the sketch side (depth·width rows)."""
+    from mahout_samsara_book_spark.operators.hashing import (
+        affine,
+        h31,
+        hash_family,
+    )
+
+    sk = cms_build(docs, width, depth, seed, text_col)
+    fam = hash_family(depth, seed)
+    keyed = [
+        probes.select(
+            F.col(term_col).alias("term"),
+            F.lit(r).cast("long").alias("r"),
+            (affine(h31(F.col(term_col)), a, b) % F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        for r, (a, b) in enumerate(fam)
+    ]
+    stacked = keyed[0]
+    for other in keyed[1:]:
+        stacked = stacked.unionByName(other)
+    hit = stacked.join(F.broadcast(sk), ["r", "bucket"], "left").select(
+        "term", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return hit.groupBy("term").agg(F.min("c").cast("long").alias("n_est"))
+
+
+# ------------------------------------------------------------------ #
+# HyperLogLog (Flajolet et al. 2007) — portable register layout so the
+# DuckDB oracle replays the registers AND the estimate bit-for-bit
+# (Spark's native approx_count_distinct HLL++ can never hash-match a
+# different engine; same rationale as KMV above)
+# ------------------------------------------------------------------ #
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """``(grp, j, mj)`` — per-group HLL registers: j = top b bits of
+    h60(value), mj = max over the group's values of rho(low bits) where
+    rho = position of the first 1-bit from the MSB of the (60−b)-bit
+    remainder (1-based; low == 0 → 60−b+1). rho is computed with
+    integer/bit ops only (``length(bin(low))`` = bit_length in BOTH
+    engines) — no floats, so registers are exactly replayable.
+
+    Scale: one hash-aggregate on (grp, j) with map-side max combine —
+    ≤ m rows per group cross the wire per partition."""
+    low_bits = 60 - b
+    h = h60(F.col(value_col).cast("string"))
+    low = h % F.lit(1 << low_bits)
+    rho = F.when(low == 0, F.lit(low_bits + 1)).otherwise(
+        F.lit(low_bits) - F.length(F.bin(low)) + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.shiftright(h, low_bits).cast("long").alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "j")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """``(group, n_est, n_regs)`` — per-group HLL distinct-count
+    estimate from the portable registers. m = 2^b registers; raw
+    estimate α_m·m²/Σ2^−M_j (absent registers contribute 2^0 = 1),
+    with the standard small-range linear-counting correction
+    (est ≤ 2.5m and zero registers present → m·ln(m/V)).
+
+    The harmonic sum folds the ≤ m register terms in FIXED j order
+    (sorted list fold, ≤ 64 addends/group) so Spark and the oracle add
+    in the same sequence — same associativity discipline as pq_mse."""
+    m = 1 << b
+    regs = hll_registers(df, group_col, value_col, b)
+    folded = regs.groupBy("grp").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("j", "mj"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["mj"].cast("double")),
+        ).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    # registers never touched by any value contribute 2^-0 each
+    harm = F.col("s_present") + (F.lit(m) - F.col("n_regs")).cast("double")
+    raw = F.lit(_hll_alpha(m) * m * m) / harm
+    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return folded.select(
+        F.col("grp").alias(group_col),
+        F.floor(est).cast("long").alias("n_est"),
+        F.col("n_regs").cast("long").alias("n_regs"),
+    )

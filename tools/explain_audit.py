@@ -406,6 +406,56 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.operators.sketches import (
+        cms_build,
+        hll_distinct,
+    )
+
+    p18 = plan_of(cms_build(docs))
+    checks.append(
+        (
+            "cms_build (Count-Min counters)",
+            p18,
+            [
+                (
+                    "ONE shuffle: the (r, bucket) hash-aggregate — each "
+                    "partition combines to ≤ depth·width rows before the "
+                    "exchange, so shuffled bytes are O(sketch), not "
+                    "O(corpus)",
+                    n_shuffles(p18) == 1,
+                ),
+                ("map-side partial counts", "partial_count" in p18),
+                (
+                    "only (doc text) read from parquet",
+                    "ReadSchema: struct<text:string>" in p18,
+                ),
+            ],
+        )
+    )
+
+    ev3 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p19 = plan_of(hll_distinct(ev3, "event_type", "user_id"))
+    checks.append(
+        (
+            "hll_distinct (portable HLL registers)",
+            p19,
+            [
+                (
+                    "register build is ONE shuffle with map-side max "
+                    "combine (≤ m rows per group per partition move)",
+                    "partial_max" in p19,
+                ),
+                (
+                    "only the two key columns scanned",
+                    "ReadSchema: struct<user_id:bigint,event_type:string>"
+                    in p19
+                    or "ReadSchema: struct<event_type:string,user_id:bigint>"
+                    in p19,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
