@@ -251,7 +251,7 @@ pbooks AS (
          list_slice(v, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS sub
   FROM psamp CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
 ),
-pscored AS (
+pscored AS MATERIALIZED (
   SELECT vec_id, m, code,
          list_sum(list_transform(range(1, {PQ_SUB + 1}),
            i -> (seg[i] - sub[i]) * (seg[i] - sub[i]))) AS d2
@@ -260,7 +260,7 @@ pscored AS (
                           b.m * {PQ_SUB} + {PQ_SUB}) AS seg
         FROM pe CROSS JOIN pbooks b)
 ),
-penc AS (
+penc AS MATERIALIZED (
   SELECT vec_id, m, code, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                  ORDER BY d2, code) AS rn

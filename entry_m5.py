@@ -307,18 +307,18 @@ centers AS (
                        CAST(FLOOR(SQRT(count(*) // 2)) AS BIGINT))
                FROM e))
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT e.vec_id, c.cid,
          list_sum(list_transform(range(1, 65),
            i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
   FROM e CROSS JOIN centers c
 ),
-ranked_c AS (
+ranked_c AS MATERIALIZED (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
   FROM scored
 ),
-assign AS (SELECT vec_id, cid FROM ranked_c WHERE rn = 1)
+assign AS MATERIALIZED (SELECT vec_id, cid FROM ranked_c WHERE rn = 1)
 """
 
 
