@@ -865,7 +865,141 @@ FROM r WHERE rn <= {PRI_K}
 """
 
 
+# ------------------------------------------------------------------ #
+# graph analytics + fuzzy join (round-3 additions)
+# ------------------------------------------------------------------ #
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+FUZZY_PERTURB = 10
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.graph import (
+        pagerank,
+        transition_edges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = transition_edges(ev)
+    out = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
+    return out.select("node", _sci(F.col("pr")).alias("pr"))
+
+
+def o_pagerank() -> str:
+    d = PR_DAMPING
+    base = f"({(1.0 - d)!r} / nn.n)"
+    parts = [
+        f"""
+pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, count(*) AS w FROM pairs
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+probs AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+  FROM edges e JOIN ow o USING (src)
+),
+dangling AS MATERIALIZED (
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT DISTINCT src FROM edges)
+),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+inc{i} AS (
+  SELECT p.dst, list_sum(list(p.p * r.pr ORDER BY p.src)) AS inc
+  FROM probs p JOIN r{i - 1} r ON r.node = p.src GROUP BY p.dst
+),
+dg{i} AS (
+  SELECT coalesce(list_sum(list(r.pr ORDER BY r.node)), 0.0) AS dm
+  FROM dangling g JOIN r{i - 1} r ON r.node = g.node
+),
+r{i} AS (
+  SELECT n.node,
+         {base} + {d!r} * (coalesce(i.inc, 0.0) + g.dm / nn.n) AS pr
+  FROM nodes n LEFT JOIN inc{i} i ON n.node = i.dst
+  CROSS JOIN dg{i} g CROSS JOIN nn
+)"""
+        )
+    body = "".join(parts)
+    return f"""
+WITH {body.lstrip()}
+SELECT node, {_sci_sql('pr')} AS pr FROM r{PR_ITERS}
+"""
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.fuzzy import fuzzy_self_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    # plant single-char-deletion variants of the 10 lowest-id names so
+    # the distance-1 path provably fires (mirrors _AUG_DOCS_SQL)
+    perturbed = (
+        names.orderBy("id")
+        .limit(FUZZY_PERTURB)
+        .select(
+            (F.col("id") + 1000000).alias("id"),
+            F.expr(
+                "concat(substring(name, 1, 2), substring(name, 4))"
+            ).alias("name"),
+        )
+    )
+    aug = names.select("id", "name").unionByName(perturbed)
+    return fuzzy_self_join(aug, id_col="id", name_col="name", max_dist=1)
+
+
+def o_fuzzy_join() -> str:
+    return f"""
+WITH names AS (SELECT min(p_partkey) AS id, p_name AS name
+               FROM part GROUP BY p_name),
+pert AS (
+  SELECT id + 1000000 AS id,
+         substring(name, 1, 2) || substring(name, 4) AS name
+  FROM (SELECT * FROM names ORDER BY id LIMIT {FUZZY_PERTURB})
+),
+aug AS (SELECT id, name FROM names UNION ALL SELECT id, name FROM pert),
+v AS MATERIALIZED (
+  SELECT DISTINCT id AS vid, name AS vname, variant FROM (
+    SELECT id, name,
+           unnest(list_append(
+             list_transform(range(1, length(name) + 1),
+               i -> substring(name, 1, i - 1)
+                    || substring(name, i + 1)),
+             name)) AS variant
+    FROM aug)
+),
+cand AS (
+  SELECT DISTINCT l.vid AS id_a, r.vid AS id_b,
+                  l.vname AS name_a, r.vname AS name_b
+  FROM v l JOIN v r ON l.variant = r.variant AND l.vid < r.vid
+)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 QUERIES = {
+    "graph_pagerank": q_pagerank,
+    "rel_fuzzy_join": q_fuzzy_join,
     "sketch_cms": q_cms_estimate,
     "sketch_hll": q_hll_distinct,
     "sel_priority_sample": q_priority_sample,
@@ -896,6 +1030,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "graph_pagerank": o_pagerank(),
+        "rel_fuzzy_join": o_fuzzy_join(),
         "sketch_cms": o_cms_estimate(),
         "sketch_hll": o_hll_distinct(),
         "sel_priority_sample": o_priority_sample(),
