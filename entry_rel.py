@@ -545,7 +545,58 @@ WHERE o_orderstatus = 'F'
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.nation_volume_shipping(spark, sf_dir)
+    return out.select(
+        "supp_nation",
+        "cust_nation",
+        "ship_year",
+        _sci(F.col("volume")).alias("volume"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_volume_shipping() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {_sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.parts_supplier_counts(spark, sf_dir)
+    return out.select(
+        "p_brand",
+        "p_type",
+        F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+    )
+
+
+def o_supplier_counts() -> str:
+    return """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "rel_volume_shipping": q_volume_shipping,
+    "rel_supplier_counts": q_supplier_counts,
     "rel_grouping_sets": q_grouping_sets,
     "rel_percentiles": q_percentiles,
     "rel_unpivot": q_unpivot,
@@ -571,6 +622,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "rel_volume_shipping": o_volume_shipping(),
+        "rel_supplier_counts": o_supplier_counts(),
         "rel_grouping_sets": o_grouping_sets(),
         "rel_percentiles": o_percentiles(),
         "rel_unpivot": o_unpivot(),
