@@ -509,6 +509,113 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest shape: the batch = every 50th doc (held OUT of the
+    corpus — genuinely new texts, keep=true) plus exact copies of docs
+    0-9 under fresh ids (near-dups of corpus members, keep=false)."""
+    from mahout_samsara_book_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 17)
+    batch = (
+        docs.filter(F.col("doc_id") % 50 == 17)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = incremental_dedup(
+        corpus, batch, n=3, k=MINHASH_K, bands=LSH_BANDS,
+        seed=MINHASH_SEED, threshold=0.5,
+    )
+    return out.select(
+        "doc_id", "keep", "dup_of", _sci(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def o_dedup_incremental() -> str:
+    fam = hash_family(MINHASH_K, MINHASH_SEED)
+    rows = MINHASH_K // LSH_BANDS
+    mh_cols = ", ".join(
+        f"min({affine_sql('h', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS sig FROM sig"
+        for bi in range(LSH_BANDS)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 17),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM allr),
+tkh AS (SELECT doc_id, list_transform(toks, t -> {h31_sql('t')}) AS th
+        FROM tk),
+shh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(th) >= 3
+                  THEN list_transform(range(1, len(th) - 1),
+                       i -> ((((th[i] * 31 + th[i + 1]) % {P31}) * 31
+                             + th[i + 2]) % {P31}))
+                  ELSE []::BIGINT[] END) AS h
+    FROM tkh
+  )
+),
+sig AS (SELECT doc_id, {mh_cols} FROM shh GROUP BY 1),
+buckets AS MATERIALIZED ({band_selects}),
+bb AS (SELECT b.* FROM buckets b JOIN (SELECT doc_id FROM batch) x USING (doc_id)),
+bc AS (SELECT b.* FROM buckets b JOIN (SELECT doc_id FROM corpus) x USING (doc_id)),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT c.doc_id AS doc_a, n.doc_id AS doc_b
+    FROM bb n JOIN bc c ON n.band = c.band AND n.sig = c.sig
+    UNION ALL
+    SELECT o.doc_id AS doc_a, n.doc_id AS doc_b
+    FROM bb n JOIN bb o ON n.band = o.band AND n.sig = o.sig
+       AND o.doc_id < n.doc_id
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+),
+best AS (
+  SELECT doc_b, doc_a, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_b
+               ORDER BY jaccard DESC, doc_a) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, best.doc_a IS NULL AS keep,
+       best.doc_a AS dup_of, {_sci_sql('best.jaccard')} AS jaccard
+FROM (SELECT doc_id FROM batch) b
+LEFT JOIN best ON best.doc_b = b.doc_id
+"""
+
+
 def o_dedup_clusters() -> str:
     # connected components via recursive transitive closure over the
     # SAME LSH pair graph (the pairs CTE nests the full lsh_jaccard
@@ -796,6 +903,7 @@ QUERIES = {
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "docs_pipeline": q_docs_pipeline,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -821,6 +929,7 @@ def oracles() -> dict[str, str]:
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_clusters": o_dedup_clusters(),
+        "dedup_incremental": o_dedup_incremental(),
         "docs_pipeline": o_docs_pipeline(),
         "dedup_simhash": o_dedup_simhash(),
         "dedup_embedding": o_dedup_embedding(),

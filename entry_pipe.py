@@ -997,7 +997,52 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+UNIV_PCT = 10
+UNIV_SEED = 23
+
+
+def q_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two universe-sampled tables: because both sides sample the
+    SAME key slice, the join loses no matched rows relative to sampling
+    the join result itself."""
+    from mahout_samsara_book_spark.operators.selection import (
+        universe_sample,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    so = universe_sample(orders, "o_orderkey", UNIV_PCT, UNIV_SEED)
+    sl = universe_sample(li, "l_orderkey", UNIV_PCT, UNIV_SEED)
+    out = (
+        so.join(sl, so.o_orderkey == sl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def o_universe_sample() -> str:
+    d_o = h60_sql(f"concat('u{UNIV_SEED}:', CAST(o_orderkey AS VARCHAR))")
+    d_l = h60_sql(f"concat('u{UNIV_SEED}:', CAST(l_orderkey AS VARCHAR))")
+    return f"""
+WITH so AS (SELECT * FROM orders WHERE {d_o} % 100 < {UNIV_PCT}),
+sl AS (SELECT * FROM lineitem WHERE {d_l} % 100 < {UNIV_PCT})
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM so JOIN sl ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "sel_universe_sample": q_universe_sample,
     "graph_pagerank": q_pagerank,
     "rel_fuzzy_join": q_fuzzy_join,
     "sketch_cms": q_cms_estimate,
@@ -1030,6 +1075,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "sel_universe_sample": o_universe_sample(),
         "graph_pagerank": o_pagerank(),
         "rel_fuzzy_join": o_fuzzy_join(),
         "sketch_cms": o_cms_estimate(),

@@ -667,3 +667,97 @@ def _clusters_unionfind(edges_df: DataFrame) -> DataFrame:
     return edges_df.sparkSession.createDataFrame(
         rows, "doc_id long, cluster long"
     )
+
+
+def band_buckets(
+    signatures: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, band, sig)`` — the banded LSH bucket keys of each doc's
+    MinHash signature (the reusable half of :func:`lsh_candidate_pairs`,
+    exposed for cross-relation joins like incremental dedup)."""
+    band_sigs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_sigs).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing (already-deduped) corpus —
+    the production crawl-ingest shape: ``(doc_id, keep, dup_of,
+    jaccard)`` for every batch doc, where dup_of is the best match
+    (highest Jaccard, ties to the lowest id) among corpus docs and
+    EARLIER batch docs (min-id-wins, the exact_dedup keeper
+    convention).
+
+    The incremental win is in candidate generation: batch bucket keys
+    join against corpus ∪ batch buckets, so corpus × corpus pairs are
+    NEVER generated — cost scales with |batch|·bucket-width, not
+    |corpus|². At 100 TB the corpus bucket relation is a precomputed
+    index this join probes (id, band, sig — exactly what this function
+    materializes); the Jaccard verify then touches only candidate
+    shingle slices (see ngram_jaccard's semi-filter discipline).
+    Corpus and batch ids must be disjoint."""
+    rows = k // bands
+    sh_c = shingle_hashes(corpus, n, id_col, text_col)
+    sh_b = shingle_hashes(batch, n, id_col, text_col)
+    bkt_c = band_buckets(minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col)
+    bkt_b = band_buckets(minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col)
+    newer = bkt_b.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    # corpus docs are ALWAYS the "existing" side regardless of id order;
+    # batch-batch pairs defer to the earlier (smaller) id
+    cross = newer.join(
+        bkt_c.select(F.col(id_col).alias("doc_a"), "band", "sig"),
+        ["band", "sig"],
+    )
+    within = newer.join(
+        bkt_b.select(F.col(id_col).alias("doc_a"), "band", "sig"),
+        ["band", "sig"],
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    cand = (
+        cross.unionByName(within)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    sh_all = sh_c.unionByName(sh_b)
+    verified = ngram_jaccard(sh_all, cand, id_col).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+    w = Window.partitionBy("doc_b").orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc()
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias(id_col),
+            F.col("doc_a").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    return batch.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+        "jaccard",
+    )

@@ -360,3 +360,25 @@ def priority_sample(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def universe_sample(
+    df: DataFrame,
+    key_col: str,
+    pct: int,
+    seed: int = 23,
+) -> DataFrame:
+    """Universe (join-key-correlated) sampling: keep a row iff the
+    portable hash of its JOIN KEY falls in the accepted slice —
+    ``h60(seed:key) mod 100 < pct``. Sampling two tables with the same
+    (key, pct, seed) keeps them JOINABLE: the join of the samples IS
+    the sample of the join (the property per-row Bernoulli sampling
+    destroys, since the two sides would draw independently). This is
+    the AQP / BlinkDB "universe" strategy for approximating join
+    aggregates at 100 TB: scan-side filter, no shuffle, and every
+    engine replica (or the DuckDB oracle) selects the identical row
+    set because the draw is a pure hash of the key."""
+    draw = h60(
+        F.concat(F.lit(f"u{seed}:"), F.col(key_col).cast("string"))
+    ) % 100
+    return df.filter(draw < pct)

@@ -1,0 +1,64 @@
+"""incremental_dedup (batch-vs-corpus) and universe_sample
+(join-preserving correlated sampling)."""
+
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.dedup import incremental_dedup
+from mahout_samsara_book_spark.operators.selection import universe_sample
+
+
+def test_incremental_flags_corpus_dups_keeps_new(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 — must be dropped, regardless of
+            # the batch id being LARGER than the corpus id
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            # genuinely new
+            (101, "a brand new document with entirely fresh content words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(corpus, batch).collect()}
+    assert set(out) == {100, 101}
+    assert not out[100]["keep"] and out[100]["dup_of"] == 1
+    assert abs(out[100]["jaccard"] - 1.0) < 1e-12
+    assert out[101]["keep"] and out[101]["dup_of"] is None
+
+
+def test_incremental_batch_batch_defers_to_earlier_id(spark):
+    corpus = spark.createDataFrame(
+        [(1, "some existing corpus content entirely distinct here")],
+        "doc_id long, text string",
+    )
+    dup_text = "two new copies of the same incoming document text stream"
+    batch = spark.createDataFrame(
+        [(200, dup_text), (201, dup_text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(corpus, batch).collect()}
+    assert out[200]["keep"]  # earlier id wins
+    assert not out[201]["keep"] and out[201]["dup_of"] == 200
+
+
+def test_universe_sample_preserves_joins(spark):
+    orders = spark.range(1000).select(F.col("id").alias("o_orderkey"))
+    li = spark.range(3000).select((F.col("id") % 1000).alias("l_orderkey"))
+    so = universe_sample(orders, "o_orderkey", 20)
+    sl = universe_sample(li, "l_orderkey", 20)
+    # every sampled lineitem's key is present in the sampled orders —
+    # the join of samples equals the sample of the join
+    n_sampled_join = so.join(sl, so.o_orderkey == sl.l_orderkey).count()
+    full_join_sampled = universe_sample(
+        orders.join(li, orders.o_orderkey == li.l_orderkey),
+        "o_orderkey",
+        20,
+    ).count()
+    assert n_sampled_join == full_join_sampled > 0
+    # sample fraction is in the right ballpark
+    assert 100 <= so.count() <= 320
