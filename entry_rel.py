@@ -594,7 +594,74 @@ GROUP BY 1, 2
 """
 
 
+def q_ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.streaming.events import value_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = value_anomalies(ev, z_thresh=3.0)
+    return out.select(
+        "event_id", "event_type", _sci(F.col("value")).alias("value"),
+        _sci(F.col("z")).alias("z"),
+    )
+
+
+def o_ev_anomalies() -> str:
+    return f"""
+WITH stats AS (
+  SELECT event_type, sum(value) AS s1, sum(value * value) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+m AS (SELECT event_type, s1 / n AS mu,
+             sqrt((s2 - (s1 * s1) / n) / (n - 1.0)) AS sd
+      FROM stats)
+SELECT event_id, e.event_type, {_sci_sql('value')} AS value,
+       {_sci_sql('(value - mu) / sd')} AS z
+FROM events e JOIN m USING (event_type)
+WHERE abs((value - mu) / sd) > 3.0
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    out = (
+        salted_join(li, orders, "okey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_salted_join() -> str:
+    # the oracle is the PLAIN join: salting must be a semantic no-op
+    return f"""
+SELECT o_orderpriority,
+       {_sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "ev_anomalies": q_ev_anomalies,
+    "rel_salted_join": q_salted_join,
     "rel_volume_shipping": q_volume_shipping,
     "rel_supplier_counts": q_supplier_counts,
     "rel_grouping_sets": q_grouping_sets,
@@ -622,6 +689,8 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "ev_anomalies": o_ev_anomalies(),
+        "rel_salted_join": o_salted_join(),
         "rel_volume_shipping": o_volume_shipping(),
         "rel_supplier_counts": o_supplier_counts(),
         "rel_grouping_sets": o_grouping_sets(),

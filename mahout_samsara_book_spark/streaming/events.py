@@ -331,3 +331,49 @@ def retention_cohorts(ev: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    z_thresh: float = 3.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``(event_id, event_type, value, z)`` — events whose value
+    deviates more than ``z_thresh`` sample standard deviations from
+    their type's mean (monitoring / data-quality gate over a metric
+    stream).
+
+    Moments are EXPLICIT sums (Σv, Σv², n) rather than the engine's
+    stddev aggregate: Spark's Welford-style one-pass and another
+    engine's formulation differ in last-ulp ways, while the textbook
+    two-pass formula applies the identical IEEE op sequence in any
+    engine — the determinism the oracle gate needs. Two scans of the
+    group (one for moments, one for the probe) = the standard
+    broadcast-join shape; the moment relation is |groups| rows."""
+    v = F.col(value_col).cast("double")
+    stats = events.groupBy(group_col).agg(
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    stats = stats.select(
+        group_col,
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(var).alias("sd"),
+    )
+    z = (v - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias(value_col),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > F.lit(z_thresh))
+    )

@@ -62,3 +62,35 @@ def test_universe_sample_preserves_joins(spark):
     assert n_sampled_join == full_join_sampled > 0
     # sample fraction is in the right ballpark
     assert 100 <= so.count() <= 320
+
+
+def test_salted_join_equals_plain_join(spark):
+    from mahout_samsara_book_spark.operators.skew import salted_join
+
+    big = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(7)], "k long, label string"
+    )
+    got = (
+        salted_join(big, small, "k", n_salts=4)
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    want = big.join(small, "k").groupBy("label").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_value_anomalies_flags_outlier(spark):
+    from mahout_samsara_book_spark.streaming.events import value_anomalies
+
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(50)]
+    rows.append((99, "a", 1000.0))  # the outlier
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = value_anomalies(ev, z_thresh=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3.0
