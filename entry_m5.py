@@ -736,8 +736,10 @@ def _plane_sql(seed: int, j: int, dim: int = 64) -> str:
 def o_ann_lsh_topk() -> str:
     """Replay of lsh_topk(k=3, n_planes=3, n_tables=8, seed=5): 8 bucket
     ids from ±1-literal projections, candidates = same bucket in ANY
-    table, exact-cosine rerank. The OR-join is fine at oracle scale
-    (sf0.01); the ENGINE uses the bucket-equi-join shape for scale."""
+    table, exact-cosine rerank. "Same bucket in ANY table" is a UNION
+    of 8 per-table EQUI-joins (hash-joinable — the OR-of-equalities
+    form forces a quadratic nested loop that never finishes at the
+    10× fixture), matching the engine's bucket-equi-join shape."""
 
     def bucket_expr(t: int) -> str:
         bits = " + ".join(
@@ -748,15 +750,17 @@ def o_ann_lsh_topk() -> str:
         return f"({bits}) AS b{t}"
 
     buckets = ", ".join(bucket_expr(t) for t in range(8))
-    any_match = " OR ".join(f"l.b{t} = r.b{t}" for t in range(8))
+    per_table = " UNION ALL ".join(
+        f"SELECT l.vec_id, r.vec_id AS neighbor "
+        f"FROM bk l JOIN bk r ON l.b{t} = r.b{t} AND l.vec_id <> r.vec_id"
+        for t in range(8)
+    )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (SELECT vec_id, v, {buckets} FROM e),
-cand AS (
-  SELECT DISTINCT l.vec_id, r.vec_id AS neighbor
-  FROM bk l JOIN bk r ON l.vec_id <> r.vec_id AND ({any_match})
-),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bk AS MATERIALIZED (SELECT vec_id, {buckets} FROM e),
+cand AS (SELECT DISTINCT vec_id, neighbor FROM ({per_table})),
+n AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 sims AS (
   SELECT c.vec_id, c.neighbor,
          list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
