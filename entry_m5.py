@@ -243,10 +243,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # n_planes='auto' resolves to 3 at the driver-checked SF (500
-    # vectors), matching the oracle's baked plane literals, and scales
-    # the bucket grid with the corpus beyond it (9 planes at the sf1
-    # scale fixture — see lsh_topk docstring)
+    # n_planes='auto' = max(3, min(12, ceil(log2(n/64)))); the oracle
+    # bakes all 12 plane-bit literals and masks to the SAME data-derived
+    # count, so query and oracle agree at every SF (9 planes at sf1)
     out = lsh_topk(emb, k=3, n_planes="auto", n_tables=8, seed=5)
     return out.select(
         "vec_id",
@@ -734,22 +733,28 @@ def _plane_sql(seed: int, j: int, dim: int = 64) -> str:
 
 
 def o_ann_lsh_topk() -> str:
-    """Replay of lsh_topk(k=3, n_planes=3, n_tables=8, seed=5): 8 bucket
-    ids from ±1-literal projections, candidates = same bucket in ANY
-    table, exact-cosine rerank. "Same bucket in ANY table" is a UNION
-    of 8 per-table EQUI-joins (hash-joinable — the OR-of-equalities
-    form forces a quadratic nested loop that never finishes at the
-    10× fixture), matching the engine's bucket-equi-join shape."""
+    """Replay of lsh_topk(k=3, n_planes='auto', n_tables=8, seed=5),
+    scale-consistent with the engine at EVERY SF: all 12 plane bits per
+    table are baked as literals, the effective plane count J =
+    max(3, min(12, ceil(log2(n/64)))) is computed FROM THE DATA
+    (mirroring lsh_topk's auto rule), and the 12-bit bucket is masked
+    to its low J bits with `% (1 << J)` — bit j carries weight 2^j in
+    both engines, so the masked bucket equals the engine's J-plane
+    packing exactly. "Same bucket in ANY table" is a UNION of 8
+    per-table EQUI-joins (hash-joinable — the OR-of-equalities form
+    forces a quadratic nested loop that never finishes at the 10×
+    fixture)."""
 
     def bucket_expr(t: int) -> str:
         bits = " + ".join(
             f"CASE WHEN {_plane_sql(5 * 1000 + t, j)} > 0 "
             f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
-            for j in range(3)
+            for j in range(12)
         )
         return f"({bits}) AS b{t}"
 
     buckets = ", ".join(bucket_expr(t) for t in range(8))
+    masked = ", ".join(f"b{t} % m.mask AS b{t}" for t in range(8))
     per_table = " UNION ALL ".join(
         f"SELECT l.vec_id, r.vec_id AS neighbor "
         f"FROM bk l JOIN bk r ON l.b{t} = r.b{t} AND l.vec_id <> r.vec_id"
@@ -757,7 +762,11 @@ def o_ann_lsh_topk() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS MATERIALIZED (SELECT vec_id, {buckets} FROM e),
+m AS (SELECT CAST(1 AS BIGINT) << GREATEST(3, LEAST(12,
+        CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 64.0)) AS BIGINT)))
+        AS mask FROM e),
+bk12 AS (SELECT vec_id, {buckets} FROM e),
+bk AS MATERIALIZED (SELECT vec_id, {masked} FROM bk12 CROSS JOIN m),
 cand AS (SELECT DISTINCT vec_id, neighbor FROM ({per_table})),
 n AS MATERIALIZED (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

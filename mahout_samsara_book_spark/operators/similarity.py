@@ -377,8 +377,9 @@ def lsh_topk(
     3-plane/8-bucket grid at the 20k-vector scale fixture produced
     ~200M candidate pairs and minutes of GC-bound aggregation; auto
     sizing to 9 planes cuts it ~50×). Costs one metadata-only count()
-    on the scan; pass an int to pin the grid (the registered query's
-    oracle bakes plane literals, so it pins at the driver-checked SF)."""
+    on the scan; pass an int to pin the grid. The registered oracle
+    bakes all 12 plane-bit literals and masks to the same data-derived
+    count (entry_m5.o_ann_lsh_topk), so it follows auto at every SF."""
     import math
 
     emb = ensure_min_partitions(emb)
