@@ -105,6 +105,14 @@ def pagerank(
     base = F.lit(1.0 - damping) / n_d
     r = nodes.select("node", (F.lit(1.0) / n_d).alias("pr"))
     for _ in range(iters):
+        # materialize the rank relation ONCE per iteration: it is
+        # referenced twice below (contribs + dangling), and without a
+        # lineage cut the shared subtree re-executes per reference —
+        # 2^iters recomputations of the whole chain (measured 8.4s for
+        # 5 iterations on a 5-node graph; ~1s with the cut). This is
+        # SURVEY §4's iterative-checkpoint rule (Bahmani's loop does
+        # the same); one O(|nodes|) job per iteration.
+        r = r.localCheckpoint(eager=True)
         contribs = probs.join(
             F.broadcast(r), probs.src == r.node
         ).select("dst", "src", (F.col("p") * F.col("pr")).alias("c"))
