@@ -569,8 +569,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry_llm._init(sci, sci_sql)
     # Ordering is deliberate: the driver's correctness gate has twice
     # truncated after ~50 queries, so the entries that have never
-    # appeared in a driver artifact run FIRST (VERDICT r2 item 3).
+    # appeared in a driver artifact run FIRST (VERDICT r2 item 3) —
+    # this round's 12 additions, then the round-2 blocks in r2 order.
+    new_r3 = {
+        name: fns[name]
+        for fns in (entry_pipe.QUERIES, entry_rel.QUERIES, entry_m5.QUERIES)
+        for name in (
+            "sel_universe_sample", "graph_pagerank", "rel_fuzzy_join",
+            "sketch_cms", "sketch_hll", "sel_priority_sample",
+            "ev_anomalies", "rel_salted_join", "rel_volume_shipping",
+            "rel_supplier_counts", "ivf_refine", "dedup_incremental",
+        )
+        if name in fns
+    }
     return {
+        **new_r3,
         **entry_llm.QUERIES,
         **entry_pipe.QUERIES,
         "drm_abs_slice": _q_abs_slice,
