@@ -714,3 +714,120 @@ def oracles() -> dict[str, str]:
         "rel_semi_anti": o_semi_anti(),
         "rel_asof_events": o_asof_events(),
     }
+
+
+# ------------------------------------------------------------------ #
+# round-3 late additions: Q13/Q17 shapes, moment aggregates, gap-fill
+# ------------------------------------------------------------------ #
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.customer_order_distribution(spark, sf_dir)
+    return out.select(
+        F.col("c_count").cast("long").alias("c_count"),
+        F.col("custdist").cast("long").alias("custdist"),
+    )
+
+
+def o_custdist() -> str:
+    return """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.small_quantity_revenue(spark, sf_dir)
+    return out.select(
+        _sci(F.col("avg_yearly")).alias("avg_yearly"),
+        F.col("n_small").cast("long").alias("n_small"),
+    )
+
+
+def o_small_qty_revenue() -> str:
+    return f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+li_b AS (SELECT l_partkey, l_quantity, l_extendedprice
+         FROM lineitem JOIN bp ON l_partkey = p_partkey),
+th AS (SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_lim
+       FROM li_b GROUP BY 1)
+SELECT {_sci_sql('sum(l_extendedprice) / 7.0')} AS avg_yearly,
+       count(*) AS n_small
+FROM li_b JOIN th ON l_partkey = t_partkey
+WHERE l_quantity < qty_lim
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.bivariate_stats(spark, sf_dir)
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("qty_price_corr")).alias("qty_price_corr"),
+        _sci(F.col("qty_price_cov")).alias("qty_price_cov"),
+        _sci(F.col("qty_sd")).alias("qty_sd"),
+        _sci(F.col("price_sd")).alias("price_sd"),
+    )
+
+
+def o_stats_agg() -> str:
+    return f"""
+SELECT l_returnflag, count(*) AS n,
+       {_sci_sql('corr(l_quantity, l_extendedprice)')} AS qty_price_corr,
+       {_sci_sql('covar_samp(l_quantity, l_extendedprice)')} AS qty_price_cov,
+       {_sci_sql('stddev_samp(l_quantity)')} AS qty_sd,
+       {_sci_sql('stddev_samp(l_extendedprice)')} AS price_sd
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.event_hourly_gapfill(spark, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def o_ev_gapfill() -> str:
+    return """
+WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+c AS (SELECT event_type, hour, count(*) AS n_events FROM h GROUP BY 1, 2),
+ex AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+axis AS (SELECT t.event_type, s.hour
+         FROM (SELECT DISTINCT event_type FROM h) t
+         CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS hour
+                     FROM ex) s)
+SELECT a.event_type, a.hour, coalesce(c.n_events, 0) AS n_events
+FROM axis a LEFT JOIN c ON a.event_type = c.event_type AND a.hour = c.hour
+"""
+
+
+QUERIES.update(
+    {
+        "rel_custdist": q_custdist,
+        "rel_small_qty_revenue": q_small_qty_revenue,
+        "rel_stats_agg": q_stats_agg,
+        "ev_gapfill": q_ev_gapfill,
+    }
+)
+
+_LATE_ORACLES = {
+    "rel_custdist": o_custdist,
+    "rel_small_qty_revenue": o_small_qty_revenue,
+    "rel_stats_agg": o_stats_agg,
+    "ev_gapfill": o_ev_gapfill,
+}
+
+_orig_oracles = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    out = _orig_oracles()
+    out.update({k: f() for k, f in _LATE_ORACLES.items()})
+    return out

@@ -805,3 +805,115 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): per-customer order count
+    INCLUDING zero-order customers, then a histogram of those counts.
+
+    The join-side predicate (excluding urgent orders) must live in the
+    LEFT OUTER join condition — filtering orders before the join keeps
+    the NULL rows that make zero-count customers visible. Two shuffles
+    by construction: the outer join on custkey, then the per-customer
+    count; the final histogram groupBy collapses to a handful of rows
+    so its shuffle is negligible at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders (quantity below 20% of the per-part
+    mean) were not filled, for one brand.
+
+    The correlated scalar subquery (per-part avg quantity) becomes a
+    broadcastable aggregate: filter part to the brand FIRST, semi-join
+    lineitem down to that brand's rows, and only then compute the
+    per-part threshold — the threshold relation is |parts-of-brand|
+    rows, broadcast back onto the same filtered fact slice. At 100 TB
+    the brand filter prunes both the scan (pushed predicate) and every
+    downstream shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = li_b.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_lim")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li_b.join(F.broadcast(thresh), li_b.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per group: Pearson correlation,
+    sample covariance and sample stddevs of (quantity, extendedprice)
+    per return flag. All four are single-pass partial-aggregable
+    moments (Spark's CentralMomentAgg / Corr merge per-partition
+    states), so the plan is one map-side-combined shuffle at any
+    scale — the textbook 'sufficient statistics' shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_cov"),
+        F.stddev_samp("l_quantity").alias("qty_sd"),
+        F.stddev_samp("l_extendedprice").alias("price_sd"),
+    )
+
+
+def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill (hypertable rollup shape): hourly event
+    counts per event_type over the FULL [min, max] hour range of the
+    corpus, with empty buckets materialized as zero rows.
+
+    The dense hour axis is generated with ``sequence`` + ``explode``
+    from a 1-row global-extent aggregate cross-joined with the distinct
+    type dimension — both sides are tiny (hours x types), so the dense
+    frame broadcasts and the fill is a broadcast left join against the
+    sparse counts. Scale: the fact table is touched exactly once (one
+    map-side-combined groupBy); the generated axis grows with time
+    span x type cardinality, not data volume."""
+    from mahout_samsara_book_spark.sources.tables import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        (ts_us(ev) / F.lit(3600000000)).cast("long").alias("hour"),
+        "event_type",
+    )
+    counts = hours.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events")
+    )
+    extent = hours.agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    axis = extent.select(
+        F.explode(F.sequence("mn", "mx")).alias("hour")
+    ).crossJoin(hours.select("event_type").distinct())
+    return (
+        axis.join(counts, ["event_type", "hour"], "left_outer")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

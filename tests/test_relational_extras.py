@@ -1,0 +1,67 @@
+"""Round-3 late relational additions: Q13/Q17 shapes, moment
+aggregates, event-time gap-fill. Correctness invariants that the
+DuckDB hash-match can't express (zero-customers visibility, gap-fill
+density, moment identities)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.relational import (
+    bivariate_stats,
+    customer_order_distribution,
+    event_hourly_gapfill,
+    small_quantity_revenue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_custdist_counts_every_customer(spark):
+    """Left-outer semantics: the histogram must partition the full
+    customer relation — including customers with zero (non-urgent)
+    orders, which an inner join would silently drop."""
+    out = customer_order_distribution(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r["custdist"] for r in out) == n_cust
+
+
+def test_small_quantity_revenue_subset(spark):
+    """The small-quantity slice is a strict subset of the brand slice,
+    and the threshold join keeps only rows below 20% of per-part avg."""
+    row = small_quantity_revenue(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    brand_rows = (
+        li.join(
+            part.filter(F.col("p_brand") == "Brand#23"),
+            li.l_partkey == part.p_partkey,
+        ).count()
+    )
+    assert (row["n_small"] or 0) <= brand_rows
+
+
+def test_bivariate_stats_moment_identities(spark):
+    """corr == cov / (sd_x * sd_y) row by row — the aggregate family is
+    internally consistent, not four unrelated numbers."""
+    for r in bivariate_stats(spark, SF).collect():
+        if r["qty_sd"] and r["price_sd"]:
+            expect = r["qty_price_cov"] / (r["qty_sd"] * r["price_sd"])
+            assert math.isclose(r["qty_price_corr"], expect, rel_tol=1e-9)
+        assert r["n"] > 0
+
+
+def test_gapfill_is_dense_and_conserves_counts(spark):
+    """The hour axis is dense per type (every hour in [min, max]
+    present exactly once) and the filled zeros don't change the total
+    event count."""
+    out = event_hourly_gapfill(spark, SF)
+    rows = out.collect()
+    ev_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == ev_n
+
+    hours = sorted({r["hour"] for r in rows})
+    types = {r["event_type"] for r in rows}
+    span = hours[-1] - hours[0] + 1
+    assert len(hours) == span
+    assert len(rows) == span * len(types)
