@@ -576,7 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for fns in (entry_pipe.QUERIES, entry_rel.QUERIES, entry_m5.QUERIES)
         for name in (
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",
-            "ev_gapfill",
+            "ev_gapfill", "rel_waiting_suppliers", "rel_idle_customers",
             "sel_universe_sample", "graph_pagerank", "rel_fuzzy_join",
             "sketch_cms", "sketch_hll", "sel_priority_sample",
             "ev_anomalies", "rel_salted_join", "rel_volume_shipping",

@@ -831,3 +831,62 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     out = _orig_oracles()
     out.update({k: f() for k, f in _LATE_ORACLES.items()})
     return out
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.waiting_suppliers(spark, sf_dir)
+    return out.select("s_name", F.col("numwait").cast("long").alias("numwait"))
+
+
+def o_waiting_suppliers() -> str:
+    return """
+WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, count(*) AS numwait
+FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.idle_rich_customers(spark, sf_dir)
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("numcust").cast("long").alias("numcust"),
+        _sci(F.col("totacctbal")).alias("totacctbal"),
+    )
+
+
+def o_idle_customers() -> str:
+    return f"""
+WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       {_sci_sql('sum(c_acctbal)')} AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '2001-01-01')
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "rel_waiting_suppliers": q_waiting_suppliers,
+        "rel_idle_customers": q_idle_customers,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "rel_waiting_suppliers": o_waiting_suppliers,
+        "rel_idle_customers": o_idle_customers,
+    }
+)

@@ -917,3 +917,86 @@ def event_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, the count of multi-supplier orders where THIS supplier
+    had a returned item and no co-supplier did — EXISTS plus NOT EXISTS
+    correlated on the same fact table. (The fixture has no
+    receipt/commit dates, so 'returned item' stands in for Q21's late
+    delivery predicate; the join topology is identical.)
+
+    Spark-first shape: both correlated subqueries become joins against
+    the DISTINCT (order, supplier) relation — a left_semi with a
+    non-equi co-supplier condition for EXISTS, a left_anti for NOT
+    EXISTS. All three relations shuffle on l_orderkey only, and the
+    distinct projection collapses the fact table before the self-joins,
+    so the heavy table is scanned once and joined pre-aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    order_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    o2 = order_supp.select(
+        F.col("l_orderkey").alias("o_okey"), F.col("l_suppkey").alias("o_skey")
+    )
+    r3 = returned.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("r_skey")
+    )
+    waiting = (
+        returned.join(
+            o2,
+            (returned.l_orderkey == o2.o_okey)
+            & (returned.l_suppkey != o2.o_skey),
+            "left_semi",
+        )
+        .join(
+            r3,
+            (returned.l_orderkey == r3.r_okey)
+            & (returned.l_suppkey != r3.r_skey),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    account balance above the positive-balance average who have LAPSED —
+    no order since 2001-01-01 — counted per nation. (Every fixture
+    customer has some order, so Q22's never-ordered predicate is empty
+    by construction; the date-bounded NOT EXISTS keeps the correlated
+    anti-join shape with a non-trivial result.) The scalar subquery
+    (global avg) is a 1-row aggregate cross-joined in — Catalyst
+    broadcasts it for free — and NOT EXISTS is a left_anti against the
+    date-filtered orders keys (the filter pushes to the parquet scan).
+    Both heavy relations shuffle once on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )

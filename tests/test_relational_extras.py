@@ -65,3 +65,48 @@ def test_gapfill_is_dense_and_conserves_counts(spark):
     span = hours[-1] - hours[0] + 1
     assert len(hours) == span
     assert len(rows) == span * len(types)
+
+
+def test_waiting_suppliers_order_invariant(spark):
+    """sum(numwait) must equal the number of (multi-supplier) orders
+    whose returned lineitems come from EXACTLY ONE supplier — the
+    semi+anti join pair is equivalent to that per-order cardinality
+    predicate."""
+    from mahout_samsara_book_spark.functions.relational import (
+        waiting_suppliers,
+    )
+
+    out = waiting_suppliers(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .count()
+    )
+    assert sum(r["numwait"] for r in out) == per_order
+
+
+def test_idle_customers_membership(spark):
+    """Every counted customer is above the positive-balance average and
+    absent from the recent-orders key set."""
+    from mahout_samsara_book_spark.functions.relational import (
+        idle_rich_customers,
+    )
+
+    out = idle_rich_customers(spark, SF).collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    ab = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    direct = (
+        cust.filter(F.col("c_acctbal") > ab)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .count()
+    )
+    assert sum(r["numcust"] for r in out) == direct
