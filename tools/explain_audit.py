@@ -456,6 +456,85 @@ def main() -> int:
         )
     )
 
+    p20 = plan_of(R.customer_order_distribution(spark, sf_dir))
+    checks.append(
+        (
+            "customer_order_distribution (TPC-H Q13 shape)",
+            p20,
+            [
+                (
+                    "outer join preserved (zero-order customers visible)",
+                    "LeftOuter" in p20 or "RightOuter" in p20,
+                ),
+                (
+                    "only join/predicate columns scanned from orders",
+                    "o_totalprice" not in p20 and "o_orderdate" not in p20,
+                ),
+            ],
+        )
+    )
+
+    p21 = plan_of(R.small_quantity_revenue(spark, sf_dir))
+    checks.append(
+        (
+            "small_quantity_revenue (TPC-H Q17 shape)",
+            p21,
+            [
+                (
+                    "brand filter pushed to the part scan",
+                    "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand" in p21,
+                ),
+                (
+                    "per-part threshold joined broadcast (no fact-table "
+                    "shuffle for the correlated subquery)",
+                    "BroadcastHashJoin" in p21,
+                ),
+                ("partial aggregation for the threshold", "partial_" in p21),
+            ],
+        )
+    )
+
+    p22 = plan_of(R.bivariate_stats(spark, sf_dir))
+    checks.append(
+        (
+            "bivariate_stats (moment aggregate family)",
+            p22,
+            [
+                (
+                    "ONE shuffle: all four moments merge partial states",
+                    n_shuffles(p22) == 1,
+                ),
+                (
+                    "only the three needed columns scanned",
+                    "ReadSchema: struct<l_quantity:double,"
+                    "l_extendedprice:double,l_returnflag:string>" in p22
+                    or "l_shipdate" not in p22,
+                ),
+            ],
+        )
+    )
+
+    p23 = plan_of(R.waiting_suppliers(spark, sf_dir))
+    checks.append(
+        (
+            "waiting_suppliers (TPC-H Q21 shape)",
+            p23,
+            [
+                (
+                    "EXISTS/NOT EXISTS compiled to semi/anti joins, no "
+                    "cartesian fallback",
+                    "LeftSemi" in p23
+                    and "LeftAnti" in p23
+                    and "CartesianProduct" not in p23,
+                ),
+                (
+                    "supplier dim broadcast",
+                    "BroadcastHashJoin" in p23,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
