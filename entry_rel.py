@@ -890,3 +890,25 @@ _LATE_ORACLES.update(
         "rel_idle_customers": o_idle_customers,
     }
 )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.order_priority_check(spark, sf_dir)
+    return out.select(
+        "o_orderpriority", F.col("order_count").cast("long").alias("order_count")
+    )
+
+
+def o_order_priority() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+QUERIES.update({"rel_order_priority": q_order_priority})
+_LATE_ORACLES.update({"rel_order_priority": o_order_priority})

@@ -1000,3 +1000,29 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders from one
+    quarter that had at least one problem lineitem (returned stands in
+    for Q4's late-receipt predicate), counted per priority. EXISTS is a
+    left_semi against the pre-filtered, pre-distinct problem-order key
+    set; both the date range and the returnflag filter push to their
+    parquet scans, so each side is pruned before the single
+    orderkey-keyed shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    problem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            problem, orders.o_orderkey == problem.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

@@ -110,3 +110,23 @@ def test_idle_customers_membership(spark):
         .count()
     )
     assert sum(r["numcust"] for r in out) == direct
+
+
+def test_order_priority_check_partition(spark):
+    """Q4 semi-join: counted orders are exactly the in-quarter orders
+    whose key appears in the returned-lineitem key set."""
+    from mahout_samsara_book_spark.functions.relational import (
+        order_priority_check,
+    )
+
+    out = order_priority_check(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    keys = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k")
+    ).distinct()
+    direct = orders.join(keys, orders.o_orderkey == keys.k).count()
+    assert sum(r["order_count"] for r in out) == direct
