@@ -838,24 +838,25 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue lost if small orders (quantity below 20% of the per-part
     mean) were not filled, for one brand.
 
-    The correlated scalar subquery (per-part avg quantity) becomes a
-    broadcastable aggregate: filter part to the brand FIRST, semi-join
-    lineitem down to that brand's rows, and only then compute the
-    per-part threshold — the threshold relation is |parts-of-brand|
-    rows, broadcast back onto the same filtered fact slice. At 100 TB
-    the brand filter prunes both the scan (pushed predicate) and every
-    downstream shuffle."""
+    The correlated scalar subquery (per-part avg quantity) becomes an
+    unbounded window average partitioned by partkey: filter part to the
+    brand FIRST, broadcast-semi-join lineitem down to that brand's
+    rows, then compare each row against its partition's avg in the SAME
+    pass. One scan of the fact table and one partkey shuffle total —
+    the aggregate-then-rejoin form scans lineitem twice (Spark can't
+    share the scan across the self-join's branches) and was measurably
+    slower at sf0.1. At 100 TB the brand filter prunes every
+    downstream exchange and the window state is one running (sum,
+    count) per partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     li_b = li.join(
         F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
-    thresh = li_b.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_lim")
-    ).withColumnRenamed("l_partkey", "t_partkey")
+    w = Window.partitionBy("l_partkey")
     return (
-        li_b.join(F.broadcast(thresh), li_b.l_partkey == thresh.t_partkey)
+        li_b.withColumn("qty_lim", F.avg("l_quantity").over(w) * 0.2)
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(
             (F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),

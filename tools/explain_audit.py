@@ -485,11 +485,21 @@ def main() -> int:
                     "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand" in p21,
                 ),
                 (
-                    "per-part threshold joined broadcast (no fact-table "
-                    "shuffle for the correlated subquery)",
+                    "brand slice via broadcast semi-join (no fact-table "
+                    "shuffle to reach the filter)",
                     "BroadcastHashJoin" in p21,
                 ),
-                ("partial aggregation for the threshold", "partial_" in p21),
+                (
+                    "TWO scans total — lineitem once, part once (window "
+                    "threshold; the aggregate-and-rejoin form scans "
+                    "lineitem twice)",
+                    p21.count("Location: InMemoryFileIndex") == 2,
+                ),
+                (
+                    "two exchanges: the partkey window shuffle plus the "
+                    "single-row final aggregate",
+                    n_shuffles(p21) == 2,
+                ),
             ],
         )
     )
