@@ -577,7 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name in (
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",
             "ev_gapfill", "rel_waiting_suppliers", "rel_idle_customers",
-            "rel_order_priority",
+            "rel_order_priority", "rel_top_suppliers",
+            "rel_disjunctive_revenue",
             "sel_universe_sample", "graph_pagerank", "rel_fuzzy_join",
             "sketch_cms", "sketch_hll", "sel_priority_sample",
             "ev_anomalies", "rel_salted_join", "rel_volume_shipping",

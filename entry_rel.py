@@ -912,3 +912,58 @@ GROUP BY 1
 
 QUERIES.update({"rel_order_priority": q_order_priority})
 _LATE_ORACLES.update({"rel_order_priority": o_order_priority})
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.top_value_suppliers(spark, sf_dir)
+    return out.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        _sci(F.col("value")).alias("value"),
+    )
+
+
+def o_top_suppliers() -> str:
+    return f"""
+WITH sv AS (SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem GROUP BY 1)
+SELECT l_suppkey, {_sci_sql('value')} AS value
+FROM sv
+WHERE value > (SELECT avg(value) * 1.05 FROM sv)
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.disjunctive_predicate_revenue(spark, sf_dir)
+    return out.select(
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_disjunctive_revenue() -> str:
+    return f"""
+SELECT {_sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES.update(
+    {
+        "rel_top_suppliers": q_top_suppliers,
+        "rel_disjunctive_revenue": q_disjunctive_revenue,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "rel_top_suppliers": o_top_suppliers,
+        "rel_disjunctive_revenue": o_disjunctive_revenue,
+    }
+)

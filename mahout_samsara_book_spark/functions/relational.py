@@ -1027,3 +1027,62 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+def top_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-supplier
+    shipped value, keeping suppliers whose value exceeds a multiple of
+    the MEAN supplier value — a HAVING clause against a scalar subquery
+    over the same aggregate. (Q11 proper uses a fraction of the global
+    total; that cutoff zeroes out under data growth since each
+    supplier's share shrinks as suppliers multiply — the mean-relative
+    form is scale-invariant, verified at the 10x fixture.) One fact
+    scan: the per-supplier aggregate is computed once, the cutoff is a
+    1-row re-aggregate of those ~|suppliers| rows (not a second fact
+    pass), cross-joined broadcast for the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "value"
+        )
+    )
+    total = sv.agg((F.avg("value") * 1.05).alias("cutoff"))
+    return (
+        sv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_suppkey", "value")
+    )
+
+
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue over an OR of three (brand, size-range, quantity-range)
+    conjunction arms. The join stays a plain partkey equi-join —
+    Catalyst keeps the disjunction as a post-join filter but pushes the
+    per-side residuals it can derive (size bounds to the part scan,
+    quantity bounds to the lineitem scan), so neither side carries rows
+    no arm could accept."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

@@ -130,3 +130,47 @@ def test_order_priority_check_partition(spark):
     ).distinct()
     direct = orders.join(keys, orders.o_orderkey == keys.k).count()
     assert sum(r["order_count"] for r in out) == direct
+
+
+def test_top_value_suppliers_cutoff(spark):
+    """Every kept supplier is strictly above 1.05x the mean supplier
+    value, and the kept set is non-empty on the fixture."""
+    from mahout_samsara_book_spark.functions.relational import (
+        top_value_suppliers,
+    )
+
+    out = top_value_suppliers(spark, SF).collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v")
+    )
+    cutoff = sv.agg(F.avg("v") * 1.05).collect()[0][0]
+    assert out, "cutoff excluded every supplier"
+    assert all(r["value"] > cutoff for r in out)
+
+
+def test_disjunctive_revenue_arm_union(spark):
+    """The OR-filter count equals the sum of per-arm counts minus
+    overlaps — arms are brand-disjoint so overlaps must be zero, and
+    the disjunction must not drop any arm."""
+    from mahout_samsara_book_spark.functions.relational import (
+        disjunctive_predicate_revenue,
+    )
+
+    row = disjunctive_predicate_revenue(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    arms = [
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#23", 1, 10, 10, 20),
+        ("Brand#34", 1, 15, 20, 30),
+    ]
+    total = 0
+    for brand, s_lo, s_hi, q_lo, q_hi in arms:
+        total += j.filter(
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        ).count()
+    assert row["n_items"] == total
