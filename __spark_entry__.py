@@ -578,7 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",
             "ev_gapfill", "rel_waiting_suppliers", "rel_idle_customers",
             "rel_order_priority", "rel_top_suppliers",
-            "rel_disjunctive_revenue",
+            "rel_disjunctive_revenue", "rel_local_volume",
+            "rel_returned_items", "rel_promo_share",
+            "rel_top_quarter_supplier", "rel_heavy_shippers",
             "sel_universe_sample", "graph_pagerank", "rel_fuzzy_join",
             "sketch_cms", "sketch_hll", "sel_priority_sample",
             "ev_anomalies", "rel_salted_join", "rel_volume_shipping",

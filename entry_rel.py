@@ -967,3 +967,136 @@ _LATE_ORACLES.update(
         "rel_disjunctive_revenue": o_disjunctive_revenue,
     }
 )
+
+
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.local_supplier_volume(spark, sf_dir)
+    return out.select("n_name", _sci(F.col("revenue")).alias("revenue"))
+
+
+def o_local_volume() -> str:
+    return f"""
+SELECT n_name,
+       {_sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.returned_item_reporting(spark, sf_dir)
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "n_name",
+        _sci(F.col("revenue")).alias("revenue"),
+    )
+
+
+def o_returned_items() -> str:
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+       {_sci_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.promo_revenue_share(spark, sf_dir)
+    return out.select(
+        _sci(F.col("promo_pct")).alias("promo_pct"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_promo_share() -> str:
+    promo = (
+        "100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount))"
+    )
+    return f"""
+SELECT {_sci_sql(promo)} AS promo_pct, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+"""
+
+
+def q_top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.top_quarter_supplier(spark, sf_dir)
+    return out.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        _sci(F.col("total_rev")).alias("total_rev"),
+    )
+
+
+def o_top_quarter_supplier() -> str:
+    return f"""
+WITH sr AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines plain CTEs per reference; the max
+  -- subquery would re-aggregate with a different fold order and the
+  -- float-equality selection would miss every row (bit-identical
+  -- total_rev values require computing sr exactly once)
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       {_sci_sql('total_rev')} AS total_rev
+FROM sr JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM sr)
+"""
+
+
+def q_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.heavy_shippers_of_named_parts(spark, sf_dir)
+    return out.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_name"
+    )
+
+
+def o_heavy_shippers() -> str:
+    return """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+sq AS (SELECT l_suppkey, sum(l_quantity) AS qty
+       FROM lineitem JOIN red ON l_partkey = p_partkey GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM sq
+                    WHERE qty > (SELECT avg(qty) * 1.05 FROM sq))
+"""
+
+
+QUERIES.update(
+    {
+        "rel_local_volume": q_local_volume,
+        "rel_returned_items": q_returned_items,
+        "rel_promo_share": q_promo_share,
+        "rel_top_quarter_supplier": q_top_quarter_supplier,
+        "rel_heavy_shippers": q_heavy_shippers,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "rel_local_volume": o_local_volume,
+        "rel_returned_items": o_returned_items,
+        "rel_promo_share": o_promo_share,
+        "rel_top_quarter_supplier": o_top_quarter_supplier,
+        "rel_heavy_shippers": o_heavy_shippers,
+    }
+)

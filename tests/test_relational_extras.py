@@ -174,3 +174,48 @@ def test_disjunctive_revenue_arm_union(spark):
             & F.col("l_quantity").between(q_lo, q_hi)
         ).count()
     assert row["n_items"] == total
+
+
+def test_local_volume_nation_equality(spark):
+    """Q5 semantics: counted revenue only where customer nation ==
+    supplier nation — cross-nation rows must contribute nothing."""
+    from mahout_samsara_book_spark.functions.relational import (
+        local_supplier_volume,
+    )
+
+    out = local_supplier_volume(spark, SF)
+    assert out.count() <= 25  # at most one row per nation
+
+
+def test_top_quarter_supplier_is_argmax(spark):
+    """Q15: every returned supplier carries the exact max revenue."""
+    from mahout_samsara_book_spark.functions.relational import (
+        top_quarter_supplier,
+    )
+
+    rows = top_quarter_supplier(spark, SF).collect()
+    assert rows
+    vals = {r["total_rev"] for r in rows}
+    assert len(vals) == 1
+
+
+def test_heavy_shippers_subset(spark):
+    """Q20: the 1.05x-mean cutoff returns a PROPER subset of suppliers
+    (non-empty, not everyone)."""
+    from mahout_samsara_book_spark.functions.relational import (
+        heavy_shippers_of_named_parts,
+    )
+
+    n = heavy_shippers_of_named_parts(spark, SF).count()
+    total = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert 0 < n < total
+
+
+def test_promo_share_bounds(spark):
+    """Q14: the promo percentage is a true share — within [0, 100]."""
+    from mahout_samsara_book_spark.functions.relational import (
+        promo_revenue_share,
+    )
+
+    row = promo_revenue_share(spark, SF).collect()[0]
+    assert 0.0 <= row["promo_pct"] <= 100.0
