@@ -1100,3 +1100,67 @@ _LATE_ORACLES.update(
         "rel_heavy_shippers": o_heavy_shippers,
     }
 )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.forecast_revenue_change(spark, sf_dir)
+    return out.select(
+        _sci(F.col("revenue_delta")).alias("revenue_delta"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_forecast_revenue() -> str:
+    return f"""
+SELECT {_sci_sql('sum(l_extendedprice * l_discount)')} AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = R.national_market_share(spark, sf_dir)
+    return out.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        _sci(F.col("mkt_share")).alias("mkt_share"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+def o_market_share() -> str:
+    share = (
+        "sum(CASE WHEN ns.n_name = 'NATION_3' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount))"
+    )
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_sci_sql(share)} AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "rel_forecast_revenue": q_forecast_revenue,
+        "rel_market_share": q_market_share,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "rel_forecast_revenue": o_forecast_revenue,
+        "rel_market_share": o_market_share,
+    }
+)

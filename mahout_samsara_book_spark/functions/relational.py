@@ -1235,3 +1235,74 @@ def heavy_shippers_of_named_parts(
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue delta
+    from discounted mid-quantity lineitems in one year — a pure
+    scan-filter-aggregate where ALL three predicates push to the
+    parquet scan and the whole query is one codegen'd pass with a
+    1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one region's
+    customer orders, the share of revenue supplied by ONE nation's
+    suppliers, per order year. The nation dim joins TWICE under
+    different roles (customer side restricts to the region; supplier
+    side labels the numerator) — both broadcast; the share is a
+    conditional-aggregate ratio, one pass after the join chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").alias("nc")
+    nation_s = load_table(spark, sf_dir, "nation").alias("ns")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation_c),
+            cust.c_nationkey == F.col("nc.n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("nc.n_regionkey") == region.r_regionkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation_s),
+            supp.s_nationkey == F.col("ns.n_nationkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("ns.n_name") == "NATION_3", rev
+                    ).otherwise(0.0)
+                )
+                / F.sum(rev)
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -219,3 +219,33 @@ def test_promo_share_bounds(spark):
 
     row = promo_revenue_share(spark, SF).collect()[0]
     assert 0.0 <= row["promo_pct"] <= 100.0
+
+
+def test_market_share_is_a_share(spark):
+    """Q8: per-year market share lies in [0, 1] and years are unique."""
+    from mahout_samsara_book_spark.functions.relational import (
+        national_market_share,
+    )
+
+    rows = national_market_share(spark, SF).collect()
+    assert rows
+    years = [r["o_year"] for r in rows]
+    assert len(years) == len(set(years))
+    assert all(0.0 <= r["mkt_share"] <= 1.0 for r in rows)
+
+
+def test_forecast_revenue_manual(spark):
+    """Q6: the aggregate equals the hand-computed slice sum."""
+    from mahout_samsara_book_spark.functions.relational import (
+        forecast_revenue_change,
+    )
+
+    row = forecast_revenue_change(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    manual = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).count()
+    assert row["n_items"] == manual
