@@ -570,7 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate has twice
     # truncated after ~50 queries, so the entries that have never
     # appeared in a driver artifact run FIRST (VERDICT r2 item 3) —
-    # this round's 12 additions, then the round-2 blocks in r2 order.
+    # all of round 3's additions (the TPC-H sweep completions, moment
+    # aggregates, gap-fill, sketches, selection/graph ops), then the
+    # round-2 blocks in r2 order.
     new_r3 = {
         name: fns[name]
         for fns in (entry_pipe.QUERIES, entry_rel.QUERIES, entry_m5.QUERIES)
