@@ -577,7 +577,9 @@ def dup_clusters(
     equi-join + one groupBy, both linear in edge count.
     ``localCheckpoint`` cuts the lineage each round so plan depth stays
     O(1) instead of O(rounds) — the classic iterative-algorithm trap at
-    scale. The driver-side loop runs one tiny count action per round
+    scale. For DEEP pair graphs (long near-dup chains, diameter >> 10)
+    use :func:`connected_components_lsls`, which converges in
+    O(log diameter) rounds instead of O(diameter). The driver-side loop runs one tiny count action per round
     (the convergence test), matching the reference's
     iterative-algorithm shape (Bahmani dSample). Both paths emit the
     identical labeling (cluster = component minimum)."""
@@ -761,3 +763,114 @@ def incremental_dedup(
         "dup_of",
         "jaccard",
     )
+
+
+def connected_components_lsls(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (the
+    Kiveris et al. MapReduce algorithm) — the DEEP-graph alternative to
+    :func:`dup_clusters`' min-label propagation. Propagation needs
+    O(component diameter) rounds; large-star/small-star contracts the
+    component tree toward its minimum in O(log diameter) rounds, which
+    matters when the pair graph has long chains (e.g. near-dup chains
+    a~b~c~... where consecutive docs match but distant ones don't).
+
+    Each round is two edge-local transformations, each ONE groupBy over
+    the current edge set (no joins at all, unlike propagation's
+    join-per-round):
+
+    - large-star: for every node u, connect every STRICTLY-LARGER
+      neighbor to u's minimum neighbor (incl. u) — m(u).
+    - small-star: for every node u, connect every not-larger neighbor
+      (incl. u) to m(u).
+
+    Convergence = the small-star edge set is a fixed point (every node
+    points directly at its component minimum, a star). Output matches
+    dup_clusters exactly: ``(doc_id, cluster)`` with cluster = the
+    component's smallest id, one row per node seen in any pair.
+    ``localCheckpoint`` per round keeps plan depth O(1)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # large-star: group edges by u over the SYMMETRIZED view, emit
+        # (neighbor > u) -> min(neighborhood ∪ {u})
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ls = (
+            sym.groupBy("u")
+            .agg(
+                F.collect_set("v").alias("nbrs"),
+            )
+            .select(
+                "u",
+                F.least(F.col("u"), F.array_min("nbrs")).alias("m"),
+                F.explode("nbrs").alias("w"),
+            )
+            .filter(F.col("w") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("w").alias("v"))
+            .select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges point high->low after canonicalization; for
+        # every high node, hook all its low neighbors (and itself) to
+        # the minimum
+        ss = (
+            ls.groupBy("v")
+            .agg(F.collect_set("u").alias("nbrs"))
+            .select(
+                "v",
+                F.array_min("nbrs").alias("m"),
+                F.explode(
+                    F.array_union("nbrs", F.array(F.col("v")))
+                ).alias("w"),
+            )
+            .select(F.col("m").alias("u"), F.col("w").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point: the round left the edge set unchanged
+        delta = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(
+            ss
+        ).limit(1).count()
+        edges = ss
+        if delta == 0:
+            break
+    # star edges are (min, member); nodes may appear only as a min
+    members = edges.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("cluster")
+    )
+    roots = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "cluster", F.col("doc_id")
+    )
+    # original isolated self-pairs (u == v in the input) — keep parity
+    # with dup_clusters, which labels every doc appearing in a pair
+    singles = (
+        pairs.select(F.explode(F.array(a_col, b_col)).alias("doc_id"))
+        .distinct()
+        .join(members.select("doc_id"), "doc_id", "left_anti")
+        .join(roots.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    return members.unionByName(roots).unionByName(singles)
