@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rel_returned_items", "rel_promo_share",
             "rel_top_quarter_supplier", "rel_heavy_shippers",
             "rel_forecast_revenue", "rel_market_share",
+            "graph_components_lsls",
             "sel_universe_sample", "graph_pagerank", "rel_fuzzy_join",
             "sketch_cms", "sketch_hll", "sel_priority_sample",
             "ev_anomalies", "rel_salted_join", "rel_volume_shipping",

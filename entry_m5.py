@@ -136,6 +136,32 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _sci(F.col("jaccard")).alias("jaccard"))
 
 
+def q_graph_components_lsls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH pair graph, labeled by the large-star/small-star
+    contraction instead of min-label propagation / union-find — the
+    O(log diameter) alternative MUST emit the identical (doc_id,
+    cluster = component minimum) fixpoint, so it shares
+    o_dedup_clusters' recursive-closure oracle verbatim."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        connected_components_lsls,
+        minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(
+        _augmented_docs(spark, sf_dir),
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    out = connected_components_lsls(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import (
         dup_clusters,
@@ -916,6 +942,7 @@ QUERIES = {
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "graph_components_lsls": q_graph_components_lsls,
     "dedup_incremental": q_dedup_incremental,
     "docs_pipeline": q_docs_pipeline,
     "dedup_simhash": q_dedup_simhash,
@@ -942,6 +969,7 @@ def oracles() -> dict[str, str]:
         "dedup_lsh_jaccard": o_dedup_lsh_jaccard(),
         "dedup_ngram_jaccard": o_dedup_ngram_jaccard(),
         "dedup_clusters": o_dedup_clusters(),
+        "graph_components_lsls": o_dedup_clusters(),
         "dedup_incremental": o_dedup_incremental(),
         "docs_pipeline": o_docs_pipeline(),
         "dedup_simhash": o_dedup_simhash(),
