@@ -1041,7 +1041,209 @@ GROUP BY 1
 """
 
 
+
+
+# ------------------------------------------------------------------ #
+# round-3 late additions: triangle counting, degree histogram,
+# int8 quantization, bigram-LM quality scoring
+# ------------------------------------------------------------------ #
+
+# Co-occurrence graph shared by the triangle/degree queries: parts are
+# adjacent when some order contains both (the classic market-basket
+# projection of the order->part bipartite graph).
+# min co-occurrence weight for the triangle query: one shared order
+# links everything (avg degree ~116 at sf0.01 → wedge explosion);
+# repeated co-occurrence keeps the affinity graph sparse at every sf
+TRI_MIN_W = 2
+
+
+def _cooc_sql(min_w: int) -> str:
+    having = f"HAVING count(*) >= {min_w}" if min_w > 1 else ""
+    return f"""
+li_set AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.i AS a, b.i AS b
+  FROM li_set a
+  JOIN li_set b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 {having}
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+  ) GROUP BY 1
+)"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = triangle_counts(cooccurrence_edges(li, min_weight=TRI_MIN_W))
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("tri").cast("long").alias("tri"),
+    )
+
+
+def o_graph_triangles() -> str:
+    return f"""
+WITH {_cooc_sql(TRI_MIN_W)},
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.a ELSE e0.b END AS src,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.b ELSE e0.a END AS dst
+  FROM e0
+  JOIN deg da ON da.node = e0.a
+  JOIN deg db ON db.node = e0.b
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1
+  JOIN o e2 ON e1.dst = e2.src
+  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri
+FROM corners GROUP BY 1
+"""
+
+
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.graph import (
+        cooccurrence_edges,
+        degrees,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = degrees(cooccurrence_edges(li))
+    return (
+        out.groupBy("deg")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(
+            F.col("deg").cast("long").alias("deg"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
+    )
+
+
+def o_graph_degree_hist() -> str:
+    return f"""
+WITH {_cooc_sql(1)}
+SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.quantize import (
+        int8_recon_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = int8_recon_stats(emb)
+    return out.select(
+        "vec_id",
+        _sci(F.col("scale")).alias("scale"),
+        _sci(F.col("mse")).alias("mse"),
+        F.col("code_l1").cast("long").alias("code_l1"),
+    )
+
+
+def o_emb_quantize_int8() -> str:
+    d = EMB_DIM
+    err_i = "(v[i] - CAST(codes[i] AS DOUBLE) * scale)"
+    return f"""
+WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM l
+),
+c AS (
+  SELECT vec_id, v, amax / 127.0 AS scale,
+         CASE WHEN amax = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(
+                     v, x -> CAST(round(x / (amax / 127.0)) AS INT))
+         END AS codes
+  FROM q
+)
+SELECT vec_id,
+       {_sci_sql("scale")} AS scale,
+       {_sci_sql(
+           "list_aggregate(list_transform(range(1, " + str(d + 1) + "), "
+           "i -> " + err_i + " * " + err_i + "), 'sum') / " + str(float(d))
+       )} AS mse,
+       CAST(list_aggregate(
+           list_transform(codes, x -> CAST(abs(x) AS BIGINT)),
+           'sum') AS BIGINT) AS code_l1
+FROM c
+"""
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_lm_scores(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _sci(F.col("avg_logp")).alias("avg_logp"),
+    )
+
+
+def o_text_bigram_lm() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM tk, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+),
+bgn AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id, pos, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM tok
+  ) WHERE nxt IS NOT NULL
+),
+bc AS MATERIALIZED (
+  SELECT tok, nxt, count(*) AS cnt FROM bgn GROUP BY 1, 2
+),
+ctx AS (SELECT tok, sum(cnt) AS ctx_cnt FROM bc GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vv FROM tok),
+sc AS (
+  SELECT b.doc_id, b.pos,
+         ln(CAST(c.cnt + 1 AS DOUBLE)
+            / CAST(x.ctx_cnt + v.vv AS DOUBLE)) AS logp
+  FROM bgn b
+  JOIN bc c ON b.tok = c.tok AND b.nxt = c.nxt
+  JOIN ctx x ON b.tok = x.tok
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {_sci_sql("list_sum(list(logp ORDER BY pos)) / CAST(count(*) AS DOUBLE)")} AS avg_logp
+FROM sc GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "graph_triangles": q_graph_triangles,
+    "graph_degree_hist": q_graph_degree_hist,
+    "emb_quantize_int8": q_emb_quantize_int8,
+    "text_bigram_lm": q_text_bigram_lm,
     "sel_universe_sample": q_universe_sample,
     "graph_pagerank": q_pagerank,
     "rel_fuzzy_join": q_fuzzy_join,
@@ -1075,6 +1277,10 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "graph_triangles": o_graph_triangles(),
+        "graph_degree_hist": o_graph_degree_hist(),
+        "emb_quantize_int8": o_emb_quantize_int8(),
+        "text_bigram_lm": o_text_bigram_lm(),
         "sel_universe_sample": o_universe_sample(),
         "graph_pagerank": o_pagerank(),
         "rel_fuzzy_join": o_fuzzy_join(),

@@ -238,3 +238,68 @@ def fingerprint(
         lambda acc, x: (acc * 31 + x) % F.lit(P31),
     )
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, n_bigrams, avg_logp)`` — corpus-trained bigram
+    language-model quality score: train add-one-smoothed bigram
+    probabilities over the WHOLE corpus, then score each document by
+    the mean log-probability of its own bigrams,
+
+        P(w₂|w₁) = (c(w₁,w₂) + 1) / (ctx(w₁) + V)
+
+    with ``ctx(w₁)`` the count of w₁ as a bigram context and ``V`` the
+    corpus vocabulary size. This is the classic perplexity-flavored
+    quality gate of training-data pipelines (low avg_logp ⇒ text that
+    doesn't look like the corpus: boilerplate, noise, wrong language).
+
+    Scale shape: token explode → per-user-partition window (lead) →
+    two map-side-combined count aggregates (bigram, context) → two
+    hash equi-joins back on token keys (broadcast-able while the
+    vocabulary is small, plain shuffled hash joins when it isn't) →
+    per-doc ordered fold. Nothing driver-side except the vocabulary
+    cardinality (one long). The per-doc mean folds bigram log-probs in
+    position order so the oracle replays the identical float sequence
+    (same discipline as graph.pagerank's ordered incoming-mass fold).
+
+    Documents with fewer than two tokens contribute no bigrams and are
+    absent from the output (both engines agree by construction).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = toks.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.lead("tok").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    bc = bg.groupBy("tok", "nxt").agg(F.count("*").alias("cnt"))
+    ctx = bc.groupBy("tok").agg(F.sum("cnt").alias("ctx_cnt"))
+    vocab = toks.select("tok").distinct().count()
+    logp = F.log(
+        (F.col("cnt") + F.lit(1)).cast("double")
+        / (F.col("ctx_cnt") + F.lit(int(vocab))).cast("double")
+    )
+    scored = (
+        bg.join(bc, ["tok", "nxt"])
+        .join(ctx, "tok")
+        .select(F.col(id_col), "pos", logp.alias("logp"))
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("logp").alias("v")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"],
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (ordered_sum / F.count("*").cast("double")).alias("avg_logp"),
+    )

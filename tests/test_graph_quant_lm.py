@@ -1,0 +1,116 @@
+"""Round-3 late additions: triangle counting, degree histogram, int8
+quantization, bigram-LM scoring."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text_analysis import bigram_lm_scores
+from mahout_samsara_book_spark.operators.graph import (
+    cooccurrence_edges,
+    degrees,
+    triangle_counts,
+)
+from mahout_samsara_book_spark.operators.quantize import (
+    int8_quantize,
+    int8_recon_stats,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    out = triangle_counts(_edges(spark, k4 + [(4, 5)]))
+    got = {r["node"]: r["tri"] for r in out.collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_no_triangle(spark):
+    # a path graph has none
+    out = triangle_counts(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+    assert out.count() == 0
+
+
+def test_triangle_counts_hub(spark):
+    # star + one rim edge: exactly one triangle (hub, 2, 3)
+    star = [(1, n) for n in range(2, 8)]
+    out = triangle_counts(_edges(spark, star + [(2, 3)]))
+    got = {r["node"]: r["tri"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cooccurrence_min_weight(spark):
+    items = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    all_edges = {
+        (r["a"], r["b"]) for r in cooccurrence_edges(items).collect()
+    }
+    assert all_edges == {(10, 11), (10, 12), (11, 12)}
+    heavy = {
+        (r["a"], r["b"])
+        for r in cooccurrence_edges(items, min_weight=2).collect()
+    }
+    assert heavy == {(10, 11), (10, 12)}  # pairs sharing two orders
+
+
+def test_degrees(spark):
+    out = degrees(_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)]))
+    got = {r["node"]: r["deg"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_int8_quantize_codes(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in int8_quantize(emb).collect()}
+    assert rows[0]["codes"] == [127, -64, 32, 0]  # absmax=1 → scale=1/127
+    assert rows[0]["scale"] == pytest.approx(1.0 / 127.0)
+    assert rows[1]["codes"] == [0, 0, 0, 0] and rows[1]["scale"] == 0.0
+
+
+def test_int8_recon_error_bound(spark):
+    rng = np.random.default_rng(7)
+    data = [
+        (i, [float(x) for x in rng.normal(size=16).astype(np.float32)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in int8_recon_stats(emb).collect()}
+    for i, v in data:
+        v = np.asarray(v, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        # quantization error per dim is bounded by scale/2
+        assert out[i]["mse"] <= (scale / 2) ** 2 + 1e-18
+        q = np.round(v / scale)
+        assert out[i]["code_l1"] == int(np.abs(q).sum())
+        assert out[i]["mse"] == pytest.approx(
+            float(np.mean((v - q * scale) ** 2)), rel=1e-12
+        )
+
+
+def test_bigram_lm_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus bigrams: d0: ab, ba, ab; d1: ab → c(ab)=3, c(ba)=1
+    # ctx(a)=3, ctx(b)=1; V=3 (a,b,c)
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    d0 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logp"] == pytest.approx(d0, rel=1e-12)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logp"] == pytest.approx(math.log(p_ab), rel=1e-12)
+    assert 2 not in out  # single-token doc contributes no bigrams
