@@ -59,6 +59,23 @@ def replicate(con: duckdb.DuckDBPyConnection, table: str) -> None:
     for c in cols:
         if c in shifts and shifts[c]:
             exprs.append(f"{c} + r * {shifts[c]} AS {c}")
+        elif table == "embeddings" and c == "embedding":
+            # per-replica direction jitter (coordinate (vec_id + r) % dim
+            # gets +r*3e-3): exact vector clones make every ANN top-k
+            # frontier a wall of cosine==1.0 ties that different summation
+            # orders break differently — a property of the cloned corpus,
+            # not of the operators (real corpora dedup exact clones before
+            # ANN). Replica-pair cosine separation is SECOND order in the
+            # jitter (1 - O(d^2/2)), so d=3e-3 puts the gaps at ~5e-6 —
+            # resolvable by the 1e-8-rel %.7e output format and 10 orders
+            # above cross-engine float noise, while replicas stay
+            # near-dups (cosine > 0.99999) for every registry threshold.
+            exprs.append(
+                "CASE WHEN r = 0 THEN embedding ELSE "
+                "list_transform(embedding, (x, i) -> CAST(x + CASE WHEN "
+                "(i - 1) = ((vec_id + r) % len(embedding)) THEN r * 0.003 "
+                "ELSE 0 END AS FLOAT)) END AS embedding"
+            )
         elif table == "documents" and c == "text":
             # per-replica token suffix keeps shingle df scale-invariant
             exprs.append(
