@@ -1239,7 +1239,59 @@ FROM sc GROUP BY doc_id
 """
 
 
+
+
+SQ_K = 256
+SQ_SEED = 17
+SQ_QS = (0.1, 0.5, 0.9, 0.99)
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.sketches import (
+        sample_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sample_quantiles(
+        ev, "event_type", "value", "event_id",
+        quantiles=SQ_QS, k=SQ_K, seed=SQ_SEED,
+    )
+    return out.select(
+        "event_type",
+        _sci(F.col("q")).alias("q"),
+        _sci(F.col("est")).alias("est"),
+    )
+
+
+def o_sample_quantiles() -> str:
+    h = h60_sql(f"concat('q{SQ_SEED}:', CAST(event_id AS VARCHAR))")
+    qvals = ", ".join(f"({q!r})" for q in SQ_QS)
+    return f"""
+WITH hashed AS (
+  SELECT event_type AS grp, value AS v, event_id AS key, {h} AS h
+  FROM events
+),
+rnk AS (
+  SELECT grp, v, key,
+         row_number() OVER (PARTITION BY grp ORDER BY h, key) AS r
+  FROM hashed
+),
+s AS (
+  SELECT grp, list(v ORDER BY v, key) AS sv, count(*) AS n_eff
+  FROM rnk WHERE r <= {SQ_K} GROUP BY grp
+)
+SELECT grp AS event_type,
+       {_sci_sql("q.q")} AS q,
+       {_sci_sql(
+           "sv[CAST(floor(CAST(n_eff - 1 AS DOUBLE) * q.q) AS INT) + 1]"
+       )} AS est
+FROM s CROSS JOIN (VALUES {qvals}) AS q(q)
+"""
+
+
+
 QUERIES = {
+    "sketch_sample_quantiles": q_sample_quantiles,
     "graph_triangles": q_graph_triangles,
     "graph_degree_hist": q_graph_degree_hist,
     "emb_quantize_int8": q_emb_quantize_int8,
@@ -1277,6 +1329,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "sketch_sample_quantiles": o_sample_quantiles(),
         "graph_triangles": o_graph_triangles(),
         "graph_degree_hist": o_graph_degree_hist(),
         "emb_quantize_int8": o_emb_quantize_int8(),

@@ -289,3 +289,75 @@ def hll_distinct(
         F.floor(est).cast("long").alias("n_est"),
         F.col("n_regs").cast("long").alias("n_regs"),
     )
+
+
+def sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    k: int = 256,
+    seed: int = 17,
+) -> DataFrame:
+    """``(group, q, est)`` — per-group quantile estimates from a
+    deterministic bottom-k-by-hash uniform sample (the mergeable
+    quantile sketch a 100 TB pipeline uses when exact per-group sorts
+    are off the table).
+
+    The sample is the k rows whose portable hash ``h60(seed:key)`` is
+    smallest — a uniform without-replacement sample that is MERGEABLE
+    by construction (bottom-k of a union = bottom-k of the per-shard
+    bottom-k's), unlike a Bernoulli sample whose size drifts. The
+    estimate for quantile q is the exact order statistic of the sample
+    at index ``floor((n_eff − 1)·q)`` in ``(value, key)`` order — pure
+    selection, no interpolation arithmetic, so the replay is
+    bit-exact on any engine.
+
+    Scale shape: one row_number window per group over the hash order
+    (the same partial-sort shuffle KMV uses — a cluster does this with
+    a per-partition top-k combiner), then ONE tiny per-group sort of
+    ≤ k retained rows. Nothing global, nothing driver-side; error is
+    the standard ±O(1/√k) sample-quantile bound."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.col(key_col).alias("key"),
+        h60(
+            F.concat(
+                F.lit(f"q{seed}:"), F.col(key_col).cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("grp").orderBy("h", "key")
+    sample = hashed.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    sorted_vals = F.array_sort(
+        F.collect_list(F.struct(F.col("v"), F.col("key")))
+    )
+    agg = sample.groupBy("grp").agg(
+        sorted_vals.alias("sv"), F.count("*").alias("n_eff")
+    )
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    out = agg.select(
+        "grp",
+        "n_eff",
+        F.explode(qs).alias("q"),
+        F.col("sv"),
+    ).select(
+        "grp",
+        "q",
+        F.element_at(
+            F.col("sv"),
+            (
+                F.floor(
+                    (F.col("n_eff") - F.lit(1)).cast("double") * F.col("q")
+                )
+                + F.lit(1)
+            ).cast("int"),
+        )["v"].alias("est"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "q", "est"
+    )

@@ -122,3 +122,36 @@ def test_ivf_refine_is_exact_member_mean(spark):
         np.sum((vecs[i] - got[c]) ** 2) for i, c in assign.items()
     )
     assert err_after < err_before
+
+
+def test_sample_quantiles_exact_when_small(spark):
+    # groups smaller than k: the "sample" is the whole group, so the
+    # estimate is the exact order statistic floor((n-1)q)
+    from mahout_samsara_book_spark.operators.sketches import sample_quantiles
+
+    rows = [("a", float(v), v) for v in range(100)] + [
+        ("b", 5.0, 100), ("b", 1.0, 101), ("b", 9.0, 102)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double, key long")
+    out = sample_quantiles(
+        df, "grp", "value", "key", quantiles=(0.0, 0.5, 1.0), k=256
+    )
+    got = {(r["grp"], r["q"]): r["est"] for r in out.collect()}
+    assert got[("a", 0.0)] == 0.0
+    assert got[("a", 0.5)] == 49.0  # floor(99*0.5)=49
+    assert got[("a", 1.0)] == 99.0
+    assert got[("b", 0.5)] == 5.0
+
+
+def test_sample_quantiles_bounded_sample(spark):
+    # with k=16 over 1000 values the estimate must come from the sample
+    # (16 retained rows) and lie within the value range
+    from mahout_samsara_book_spark.operators.sketches import sample_quantiles
+
+    rows = [("g", float(v), v) for v in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, value double, key long")
+    out = sample_quantiles(df, "grp", "value", "key", quantiles=(0.5,), k=16)
+    [r] = out.collect()
+    assert 0.0 <= r["est"] <= 999.0
+    # median of a uniform sample of 16 from U[0,1000): loose 3-sigma band
+    assert 150.0 <= r["est"] <= 850.0
