@@ -987,3 +987,53 @@ def oracles() -> dict[str, str]:
         "multimodal_meta": o_multimodal_meta(),
         "multimodal_decode": o_multimodal_decode(),
     }
+
+
+# ------------------------------------------------------------------ #
+# inverted index (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+II_MIN_DF = 2
+II_HEAD_K = 100
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = inverted_index(docs, min_df=II_MIN_DF, head_k=II_HEAD_K)
+    return out.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+        F.transform(
+            F.col("head_postings"), lambda d: d.cast("long")
+        ).alias("head_postings"),
+    )
+
+
+def o_text_inverted_index() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT term, count(*) AS df, sum(tf) AS total_tf,
+         (list(doc_id ORDER BY doc_id))[1:{II_HEAD_K}] AS head_postings
+  FROM tc GROUP BY 1
+)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(total_tf AS BIGINT) AS total_tf,
+       head_postings
+FROM agg WHERE df >= {II_MIN_DF}
+"""
+
+
+QUERIES["text_inverted_index"] = q_text_inverted_index
+_oracles_pre_ii = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ii()
+    d["text_inverted_index"] = o_text_inverted_index()
+    return d

@@ -1164,3 +1164,46 @@ _LATE_ORACLES.update(
         "rel_market_share": o_market_share,
     }
 )
+
+
+# ------------------------------------------------------------------ #
+# sliding-window activity (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+SLIDE_WIDTH_S = 3600
+SLIDE_STEP_S = 900
+
+
+def q_ev_sliding_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    out = sliding_active_users(
+        load_table(spark, sf_dir, "events"), "1 hour", "15 minutes"
+    )
+    return out.select(
+        "window_start",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def o_ev_sliding_active() -> str:
+    n = SLIDE_WIDTH_S // SLIDE_STEP_S
+    return f"""
+WITH t AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+w AS (
+  SELECT user_id, ((sec // {SLIDE_STEP_S}) - i) * {SLIDE_STEP_S} AS ws
+  FROM t, LATERAL unnest(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT ws AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+"""
+
+
+QUERIES.update({"ev_sliding_active": q_ev_sliding_active})
+_LATE_ORACLES.update({"ev_sliding_active": o_ev_sliding_active})

@@ -86,3 +86,40 @@ def tfidf(
             ).alias("tfidf"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 2,
+    head_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(term, df, total_tf, head_postings)`` — the search-index build
+    step: per term, document frequency, total term frequency, and the
+    first ``head_k`` doc ids of the doc-id-sorted posting list.
+
+    The head cap is the scale contract: a stop-word's full posting list
+    at 100 TB is the corpus itself, so the index build emits bounded
+    blocks (real engines shard postings the same way) while ``df`` /
+    ``total_tf`` still summarize the full list. The cap is applied
+    BEFORE collection — rank per term, keep only rank ≤ head_k in the
+    list aggregate — so no reducer ever materializes an unbounded
+    array (collect-then-slice would). The rank window and the final
+    aggregate share the term partitioning, so Catalyst plans one
+    exchange for both."""
+    from pyspark.sql import Window
+
+    counts = term_counts(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("term").orderBy(id_col)
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") <= F.lit(int(head_k)), F.col(id_col))
+            )
+        ).alias("head_postings"),
+    )
+    return agg.filter(F.col("df") >= F.lit(int(min_df)))

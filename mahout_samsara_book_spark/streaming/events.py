@@ -377,3 +377,35 @@ def value_anomalies(
         )
         .filter(F.abs(F.col("z")) > F.lit(z_thresh))
     )
+
+
+def sliding_active_users(
+    ev: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window activity rollup — the HAU/DAU shape: for every
+    ``slide``-aligned window of length ``width``, the EXACT distinct
+    user count and event count. ``(window_start: epoch secs, n_users,
+    n_events)``.
+
+    Spark-first: ``F.window(event_time, width, slide)`` — Catalyst
+    expands each event into its width/slide covering windows map-side
+    (no self-join), then one hash aggregate with a distinct phase. At
+    100 TB the distinct-user aggregate is the standard two-shuffle
+    (partial per (window, user), then count) plan Spark picks
+    automatically; swap count_distinct for the HLL sketch variant
+    (sketches.hll_distinct) when approximation is acceptable. Window
+    alignment is in absolute epoch time, so session timezone never
+    moves a bucket (same pinning as windowed_counts)."""
+    return (
+        with_event_time(ev)
+        .groupBy(F.window("event_time", width, slide).alias("w"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -114,3 +114,55 @@ def test_bigram_lm_hand_computed(spark):
     assert out[1]["n_bigrams"] == 1
     assert out[1]["avg_logp"] == pytest.approx(math.log(p_ab), rel=1e-12)
     assert 2 not in out  # single-token doc contributes no bigrams
+
+
+def test_sliding_active_users(spark):
+    from datetime import datetime
+
+    from mahout_samsara_book_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    # two users at 01:00:00 and one at 01:20:00 — the 01:00 event lands
+    # in the 4 sliding (1h, 15min) windows starting 00:15..01:00
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 1, 0, 0), 10, "a", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 1, 0, 0), 11, "a", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 1, 20, 0), 10, "a", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        r["window_start"]: (r["n_users"], r["n_events"])
+        for r in sliding_active_users(ev).collect()
+    }
+    from datetime import timezone
+
+    base = int(
+        datetime(2024, 1, 1, 1, 0, 0, tzinfo=timezone.utc).timestamp()
+    )
+    # windows starting 00:30..01:00 contain all three events
+    assert out[base] == (2, 3)
+    assert out[base - 1800] == (2, 3)
+    # window starting 00:15 ends at 01:15 — misses the 01:20 event
+    assert out[base - 2700] == (2, 2)
+    # window starting 01:15 contains only the 01:20 event
+    assert out[base + 900] == (1, 1)
+    # each event appears in exactly 4 windows
+    assert sum(n for _, n in out.values()) == 12
+
+
+def test_inverted_index(spark):
+    from mahout_samsara_book_spark.functions.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z"), (2, "x y"), (3, "w")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs, 2, head_k=2).collect()}
+    assert set(out) == {"x", "y"}  # z, w below min_df
+    assert out["x"]["df"] == 3 and out["x"]["total_tf"] == 4
+    assert out["x"]["head_postings"] == [0, 1]  # capped at head_k=2
+    assert out["y"]["head_postings"] == [0, 2]
