@@ -1037,3 +1037,58 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ii()
     d["text_inverted_index"] = o_text_inverted_index()
     return d
+
+
+# ------------------------------------------------------------------ #
+# PMI collocations (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+PMI_MIN_COOC = 5
+
+
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pmi_pairs(docs, min_cooc=PMI_MIN_COOC)
+    return out.select(
+        "a",
+        "b",
+        F.col("cooc").cast("long").alias("cooc"),
+        _sci(F.col("pmi")).alias("pmi"),
+    )
+
+
+def o_text_pmi_pairs() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(toks) AS t FROM tk
+),
+pairs AS (
+  SELECT x.t AS a, y.t AS b, count(*) AS cooc
+  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COOC}
+),
+dfc AS (SELECT t, count(*) AS dfc FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT p.a, p.b, CAST(p.cooc AS BIGINT) AS cooc,
+       {_sci_sql(
+           "ln((CAST(p.cooc AS DOUBLE) * n.n) / "
+           "(CAST(da.dfc AS DOUBLE) * CAST(db.dfc AS DOUBLE)))"
+       )} AS pmi
+FROM pairs p
+JOIN dfc da ON da.t = p.a
+JOIN dfc db ON db.t = p.b
+CROSS JOIN n
+"""
+
+
+QUERIES["text_pmi_pairs"] = q_text_pmi_pairs
+_oracles_pre_pmi = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_pmi()
+    d["text_pmi_pairs"] = o_text_pmi_pairs()
+    return d

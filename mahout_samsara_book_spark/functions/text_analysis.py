@@ -303,3 +303,52 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         (ordered_sum / F.count("*").cast("double")).alias("avg_logp"),
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_cooc: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(a, b, cooc, pmi)`` — document-level pointwise mutual
+    information between token pairs,
+
+        PMI(a,b) = ln( (cooc(a,b) · N) / (df(a) · df(b)) )
+
+    with ``cooc`` the number of docs containing BOTH tokens, ``df`` the
+    per-token document frequency, and N the corpus size — the standard
+    collocation / word-association miner of corpus curation (finds
+    boilerplate phrases and template artifacts that repeat across
+    documents).
+
+    Scale shape: per-doc DISTINCT token sets (``array_distinct``
+    map-side before the explode), then the same basket projection as
+    graph.cooccurrence_edges — one shuffle to baskets, map-side pair
+    fan-out, one counting aggregate with the ``min_cooc`` HAVING filter
+    keeping the pair relation sparse — plus a df aggregate and two
+    equi-joins back on token keys. The PMI arithmetic is a fixed
+    double-op sequence so the oracle replays it bit-for-bit. Per-doc
+    pair fan-out is quadratic in distinct-token count; cap or chunk
+    pathological documents upstream (sel_chunk_docs) before mining."""
+    from mahout_samsara_book_spark.functions.text import tokenize
+    from mahout_samsara_book_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    items = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t"),
+    )
+    pairs = cooccurrence_edges(
+        items, id_col, "t", min_weight=min_cooc, keep_weight=True
+    ).withColumnRenamed("w", "cooc")
+    dfc = items.groupBy("t").agg(F.count("*").alias("dfc"))
+    n_docs = docs.count()
+    num = F.col("cooc").cast("double") * F.lit(float(n_docs))
+    den = F.col("dfa").cast("double") * F.col("dfb").cast("double")
+    return (
+        pairs.join(dfc.select(F.col("t").alias("a"), F.col("dfc").alias("dfa")), "a")
+        .join(dfc.select(F.col("t").alias("b"), F.col("dfc").alias("dfb")), "b")
+        .select("a", "b", "cooc", F.log(num / den).alias("pmi"))
+    )

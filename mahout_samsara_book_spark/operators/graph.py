@@ -147,6 +147,7 @@ def cooccurrence_edges(
     group_col: str = "l_orderkey",
     item_col: str = "l_partkey",
     min_weight: int = 1,
+    keep_weight: bool = False,
 ) -> DataFrame:
     """``(a, b)`` with ``a < b`` — the distinct undirected co-occurrence
     graph: two items are adjacent when at least ``min_weight`` groups
@@ -191,7 +192,7 @@ def cooccurrence_edges(
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= F.lit(int(min_weight)))
-        .select("a", "b")
+        .select("a", "b", *(["w"] if keep_weight else []))
     )
 
 

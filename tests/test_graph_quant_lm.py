@@ -166,3 +166,18 @@ def test_inverted_index(spark):
     assert out["x"]["df"] == 3 and out["x"]["total_tf"] == 4
     assert out["x"]["head_postings"] == [0, 1]  # capped at head_k=2
     assert out["y"]["head_postings"] == [0, 2]
+
+
+def test_pmi_pairs_hand_computed(spark):
+    from mahout_samsara_book_spark.functions.text_analysis import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in pmi_pairs(docs, min_cooc=2).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["cooc"] == 2
+    # PMI = ln(2*4 / (3*2)) = ln(4/3)
+    assert r["pmi"] == pytest.approx(math.log(8 / 6), rel=1e-12)
