@@ -545,6 +545,94 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.functions.text import inverted_index
+    from mahout_samsara_book_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+    from mahout_samsara_book_spark.operators.quantize import int8_recon_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p24 = plan_of(cooccurrence_edges(li, min_weight=2))
+    checks.append(
+        (
+            "cooccurrence_edges (basket projection)",
+            p24,
+            [
+                (
+                    "TWO shuffles total: basket contraction + pair count "
+                    "(the fact self-join alternative needs three)",
+                    n_shuffles(p24) == 2,
+                ),
+                (
+                    "only (orderkey, partkey) scanned",
+                    "l_extendedprice" not in p24 and "l_shipdate" not in p24,
+                ),
+                (
+                    "pair fan-out is map-side array HOF, not a join",
+                    "SortMergeJoin" not in p24.split("Exchange")[0],
+                ),
+            ],
+        )
+    )
+
+    p25 = plan_of(triangle_counts(cooccurrence_edges(li, min_weight=2)))
+    checks.append(
+        (
+            "triangle_counts (degree-oriented wedge join)",
+            p25,
+            [
+                (
+                    "no cartesian product anywhere in the wedge closure",
+                    "CartesianProduct" not in p25,
+                ),
+                (
+                    "sparse edge relation reused from cache, not "
+                    "recomputed per self-reference",
+                    "InMemoryTableScan" in p25 or "TableCacheQueryStage" in p25,
+                ),
+            ],
+        )
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p26 = plan_of(int8_recon_stats(emb))
+    checks.append(
+        (
+            "int8_recon_stats (scan-parallel quantization)",
+            p26,
+            [
+                (
+                    "ZERO shuffles: quantize + error fold are one "
+                    "projection over the scan",
+                    n_shuffles(p26) == 0,
+                ),
+                ("no UDF: pure codegen'd array HOFs", "PythonUDF" not in p26),
+            ],
+        )
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p27 = plan_of(inverted_index(docs))
+    checks.append(
+        (
+            "inverted_index (head-capped posting build)",
+            p27,
+            [
+                (
+                    "rank window and final aggregate share the term "
+                    "partitioning: at most three shuffles end-to-end "
+                    "(tf agg, term repartition, none extra for groupBy)",
+                    n_shuffles(p27) <= 3,
+                ),
+                (
+                    "only (doc_id, text) scanned",
+                    "lang" not in p27 and "source" not in p27,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
