@@ -578,7 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for fns in (entry_pipe.QUERIES, entry_rel.QUERIES, entry_m5.QUERIES)
         for name in (
             "sketch_sample_quantiles", "ev_sliding_active",
-            "text_inverted_index", "text_pmi_pairs",
+            "text_inverted_index", "text_pmi_pairs", "sel_canonical",
             "graph_triangles", "graph_degree_hist",
             "emb_quantize_int8", "text_bigram_lm",
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",

@@ -1092,3 +1092,54 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_pmi()
     d["text_pmi_pairs"] = o_text_pmi_pairs()
     return d
+
+
+# ------------------------------------------------------------------ #
+# canonical-representative selection (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_sel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.pipeline import (
+        canonical_by_quality,
+    )
+
+    out = canonical_by_quality(
+        _augmented_docs(spark, sf_dir),
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _sci(F.col("quality")).alias("quality"),
+    )
+
+
+def o_sel_canonical() -> str:
+    return f"""
+WITH
+{_AUG_DOCS_SQL},
+q AS ({o_text_quality('aug', raw=True)}),
+clus AS ({o_dedup_clusters()})
+SELECT CAST(c.cluster AS BIGINT) AS cluster,
+       CAST(c.doc_id AS BIGINT) AS doc_id,
+       {_sci_sql('q.quality')} AS quality
+FROM clus c
+JOIN q ON q.doc_id = c.doc_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) = 1
+"""
+
+
+QUERIES["sel_canonical"] = q_sel_canonical
+_oracles_pre_canon = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_canon()
+    d["sel_canonical"] = o_sel_canonical()
+    return d

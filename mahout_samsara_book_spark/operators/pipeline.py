@@ -86,3 +86,52 @@ def select_training_docs(
         ql_ok.join(keep_exact, id_col, "leftsemi")
         .join(losers, id_col, "left_anti")
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(cluster, doc_id, quality)`` — canonical-representative
+    selection: for every near-dup cluster, keep the HIGHEST-quality
+    member (ties → smallest id) instead of docs_pipeline's
+    smallest-id keeper. This is the curation policy real corpora want:
+    when a page exists in five scrapes, keep the cleanest scrape, not
+    an arbitrary one.
+
+    Shape: the LSH cluster relation (already O(dup docs), sparse) joins
+    the per-doc quality score (one corpus scan), then one row_number
+    window per cluster — partitioned by cluster id, so the selection
+    distributes with the clusters. Quality is the registered
+    quality_exprs chain; the float ordering compares identical doubles
+    on both engines, with the id tiebreak pinning exact ties."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_dedup(
+        docs, n=n, k=k, bands=bands, seed=seed, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    clus = dup_clusters(pairs)
+    toked = docs.select(
+        F.col(id_col),
+        quality_exprs(
+            F.col(text_col), tokenize(F.col(text_col))
+        )["quality"].alias("quality"),
+    )
+    j = clus.join(toked, clus.doc_id == toked[id_col]).select(
+        "cluster", clus.doc_id.alias("doc_id"), "quality"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "doc_id", "quality")
+    )

@@ -170,3 +170,25 @@ def test_ivfpq_ranks_are_dense_topk(spark):
             for i in range(len(srt) - 1)
         )
         assert all(r["neighbor"] != q for r in rs)
+
+
+def test_canonical_by_quality_picks_best(spark):
+    from mahout_samsara_book_spark.operators.pipeline import (
+        canonical_by_quality,
+    )
+
+    # two near-identical docs (LSH pair) with different quality: the
+    # longer, cleaner one must win regardless of id order
+    good = "the quick brown fox jumps over the lazy dog and runs far away"
+    near = good + " x"
+    docs = spark.createDataFrame(
+        [(5, near), (9, good), (100, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = canonical_by_quality(docs, n=3, k=8, bands=4, seed=7, threshold=0.5)
+    rows = out.collect()
+    # only the near-dup pair forms a cluster; one canonical row
+    assert len(rows) == 1
+    [r] = rows
+    assert r["cluster"] == 5  # cluster label = min member id
+    assert r["doc_id"] in (5, 9)
