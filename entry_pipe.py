@@ -1363,3 +1363,70 @@ def oracles() -> dict[str, str]:
         "rel_asof_tolerance": o_asof_tolerance(),
         "rel_scalar_subquery": o_scalar_subquery(),
     }
+
+
+# ------------------------------------------------------------------ #
+# power-iteration PCA (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+PCA_ITERS = 4
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.algorithms.spectra import (
+        power_iteration,
+    )
+    from mahout_samsara_book_spark.drm.drm import Drm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("row_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "features"
+        ),
+    )
+    g = Drm.from_df(emb, EMB_DIM).gram()
+    v = power_iteration(g, iters=PCA_ITERS)
+    rows = [(i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "pos long, x double")
+    return df.select("pos", _sci(F.col("x")).alias("x"))
+
+
+def o_emb_pca_power() -> str:
+    d = EMB_DIM
+    parts = [
+        f"""
+WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, i, v[i + 1] AS x FROM l, range({d}) t(i)),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS v
+  FROM e a JOIN e b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT i, {1.0 / d ** 0.5!r} AS x FROM range({d}) t(i))"""
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f""",
+w{k} AS (
+  SELECT g.i, list_sum(list(g.v * v.x ORDER BY g.j)) AS x
+  FROM g JOIN v{k - 1} v ON g.j = v.i GROUP BY 1
+),
+n{k} AS (SELECT sqrt(list_sum(list(x * x ORDER BY i))) AS nrm FROM w{k}),
+v{k} AS (SELECT i, x / nrm AS x FROM w{k} CROSS JOIN n{k})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(i AS BIGINT) AS pos, {_sci_sql('x')} AS x
+FROM v{PCA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+QUERIES["emb_pca_power"] = q_emb_pca_power
+_oracles_pre_pca = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_pca()
+    d["emb_pca_power"] = o_emb_pca_power()
+    return d

@@ -194,3 +194,31 @@ def test_bahmani_deterministic(cluster_fixture):
     assert np.allclose(y1.collect(), y2.collect())
     y1.unpersist()
     y2.unpersist()
+
+
+def test_power_iteration_matches_eigh():
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectra import power_iteration
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(200, 16))
+    x[:, 0] += 3.0  # plant a dominant direction
+    g = x.T @ x
+    v = power_iteration(g, iters=25)
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top))
+    assert cos > 0.999999
+    assert np.isclose(np.linalg.norm(v), 1.0)
+
+
+def test_power_iteration_fixed_trajectory():
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectra import power_iteration
+
+    g = np.array([[2.0, 1.0], [1.0, 2.0]])
+    v = power_iteration(g, iters=1)
+    # one step from (1/sqrt2, 1/sqrt2): G v = (3/sqrt2, 3/sqrt2) -> renorm
+    assert np.allclose(v, [1 / 2 ** 0.5, 1 / 2 ** 0.5])
