@@ -579,7 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name in (
             "sketch_sample_quantiles", "ev_sliding_active",
             "text_inverted_index", "text_pmi_pairs", "sel_canonical",
-            "emb_pca_power",
+            "emb_pca_power", "ev_markov_next", "rel_histogram",
             "graph_triangles", "graph_degree_hist",
             "emb_quantize_int8", "text_bigram_lm",
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",

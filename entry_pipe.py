@@ -1430,3 +1430,97 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_pca()
     d["emb_pca_power"] = o_emb_pca_power()
     return d
+
+
+# ------------------------------------------------------------------ #
+# Markov next-state + order-value histogram (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+MARKOV_TOPK = 3
+HIST_WIDTH = 20_000.0
+HIST_MAX_BUCKET = 29  # clamp tail into a terminal overflow bucket
+
+
+def q_ev_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.graph import (
+        top_transitions,
+        transition_edges,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = top_transitions(transition_edges(ev), k=MARKOV_TOPK)
+    return out.select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("w"),
+        _sci(F.col("p")).alias("p"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_ev_markov_next() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst, count(*) AS w FROM pairs
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+rk AS (
+  SELECT e.src, e.dst, e.w,
+         CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p,
+         row_number() OVER (PARTITION BY e.src
+                            ORDER BY e.w DESC, e.dst) AS rank
+  FROM edges e JOIN ow o USING (src)
+)
+SELECT src, dst, CAST(w AS BIGINT) AS w, {_sci_sql('p')} AS p,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {MARKOV_TOPK}
+"""
+
+
+def q_rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)).cast("long"),
+        F.lit(HIST_MAX_BUCKET).cast("long"),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            _sci(F.col("total")).alias("total"),
+        )
+    )
+
+
+def o_rel_histogram() -> str:
+    return f"""
+SELECT least(CAST(floor(o_totalprice / {HIST_WIDTH!r}) AS BIGINT),
+             {HIST_MAX_BUCKET}) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sci_sql('sum(o_totalprice)')} AS total
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES["ev_markov_next"] = q_ev_markov_next
+QUERIES["rel_histogram"] = q_rel_histogram
+_oracles_pre_mkv = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_mkv()
+    d["ev_markov_next"] = o_ev_markov_next()
+    d["rel_histogram"] = o_rel_histogram()
+    return d

@@ -253,3 +253,31 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     corners = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("tri"))
+
+
+def top_transitions(edges: DataFrame, k: int = 3) -> DataFrame:
+    """``(src, dst, w, p, rank)`` — the top-k next states per state of
+    a weighted transition graph, with transition probability
+    ``p = w / Σ_dst w``: the first-order Markov "what happens next"
+    summary of a clickstream (next-event prediction baselines, funnel
+    design, anomaly whitelists).
+
+    One aggregate for the out-weights (map-side combined), one
+    broadcast-able join back (the per-src totals are O(states)), one
+    rank window partitioned by src — every step distributes by the
+    state key. p is a single IEEE division of exact integer counts, so
+    the oracle replays it bit-for-bit."""
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        edges.join(F.broadcast(out_w), "src")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(
+            "src",
+            "dst",
+            "w",
+            (F.col("w").cast("double") / F.col("ow").cast("double")).alias("p"),
+            "rank",
+        )
+    )

@@ -181,3 +181,18 @@ def test_pmi_pairs_hand_computed(spark):
     assert r["cooc"] == 2
     # PMI = ln(2*4 / (3*2)) = ln(4/3)
     assert r["pmi"] == pytest.approx(math.log(8 / 6), rel=1e-12)
+
+
+def test_top_transitions(spark):
+    from mahout_samsara_book_spark.operators.graph import top_transitions
+
+    edges = spark.createDataFrame(
+        [("a", "b", 6), ("a", "c", 3), ("a", "d", 1), ("b", "a", 2)],
+        "src string, dst string, w long",
+    )
+    out = {(r["src"], r["rank"]): r for r in top_transitions(edges, k=2).collect()}
+    assert out[("a", 1)]["dst"] == "b"
+    assert out[("a", 1)]["p"] == pytest.approx(0.6)
+    assert out[("a", 2)]["dst"] == "c"
+    assert ("a", 3) not in out  # k=2 cap
+    assert out[("b", 1)]["p"] == pytest.approx(1.0)
