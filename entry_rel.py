@@ -1207,3 +1207,30 @@ FROM w GROUP BY 1
 
 QUERIES.update({"ev_sliding_active": q_ev_sliding_active})
 _LATE_ORACLES.update({"ev_sliding_active": o_ev_sliding_active})
+
+
+# ------------------------------------------------------------------ #
+# executed Structured Streaming twin (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike ev_windowed_counts (the batch plan), this entry runs the
+    actual streaming engine — availableNow micro-batches into a
+    complete-mode memory sink — and is checked against the SAME batch
+    oracle: the streaming twin must compute the batch answer."""
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_windowed_counts,
+    )
+
+    out = run_stream_windowed_counts(spark, sf_dir, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES.update({"ev_stream_windowed": q_ev_stream_windowed})
+_LATE_ORACLES.update({"ev_stream_windowed": o_ev_windowed_counts})

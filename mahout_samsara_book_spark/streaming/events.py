@@ -409,3 +409,48 @@ def sliding_active_users(
             "n_events",
         )
     )
+
+
+_STREAM_RUN_SEQ = [0]
+
+
+def run_stream_windowed_counts(
+    spark, sf_dir: str, width: str = "1 hour"
+) -> DataFrame:
+    """Execute :func:`stream_windowed_counts` as a REAL Structured
+    Streaming query — ``readStream`` over the events parquet,
+    ``availableNow`` trigger, complete-mode memory sink — block until
+    the backlog drains, and return the final result table.
+
+    This is the registry's proof that the streaming twin computes the
+    batch answer on the same bytes (the DuckDB oracle is the batch
+    aggregation): the plan really runs through the streaming engine —
+    micro-batches, state store, aggregation state recovery — not a
+    batch shortcut. Complete mode keeps every window in state; the
+    production variant for unbounded streams is the append-mode
+    watermarked form above, which the pytest equivalence suite drives.
+    ``availableNow`` bounds the run (process the snapshot, then stop),
+    which is also the standard incremental-backfill trigger in
+    production."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_windowed_counts(ev_stream, width=width)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"ev_stream_windowed_{_STREAM_RUN_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.table(name)
