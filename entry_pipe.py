@@ -1524,3 +1524,62 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["ev_markov_next"] = o_ev_markov_next()
     d["rel_histogram"] = o_rel_histogram()
     return d
+
+
+# ------------------------------------------------------------------ #
+# bloom runtime-filter join (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+BPJ_MIN_BAL = 9000.0
+BPJ_M_BITS = 1 << 17
+BPJ_K = 4
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.bloom import bloom_prune_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_acctbal") > BPJ_MIN_BAL
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pruned = bloom_prune_join(
+        cust, orders, "c_custkey", "o_custkey",
+        m_bits=BPJ_M_BITS, k=BPJ_K,
+    )
+    out = (
+        pruned.join(cust, pruned.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return out.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _sci(F.col("total")).alias("total"),
+    )
+
+
+def o_bloom_join_prune() -> str:
+    # the bloom prefilter is semantically invisible (no false
+    # negatives; the exact join removes false positives), so the oracle
+    # is the plain join — a hash-match certifies the pruning chain
+    # never dropped a true match
+    return f"""
+SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       {_sci_sql('sum(o_totalprice)')} AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > {BPJ_MIN_BAL!r}
+GROUP BY 1
+"""
+
+
+QUERIES["bloom_join_prune"] = q_bloom_join_prune
+_oracles_pre_bpj = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_bpj()
+    d["bloom_join_prune"] = o_bloom_join_prune()
+    return d

@@ -125,3 +125,47 @@ def bloom_probe(
             F.col("grp").alias(group_col), "value", "maybe_present"
         )
     )
+
+
+def bloom_prune_join(
+    build: DataFrame,
+    probes: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Runtime-filter join pruning: probe rows whose key cannot be in
+    ``build`` (Bloom says definitively-absent) are dropped BEFORE the
+    join; survivors still go through the exact join, which removes the
+    false positives. Returns the pruned ``probes`` relation.
+
+    This is the pattern Spark's own runtime row-group filtering plays
+    at 100 TB — ship a few KB of bitmap to every probe task instead of
+    shuffling the probe side's full key set — expressed with the
+    engine's portable bloom so the decision chain is replayable: the
+    oracle is simply the exact join (no false negatives ⇒ pruning is
+    semantically invisible).
+
+    Scale shape: bitmap build is one map-side-combined aggregate over
+    the (smaller) build side; the probe is a broadcast of the bitmap
+    words plus codegen'd bit math per probe row; the final exact join
+    runs on the (hopefully much smaller) survivor stream."""
+    keys = build.select(F.col(build_key).alias("v")).withColumn(
+        "grp", F.lit(0)
+    )
+    bloom = bloom_build(keys, "grp", "v", m_bits=m_bits, k=k)
+    flags = bloom_probe(
+        bloom,
+        probes.select(F.col(probe_key).alias("v")).withColumn(
+            "grp", F.lit(0)
+        ),
+        "grp",
+        "v",
+        m_bits=m_bits,
+        k=k,
+    )
+    passing = flags.filter(F.col("maybe_present")).select(
+        F.col("value").cast(probes.schema[probe_key].dataType).alias(probe_key)
+    )
+    return probes.join(passing, probe_key, "leftsemi")

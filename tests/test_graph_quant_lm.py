@@ -196,3 +196,20 @@ def test_top_transitions(spark):
     assert out[("a", 2)]["dst"] == "c"
     assert ("a", 3) not in out  # k=2 cap
     assert out[("b", 1)]["p"] == pytest.approx(1.0)
+
+
+def test_bloom_prune_join_no_false_negatives(spark):
+    from mahout_samsara_book_spark.operators.bloom import bloom_prune_join
+
+    build = spark.createDataFrame(
+        [(k,) for k in range(0, 100, 7)], "key long"
+    )
+    probes = spark.createDataFrame(
+        [(i, i % 100) for i in range(500)], "row_id long, key long"
+    )
+    pruned = bloom_prune_join(build, probes, "key", "key", m_bits=1 << 12)
+    kept = {r["key"] for r in pruned.select("key").distinct().collect()}
+    # every true member survives (Bloom has no false negatives)
+    assert set(range(0, 100, 7)) <= kept
+    # with this sizing the filter actually prunes most non-members
+    assert len(kept) < 60
