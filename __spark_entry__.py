@@ -580,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_sample_quantiles", "ev_sliding_active",
             "text_inverted_index", "text_pmi_pairs", "sel_canonical",
             "emb_pca_power", "ev_markov_next", "rel_histogram",
-            "ev_stream_windowed", "bloom_join_prune",
+            "ev_stream_windowed", "bloom_join_prune", "kmeans_lloyd",
             "graph_triangles", "graph_degree_hist",
             "emb_quantize_int8", "text_bigram_lm",
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",

@@ -1143,3 +1143,83 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_canon()
     d["sel_canonical"] = o_sel_canonical()
     return d
+
+
+# ------------------------------------------------------------------ #
+# multi-iteration Lloyd k-means (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+KM_ITERS = 2
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = kmeans_lloyd(emb, iters=KM_ITERS, seed=IVF_SEED)
+    return out.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("pos").cast("long").alias("pos"),
+        _sci(F.col("c")).alias("c"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def o_kmeans_lloyd() -> str:
+    # assign1 = _IVF_CTES's `assign` (nearest sampled center); then
+    # KM_ITERS-1 further (centroid-mean -> re-assign) rounds unrolled
+    parts = [f"WITH {_IVF_CTES}"]
+    prev = "assign"
+    for k in range(1, KM_ITERS):
+        parts.append(
+            f""",
+mem{k} AS (
+  SELECT a.cid, i, e.v[i] AS x
+  FROM {prev} a JOIN e USING (vec_id), range(1, 65) t(i)
+),
+cen{k} AS MATERIALIZED (
+  SELECT cid, list(c ORDER BY i) AS center
+  FROM (SELECT cid, i, avg(x) AS c FROM mem{k} GROUP BY 1, 2)
+  GROUP BY cid
+),
+scored{k} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM e CROSS JOIN cen{k} c
+),
+assign{k} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored{k}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"assign{k}"
+    parts.append(
+        f""",
+memf AS (
+  SELECT a.cid, i - 1 AS pos, e.v[i] AS x
+  FROM {prev} a JOIN e USING (vec_id), range(1, 65) t(i)
+),
+sizes AS (SELECT cid, count(*) AS n FROM {prev} GROUP BY 1)
+SELECT CAST(m.cid AS BIGINT) AS cid, CAST(m.pos AS BIGINT) AS pos,
+       {_sci_sql('avg(m.x)')} AS c,
+       CAST(min(s.n) AS BIGINT) AS n_members
+FROM memf m JOIN sizes s ON s.cid = m.cid
+GROUP BY m.cid, m.pos"""
+    )
+    return "".join(parts)
+
+
+QUERIES["kmeans_lloyd"] = q_kmeans_lloyd
+_oracles_pre_km = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_km()
+    d["kmeans_lloyd"] = o_kmeans_lloyd()
+    return d

@@ -880,3 +880,53 @@ def ivf_refine(
     return members.groupBy("cid", "pos").agg(
         F.avg("x").alias("c")
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    iters: int = 2,
+    n_centers: int | str = "auto",
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full Lloyd k-means for ``iters`` iterations from the
+    hash-sampled IVF warm start: assign → centroid-mean → re-assign,
+    chained. ``(cid, pos, c, n_members)`` — the final centroid matrix
+    in COO layout plus each cluster's size under the final assignment.
+
+    Scale contract (the reason Lloyd distributes): every iteration is
+    one broadcast-assign linear scan (centers are O(√n) rows) plus one
+    (cid, pos) hash-aggregate whose shuffled payload is
+    O(centers·dim·partitions) — corpus size never crosses the wire.
+    The centers relation is localCheckpoint'd each round (SURVEY §4's
+    iterative lineage cut — same as pagerank/Bahmani), so iteration t
+    does not replay iterations 1..t-1. A cluster that loses all
+    members simply drops out of the centers relation, identically on
+    both engines."""
+    if n_centers == "auto":
+        n_centers = auto_n_centers(emb)
+    centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    embp = ensure_min_partitions(emb)
+    v = F.col(vec_col).cast("array<double>")
+    assign = None
+    for _ in range(iters):
+        assign = ivf_assign(embp, centers, id_col, vec_col)
+        coo = (
+            embp.join(assign, id_col)
+            .select("cid", F.posexplode(v).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("c"))
+        )
+        centers = coo.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("center")
+        )
+        centers = centers.localCheckpoint(eager=True)
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    final_coo = centers.select(
+        "cid", F.posexplode(F.col("center")).alias("pos", "c")
+    )
+    return final_coo.join(sizes, "cid")

@@ -85,3 +85,29 @@ def test_ivf_topk_recall(embeddings):
     # data — recall well above the 3/8 floor signals the index works
     assert recall > 0.45
     assert (merged.cosine_a <= merged.cosine_e + 1e-12).all()
+
+
+def test_kmeans_lloyd_invariants(spark):
+    import numpy as np
+
+    from mahout_samsara_book_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(5)
+    # two well-separated blobs
+    pts = np.vstack(
+        [rng.normal(0, 0.1, (40, 4)), rng.normal(5, 0.1, (40, 4))]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd(emb, iters=3, n_centers=2, seed=9).collect()
+    sizes = {r["cid"]: r["n_members"] for r in out}
+    assert sum(sizes.values()) == 80 and len(sizes) == 2
+    # each centroid sits inside one blob (coordinates near 0 or near 5)
+    cents = {}
+    for r in out:
+        cents.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+    for cid, cs in cents.items():
+        mean0 = sum(cs.values()) / len(cs)
+        assert abs(mean0) < 0.5 or abs(mean0 - 5) < 0.5
