@@ -1583,3 +1583,64 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_bpj()
     d["bloom_join_prune"] = o_bloom_join_prune()
     return d
+
+
+# ------------------------------------------------------------------ #
+# fixed-round k-core peeling (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+KCORE_K = 90
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore_peel,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = kcore_peel(cooccurrence_edges(li), k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+def o_graph_kcore() -> str:
+    parts = [f"WITH {_cooc_sql(1)}"]
+    prev_e = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev_e} UNION ALL SELECT b AS node FROM {prev_e}
+  ) GROUP BY 1
+),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev_e} e
+  WHERE e.a IN (SELECT node FROM k{r})
+    AND e.b IN (SELECT node FROM k{r})
+)"""
+        )
+        prev_e = f"e{r}"
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (
+  SELECT a AS node FROM {prev_e} UNION ALL SELECT b AS node FROM {prev_e}
+) GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+QUERIES["graph_kcore"] = q_graph_kcore
+_oracles_pre_kcore = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_kcore()
+    d["graph_kcore"] = o_graph_kcore()
+    return d

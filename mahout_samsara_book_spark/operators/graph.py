@@ -281,3 +281,29 @@ def top_transitions(edges: DataFrame, k: int = 3) -> DataFrame:
             "rank",
         )
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """``(node, deg)`` — the graph after ``rounds`` synchronous peel
+    steps toward the k-core: each step removes every node whose current
+    degree is below ``k`` (and the edges touching it), exactly the
+    Batagelj–Zaveršnik bulk iteration. A FIXED round count (not
+    peel-to-fixpoint) keeps the result oracle-replayable; real cores
+    converge in O(log n) synchronous rounds, and the fixpoint is
+    reached when a round removes nothing.
+
+    Scale shape per round: one degree aggregate + two semi-joins of the
+    edge relation against the surviving-node set — all hash equi-joins
+    on node keys, no broadcast assumption (the node set may be huge).
+    The shrinking edge relation is lineage-cut each round so round t
+    does not replay rounds 1..t-1."""
+    e = edges
+    for _ in range(rounds):
+        deg = degrees(e)
+        keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return degrees(e)

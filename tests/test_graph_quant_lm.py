@@ -213,3 +213,19 @@ def test_bloom_prune_join_no_false_negatives(spark):
     assert set(range(0, 100, 7)) <= kept
     # with this sizing the filter actually prunes most non-members
     assert len(kept) < 60
+
+
+def test_kcore_peel_cascade(spark):
+    from mahout_samsara_book_spark.operators.graph import kcore_peel
+
+    # triangle (core-2) with a pendant chain: peeling k=2 removes the
+    # chain node by node (one per round — the cascade)
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    after1 = kcore_peel(edges, k=2, rounds=1)
+    got1 = {r["node"]: r["deg"] for r in after1.collect()}
+    assert got1 == {1: 2, 2: 2, 3: 3, 4: 1}  # 5 gone, 4 now pendant
+    after2 = kcore_peel(edges, k=2, rounds=2)
+    got2 = {r["node"]: r["deg"] for r in after2.collect()}
+    assert got2 == {1: 2, 2: 2, 3: 2}  # converged to the triangle core
+    after3 = kcore_peel(edges, k=2, rounds=3)
+    assert {r["node"]: r["deg"] for r in after3.collect()} == got2
