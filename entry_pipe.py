@@ -800,16 +800,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "event_type", "user_id", b=HLL_B)
 
 
-def o_hll_distinct() -> str:
+def _hll_tail_sql(out_grp: str) -> str:
+    """Shared HLL register->estimate replay over a CTE named ``hashed``
+    with columns (grp, h). ``out_grp`` names the output group column."""
     from mahout_samsara_book_spark.operators.sketches import _hll_alpha
 
     m = 1 << HLL_B
     low_bits = 60 - HLL_B
     span = 1 << low_bits
     alpha_m2 = repr(_hll_alpha(m) * m * m)
-    h = h60_sql("CAST(user_id AS VARCHAR)")
     return f"""
-WITH hashed AS (SELECT event_type AS grp, {h} AS h FROM events),
 regs AS (
   SELECT grp, h >> {low_bits} AS j,
          max(CASE WHEN h % {span} = 0 THEN {low_bits + 1}
@@ -828,12 +828,20 @@ est AS (
          CAST({m} - n_regs AS DOUBLE) AS zeros
   FROM folded
 )
-SELECT grp AS event_type,
+SELECT grp AS {out_grp},
        CAST(floor(CASE WHEN raw <= {repr(2.5 * m)} AND zeros > 0
                   THEN {float(m)!r} * ln({float(m)!r} / zeros)
                   ELSE raw END) AS BIGINT) AS n_est,
        CAST(n_regs AS BIGINT) AS n_regs
 FROM est
+"""
+
+
+def o_hll_distinct() -> str:
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (SELECT event_type AS grp, {h} AS h FROM events),
+{_hll_tail_sql("event_type")}
 """
 
 
@@ -1643,4 +1651,40 @@ _oracles_pre_kcore = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_kcore()
     d["graph_kcore"] = o_graph_kcore()
+    return d
+
+
+def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import sliding_hll_users
+
+    out = sliding_hll_users(
+        load_table(spark, sf_dir, "events"), 3600, 900, b=HLL_B
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "n_est",
+        "n_regs",
+    )
+
+
+def o_sketch_hll_sliding() -> str:
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+hashed AS (
+  SELECT ((sec // 900) - i) * 900 AS grp, {h} AS h
+  FROM t, LATERAL unnest(generate_series(0, 3)) AS g(i)
+),
+{_hll_tail_sql("window_start")}
+"""
+
+
+QUERIES["sketch_hll_sliding"] = q_sketch_hll_sliding
+_oracles_pre_hllw = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_hllw()
+    d["sketch_hll_sliding"] = o_sketch_hll_sliding()
     return d

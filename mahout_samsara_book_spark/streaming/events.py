@@ -454,3 +454,38 @@ def run_stream_windowed_counts(
         if q.isActive:  # pragma: no cover — availableNow self-terminates
             q.stop()
     return spark.table(name)
+
+
+def sliding_hll_users(
+    ev: DataFrame,
+    width_s: int = 3600,
+    slide_s: int = 900,
+    b: int = 6,
+) -> DataFrame:
+    """``(window_start, n_est, n_regs)`` — APPROXIMATE distinct users
+    per sliding window via the portable HLL sketch: the scale path of
+    :func:`sliding_active_users`. The exact variant's distinct phase
+    shuffles every (window, user) pair — width/slide copies of the
+    stream; this one contracts each partition to ≤ windows × 2^b
+    register rows before the shuffle (map-side max combine), the same
+    reason HLL exists. Window membership is integer µs arithmetic
+    (absolute epoch alignment, timezone-proof), identical to the
+    oracle's replay."""
+    from mahout_samsara_book_spark.operators.sketches import hll_distinct
+
+    nw = width_s // slide_s
+    t = ev.withColumn("_t_us", ts_us(ev))
+    sec = F.expr(f"_t_us div {US_PER_SEC}")
+    starts = F.array(
+        *[
+            (sec - sec % F.lit(slide_s)) - F.lit(i * slide_s)
+            for i in range(nw)
+        ]
+    )
+    exploded = t.select(
+        F.explode(starts).alias("ws"), F.col("user_id")
+    )
+    out = hll_distinct(exploded, "ws", "user_id", b=b)
+    return out.select(
+        F.col("ws").alias("window_start"), "n_est", "n_regs"
+    )

@@ -229,3 +229,24 @@ def test_kcore_peel_cascade(spark):
     assert got2 == {1: 2, 2: 2, 3: 2}  # converged to the triangle core
     after3 = kcore_peel(edges, k=2, rounds=3)
     assert {r["node"]: r["deg"] for r in after3.collect()} == got2
+
+
+def test_sliding_hll_tracks_exact(spark):
+    from mahout_samsara_book_spark.streaming.events import (
+        sliding_active_users,
+        sliding_hll_users,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["window_start"]: r["n_users"]
+        for r in sliding_active_users(ev).collect()
+    }
+    approx = {
+        r["window_start"]: r["n_est"]
+        for r in sliding_hll_users(ev).collect()
+    }
+    assert set(exact) == set(approx)  # identical window membership
+    # HLL with b=6 (m=64): ~13% standard error — allow 3 sigma + slack
+    for ws, n in exact.items():
+        assert abs(approx[ws] - n) <= max(5, 0.5 * n)
