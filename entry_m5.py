@@ -1223,3 +1223,54 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_km()
     d["kmeans_lloyd"] = o_kmeans_lloyd()
     return d
+
+
+# ------------------------------------------------------------------ #
+# containment dedup (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+CONT_T = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.dedup import containment_dedup
+
+    out = containment_dedup(
+        _augmented_docs(spark, sf_dir), n=3, threshold=CONT_T
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        _sci(F.col("cont_ab")).alias("cont_ab"),
+        _sci(F.col("cont_ba")).alias("cont_ba"),
+    )
+
+
+def o_dedup_containment() -> str:
+    return f"""
+WITH {_SHINGLE_CTES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       {_sci_sql('CAST(i.inter AS DOUBLE) / CAST(za.sz AS DOUBLE)')} AS cont_ab,
+       {_sci_sql('CAST(i.inter AS DOUBLE) / CAST(zb.sz AS DOUBLE)')} AS cont_ba
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE greatest(CAST(i.inter AS DOUBLE) / CAST(za.sz AS DOUBLE),
+               CAST(i.inter AS DOUBLE) / CAST(zb.sz AS DOUBLE)) >= {CONT_T!r}
+"""
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+_oracles_pre_cont = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_cont()
+    d["dedup_containment"] = o_dedup_containment()
+    return d

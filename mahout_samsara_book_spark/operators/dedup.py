@@ -874,3 +874,57 @@ def connected_components_lsls(
         .withColumn("cluster", F.col("doc_id"))
     )
     return members.unionByName(roots).unionByName(singles)
+
+
+def containment_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    ``C(a→b) = |A∩B| / |A|`` — the fraction of a's n-gram set inside
+    b's. ``(doc_a, doc_b, cont_ab, cont_ba)`` for pairs where EITHER
+    direction ≥ threshold.
+
+    This is the case Jaccard structurally misses: a short document
+    fully quoted inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment 1.0 — exactly the partial-copy / quote-expansion /
+    boilerplate-wrapper duplication a training corpus must catch. For
+    the same reason there is deliberately NO length filter here (the
+    length ratio bound is a Jaccard-only optimization).
+
+    Same inline inverted-index shape as ngram_jaccard_dedup's ``index``
+    strategy: one self-join on the shingle hash counts each candidate
+    pair's intersection as its join row count (Σ df(h)² cost — cap hot
+    shingles upstream for zipfian corpora), then two exact-integer
+    divisions against the per-doc set sizes."""
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "h").alias("ca")
+    b = sh.select(F.col(id_col).alias("doc_b"), "h").alias("cb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ca.h") == F.col("cb.h"))
+            & (F.col("ca.doc_a") < F.col("cb.doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont_ab = F.col("inter").cast("double") / F.col("sz_a").cast("double")
+    cont_ba = F.col("inter").cast("double") / F.col("sz_b").cast("double")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("cont_ab", cont_ab)
+        .withColumn("cont_ba", cont_ba)
+        .filter(
+            F.greatest(F.col("cont_ab"), F.col("cont_ba"))
+            >= F.lit(float(threshold))
+        )
+        .select("doc_a", "doc_b", "cont_ab", "cont_ba")
+    )

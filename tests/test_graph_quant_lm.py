@@ -250,3 +250,21 @@ def test_sliding_hll_tracks_exact(spark):
     # HLL with b=6 (m=64): ~13% standard error — allow 3 sigma + slack
     for ws, n in exact.items():
         assert abs(approx[ws] - n) <= max(5, 0.5 * n)
+
+
+def test_containment_catches_partial_copy(spark):
+    from mahout_samsara_book_spark.operators.dedup import containment_dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           containment_dedup(docs, n=3, threshold=0.8).collect()}
+    assert (1, 2) in out  # quote-expansion pair caught
+    r = out[(1, 2)]
+    assert r["cont_ab"] == pytest.approx(1.0)  # short fully inside long
+    assert r["cont_ba"] < 0.5  # Jaccard would have missed this pair
+    assert all(a != 3 and b != 3 for a, b in out)
