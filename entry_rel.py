@@ -1234,3 +1234,104 @@ def q_ev_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"ev_stream_windowed": q_ev_stream_windowed})
 _LATE_ORACLES.update({"ev_stream_windowed": o_ev_windowed_counts})
+
+
+# ------------------------------------------------------------------ #
+# 2D skyline + ORC sink round-trip (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders minimizing (o_totalprice,
+    o_orderdate-recency stand-in): an order is on the skyline iff no
+    other order is ≤ on both dims with < on at least one. The 2D
+    skyline needs NO pairwise join: sort by (price asc, date asc) and
+    keep rows strictly below the running date minimum — one window
+    pass. At 100 TB the global sort is a range-partitioned exchange
+    (Spark's sort shape), still one pass; higher dims would need the
+    grid/partition skyline algorithms."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    w = (
+        Window.orderBy(
+            F.col("o_totalprice").asc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),  # canonical tiebreak: coincident
+            # points keep only the smallest key (deterministic on both
+            # engines; without it, equal (price, date) pairs would keep
+            # an arbitrary member)
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_min = F.min("o_orderdate").over(w)
+    out = orders.withColumn("_m", run_min).filter(
+        F.col("_m").isNull() | (F.col("o_orderdate") < F.col("_m"))
+    )
+    return out.select(
+        "o_orderkey",
+        _sci(F.col("o_totalprice")).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+def o_rel_skyline() -> str:
+    return f"""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         min(o_orderdate) OVER (
+             ORDER BY o_totalprice, o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM orders
+)
+SELECT o_orderkey, {_sci_sql('o_totalprice')} AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM s WHERE m IS NULL OR o_orderdate < m
+"""
+
+
+QUERIES.update({"rel_skyline": q_rel_skyline})
+_LATE_ORACLES.update({"rel_skyline": o_rel_skyline})
+
+
+_ORC_RT_SEQ = [0]
+
+
+def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink correctness in the gate: events → ORC (zlib, full
+    TIMESTAMP_NTZ fidelity) → read back → windowed aggregate; the
+    oracle aggregates the ORIGINAL parquet, so a hash-match certifies
+    the write/read edge lost nothing. Temp output is per-invocation
+    (sequence-numbered) and tiny relative to any real sink run."""
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import windowed_counts
+
+    _ORC_RT_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_orc_rt_{_ORC_RT_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    out = windowed_counts(back, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES.update({"fmt_orc_roundtrip": q_fmt_orc_roundtrip})
+_LATE_ORACLES.update({"fmt_orc_roundtrip": o_ev_windowed_counts})

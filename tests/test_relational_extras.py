@@ -249,3 +249,32 @@ def test_forecast_revenue_manual(spark):
         & (F.col("l_quantity") < 24)
     ).count()
     assert row["n_items"] == manual
+
+
+def test_skyline_semantics(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__  # initializes entry_rel's sci helpers
+    import entry_rel
+
+    __spark_entry__.queries()  # force _init side effects
+
+    import datetime as dt
+    rows = [
+        (1, 10.0, dt.date(2024, 1, 5)),
+        (2, 10.0, dt.date(2024, 1, 2)),   # dominates 1 (same price, earlier)
+        (3, 20.0, dt.date(2024, 1, 1)),   # on frontier (earliest date)
+        (4, 20.0, dt.date(2024, 1, 3)),   # dominated by 2 and 3
+        (5, 5.0, dt.date(2024, 1, 9)),    # on frontier (cheapest)
+    ]
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = entry_rel.q_rel_skyline(spark, d)
+        keys = {r["o_orderkey"] for r in out.collect()}
+        assert keys == {5, 2, 3}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
