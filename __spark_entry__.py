@@ -582,7 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_pca_power", "ev_markov_next", "rel_histogram",
             "ev_stream_windowed", "bloom_join_prune", "kmeans_lloyd",
             "graph_kcore", "sketch_hll_sliding", "dedup_containment",
-            "rel_skyline", "fmt_orc_roundtrip",
+            "rel_skyline", "fmt_orc_roundtrip", "text_top_terms",
             "graph_triangles", "graph_degree_hist",
             "emb_quantize_int8", "text_bigram_lm",
             "rel_custdist", "rel_small_qty_revenue", "rel_stats_agg",

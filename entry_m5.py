@@ -1274,3 +1274,64 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_cont()
     d["dedup_containment"] = o_dedup_containment()
     return d
+
+
+# ------------------------------------------------------------------ #
+# TF-IDF keyword extraction (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+TOPTERMS_K = 3
+
+
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k keywords by the Lucene/Mahout TF-IDF weight —
+    the keyword-extraction step of corpus indexing/labeling. One rank
+    window over the tfidf relation, partitioned by doc (distributes
+    with the corpus); weight ties resolve by term so both engines pick
+    identical keyword sets."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.functions.text import tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ti = tfidf(docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    out = (
+        ti.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPTERMS_K)
+    )
+    return out.select(
+        "doc_id",
+        F.col("rk").cast("long").alias("rk"),
+        "term",
+        _sci(F.col("tfidf")).alias("tfidf"),
+    )
+
+
+def o_text_top_terms() -> str:
+    import __spark_entry__ as _entry
+
+    return f"""
+WITH {_entry._TOK_CTES},
+rk AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM ti
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+       {_sci_sql('tfidf')} AS tfidf
+FROM rk WHERE rk <= {TOPTERMS_K}
+"""
+
+
+QUERIES["text_top_terms"] = q_text_top_terms
+_oracles_pre_tt = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_tt()
+    d["text_top_terms"] = o_text_top_terms()
+    return d
