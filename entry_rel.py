@@ -1335,3 +1335,252 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"fmt_orc_roundtrip": q_fmt_orc_roundtrip})
 _LATE_ORACLES.update({"fmt_orc_roundtrip": o_ev_windowed_counts})
+
+
+# ------------------------------------------------------------------ #
+# first-touch session attribution, YoY growth, MAD outliers
+# (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+ATTR_GAP_MIN = 30
+
+
+def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each gap-session's total value is
+    credited to the event type that OPENED the session — the marketing
+    attribution shape. Same one-shuffle lag+cumsum sessionization as
+    ev_sessionize, plus a per-session rank to pick the opener (fully
+    deterministic: (t_us, event_id) order) and one final aggregate on
+    the opener type."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_us(ev))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            (F.lag("t_us").over(w).isNull())
+            | (F.col("t_us") - F.lag("t_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "t_us", "event_id"
+    )
+    sess = (
+        flagged.withColumn("rn", F.row_number().over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "first_type"
+            ),
+            F.sum("value").alias("sv"),
+        )
+    )
+    out = sess.groupBy("first_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("sv").alias("attributed_value"),
+    )
+    return out.select(
+        F.col("first_type").alias("event_type"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        _sci(F.col("attributed_value")).alias("attributed_value"),
+    )
+
+
+def o_ev_attribution() -> str:
+    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+),
+sess AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         sum(value) AS sv
+  FROM r GROUP BY 1, 2
+)
+SELECT first_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       {_sci_sql('sum(sv)')} AS attributed_value
+FROM sess GROUP BY 1
+"""
+
+
+def q_rel_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: the reporting shape
+    every warehouse runs — join chain, yearly rollup, one lag window
+    per nation. First-year growth is NULL → 'NA' (the sci convention's
+    explicit null)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    out = rev.withColumn(
+        "growth", F.col("revenue") / F.lag("revenue").over(w)
+    )
+    return out.select(
+        "n_name",
+        F.col("yr").cast("long").alias("yr"),
+        _sci(F.col("revenue")).alias("revenue"),
+        _sci(F.col("growth")).alias("growth"),
+    )
+
+
+def o_rel_yearly_growth() -> str:
+    return f"""
+WITH rev AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(yr AS BIGINT) AS yr,
+       {_sci_sql('revenue')} AS revenue,
+       {_sci_sql('revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)')} AS growth
+FROM rev
+"""
+
+
+MAD_MULT = 5.0
+
+
+def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per event type, flag events whose value
+    deviates from the type's MEDIAN by more than 5× the median absolute
+    deviation — the heavy-tail-safe alternative to ev_anomalies'
+    z-score (mean/stddev are themselves dragged by the outliers they
+    hunt). Both medians are exact LOWER order statistics at rank
+    ⌊(n−1)/2⌋ in (value, event_id) order — pure selection, no
+    interpolation, so the replay is bit-exact. Two rank windows per
+    type + one broadcast join of the per-type thresholds."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") == F.expr("(n - 1) div 2") + 1)
+        .select(F.col("event_type"), F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") == F.expr("(n - 1) div 2") + 1)
+        .select(F.col("event_type"), F.col("adev").alias("mad"))
+    )
+    out = dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("adev") > F.lit(MAD_MULT) * F.col("mad")
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        _sci(F.col("value")).alias("value"),
+        _sci(F.col("adev")).alias("adev"),
+    )
+
+
+def o_ev_mad_outliers() -> str:
+    return f"""
+WITH e AS (SELECT event_id, event_type, value FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+med AS (
+  SELECT event_type, value AS med FROM r1
+  WHERE rn = (n - 1) // 2 + 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value,
+         abs(e.value - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY adev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, adev AS mad FROM r2
+  WHERE rn = (n - 1) // 2 + 1
+)
+SELECT CAST(d.event_id AS BIGINT) AS event_id, d.event_type,
+       {_sci_sql('d.value')} AS value,
+       {_sci_sql('d.adev')} AS adev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > {MAD_MULT!r} * m.mad
+"""
+
+
+QUERIES.update(
+    {
+        "ev_attribution": q_ev_attribution,
+        "rel_yearly_growth": q_rel_yearly_growth,
+        "ev_mad_outliers": q_ev_mad_outliers,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "ev_attribution": o_ev_attribution,
+        "rel_yearly_growth": o_rel_yearly_growth,
+        "ev_mad_outliers": o_ev_mad_outliers,
+    }
+)
