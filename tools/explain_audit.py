@@ -633,6 +633,69 @@ def main() -> int:
         )
     )
 
+    from mahout_samsara_book_spark.streaming.events import (
+        sliding_active_users,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p28 = plan_of(sliding_active_users(ev))
+    checks.append(
+        (
+            "sliding_active_users (window expansion, exact distinct)",
+            p28,
+            [
+                (
+                    "window fan-out is map-side expansion, not a join",
+                    "Join" not in p28,
+                ),
+                (
+                    "two shuffles: distinct partial + final count",
+                    n_shuffles(p28) == 2,
+                ),
+            ],
+        )
+    )
+
+    import __spark_entry__ as _entry
+
+    _entry.queries()  # initialize the entry modules' sci helpers
+    import entry_rel as _er
+    p29 = plan_of(_er.q_rel_skyline(spark, sf_dir))
+    checks.append(
+        (
+            "rel_skyline (running-min window frontier)",
+            p29,
+            [
+                (
+                    "no pairwise self-join: single window pass",
+                    "Join" not in p29,
+                ),
+                (
+                    "only the three needed order columns scanned",
+                    "o_comment" not in p29 and "o_clerk" not in p29,
+                ),
+            ],
+        )
+    )
+
+    p30 = plan_of(_er.q_ev_mad_outliers(spark, sf_dir))
+    checks.append(
+        (
+            "ev_mad_outliers (median/MAD thresholds)",
+            p30,
+            [
+                (
+                    "per-type thresholds broadcast back, not shuffled",
+                    "BroadcastHashJoin" in p30,
+                ),
+                (
+                    "no cartesian product",
+                    "CartesianProduct" not in p30,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
