@@ -1688,3 +1688,65 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_hllw()
     d["sketch_hll_sliding"] = o_sketch_hll_sliding()
     return d
+
+
+# ------------------------------------------------------------------ #
+# order-insensitive table checksum (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-integrity fingerprint: per returnflag partition, the XOR of
+    the portable row-key hashes plus the row count — the primitive a
+    100 TB copy/migration verifies with (order-insensitive, mergeable
+    across shards, no overflow: XOR is closed on 64 bits where a SUM of
+    2^60-scale hashes would overflow BIGINT differently per engine).
+    Row identity = the integer key tuple, so the checksum is
+    float-format-free and engine-portable by construction."""
+    from mahout_samsara_book_spark.operators.hashing import h60
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rowkey = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_xor(h60(rowkey)).alias("checksum"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("checksum").cast("long").alias("checksum"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def o_rel_table_checksum() -> str:
+    h = h60_sql(
+        "concat(CAST(l_orderkey AS VARCHAR), ':', "
+        "CAST(l_linenumber AS VARCHAR), ':', "
+        "CAST(l_partkey AS VARCHAR), ':', "
+        "CAST(l_suppkey AS VARCHAR))"
+    )
+    return f"""
+SELECT l_returnflag,
+       CAST(bit_xor({h}) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
+QUERIES["rel_table_checksum"] = q_rel_table_checksum
+_oracles_pre_cksum = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_cksum()
+    d["rel_table_checksum"] = o_rel_table_checksum()
+    return d
