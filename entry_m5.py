@@ -1335,3 +1335,73 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_tt()
     d["text_top_terms"] = o_text_top_terms()
     return d
+
+
+# ------------------------------------------------------------------ #
+# Jensen-Shannon corpus drift (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.functions.text_analysis import (
+        js_divergence_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = js_divergence_by_group(docs, "lang")
+    return out.select("grp_a", "grp_b", _sci(F.col("js")).alias("js"))
+
+
+def o_text_js_divergence() -> str:
+    ln2 = repr(__import__("math").log(2.0))
+    return f"""
+WITH tok AS (
+  SELECT lang AS g, unnest({TOKS_SQL}) AS t FROM documents
+),
+cnt AS (SELECT g, t, count(*) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT g, sum(n) AS tot FROM cnt GROUP BY 1),
+dist AS (
+  SELECT cnt.g, cnt.t,
+         CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+  FROM cnt JOIN tot ON cnt.g = tot.g
+),
+shared AS (
+  SELECT a.g AS grp_a, b.g AS grp_b, a.t,
+         a.p AS pa, b.p AS pb,
+         a.p * ln(2.0 * a.p / (a.p + b.p))
+           + b.p * ln(2.0 * b.p / (a.p + b.p)) AS c
+  FROM dist a JOIN dist b ON a.t = b.t AND a.g < b.g
+),
+agg AS (
+  SELECT grp_a, grp_b,
+         list_sum(list(c ORDER BY t)) AS s1,
+         list_sum(list(pa ORDER BY t)) AS spa,
+         list_sum(list(pb ORDER BY t)) AS spb
+  FROM shared GROUP BY 1, 2
+),
+grps AS (SELECT DISTINCT g FROM dist),
+pairs AS (
+  SELECT a.g AS grp_a, b.g AS grp_b
+  FROM grps a JOIN grps b ON a.g < b.g
+),
+allp AS (
+  SELECT p.grp_a, p.grp_b,
+         coalesce(agg.s1, 0.0) AS s1,
+         coalesce(agg.spa, 0.0) AS spa,
+         coalesce(agg.spb, 0.0) AS spb
+  FROM pairs p LEFT JOIN agg USING (grp_a, grp_b)
+)
+SELECT grp_a, grp_b,
+       {_sci_sql(f"0.5 * (s1 + {ln2} * ((1.0 - spa) + (1.0 - spb)))")} AS js
+FROM allp
+"""
+
+
+QUERIES["text_js_divergence"] = q_text_js_divergence
+_oracles_pre_js = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_js()
+    d["text_js_divergence"] = o_text_js_divergence()
+    return d

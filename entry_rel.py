@@ -1584,3 +1584,68 @@ _LATE_ORACLES.update(
         "ev_mad_outliers": o_ev_mad_outliers,
     }
 )
+
+
+# ------------------------------------------------------------------ #
+# share-of-total window + session-basket affinity (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_rel_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue: aggregate once,
+    then one unbounded window per region — the percent-of-total report
+    shape (no second scan, no self-join). Share = one IEEE division of
+    two identically-ordered sums? No — the sums are plain per-group
+    aggregates, portable under the %.7e format; the ratio divides the
+    group's own sum by the region window total."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    out = rev.withColumn(
+        "share", F.col("revenue") / F.sum("revenue").over(w)
+    )
+    return out.select(
+        "r_name",
+        "n_name",
+        _sci(F.col("revenue")).alias("revenue"),
+        _sci(F.col("share")).alias("share"),
+    )
+
+
+def o_rel_share_of_total() -> str:
+    return f"""
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, {_sci_sql('revenue')} AS revenue,
+       {_sci_sql('revenue / sum(revenue) OVER (PARTITION BY r_name)')} AS share
+FROM rev
+"""
+
+
+QUERIES.update({"rel_share_of_total": q_rel_share_of_total})
+_LATE_ORACLES.update({"rel_share_of_total": o_rel_share_of_total})

@@ -352,3 +352,86 @@ def pmi_pairs(
         .join(dfc.select(F.col("t").alias("b"), F.col("dfc").alias("dfb")), "b")
         .select("a", "b", "cooc", F.log(num / den).alias("pmi"))
     )
+
+
+def js_divergence_by_group(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(grp_a, grp_b, js)`` — Jensen–Shannon divergence between the
+    unigram term distributions of every group pair (a < b): the
+    corpus-drift / domain-shift metric (0 = identical language use,
+    ln 2 = disjoint vocabularies).
+
+    Decomposition that avoids a full-outer term join: over the SHARED
+    vocabulary fold ``p·ln(2p/(p+q)) + q·ln(2q/(p+q))``; terms unique
+    to one side contribute exactly ``ln 2`` times their missing mass,
+    recovered as ``1 − Σ_shared p`` (and symmetrically q) — so one
+    inner join plus three ordered folds per pair replaces the sparse
+    full-outer. All folds run in term order on both engines, making
+    the float trajectory replayable.
+
+    Scale shape: distributions are per-group aggregates (map-side
+    combined); the pair join is on the term key (vocabulary-sized, not
+    corpus-sized), and groups are few — the whole comparison is
+    O(pairs · shared vocab)."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokenize(F.col(text_col))).alias("t"),
+    )
+    cnt = toks.groupBy("g", "t").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("g").agg(F.sum("n").alias("tot"))
+    dist = cnt.join(tot, "g").select(
+        "g", "t", (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p")
+    )
+    a = dist.select(
+        F.col("g").alias("grp_a"), "t", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("g").alias("grp_b"), "t", F.col("p").alias("pb")
+    )
+    shared = a.join(b, "t").filter(F.col("grp_a") < F.col("grp_b"))
+    term = (
+        F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    scored = shared.select("grp_a", "grp_b", "t", term.alias("c"), "pa", "pb")
+
+    def _fold(col_name):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col(col_name).alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    agg = scored.groupBy("grp_a", "grp_b").agg(
+        _fold("c").alias("s1"),
+        _fold("pa").alias("spa"),
+        _fold("pb").alias("spb"),
+    )
+    # fully-disjoint pairs share no term, produce no join row, and
+    # would silently vanish — their JS is exactly ln 2. Build the pair
+    # universe from the (tiny) group list and default the folds to 0.
+    groups = dist.select(F.col("g")).distinct()
+    ga = groups.select(F.col("g").alias("grp_a"))
+    gb = groups.select(F.col("g").alias("grp_b"))
+    pairs = ga.crossJoin(gb).filter(F.col("grp_a") < F.col("grp_b"))
+    full = pairs.join(agg, ["grp_a", "grp_b"], "left").select(
+        "grp_a",
+        "grp_b",
+        F.coalesce(F.col("s1"), F.lit(0.0)).alias("s1"),
+        F.coalesce(F.col("spa"), F.lit(0.0)).alias("spa"),
+        F.coalesce(F.col("spb"), F.lit(0.0)).alias("spb"),
+    )
+    import math
+
+    js = F.lit(0.5) * (
+        F.col("s1")
+        + F.lit(math.log(2.0))
+        * ((F.lit(1.0) - F.col("spa")) + (F.lit(1.0) - F.col("spb")))
+    )
+    return full.select("grp_a", "grp_b", js.alias("js"))

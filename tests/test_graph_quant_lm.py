@@ -268,3 +268,25 @@ def test_containment_catches_partial_copy(spark):
     assert r["cont_ab"] == pytest.approx(1.0)  # short fully inside long
     assert r["cont_ba"] < 0.5  # Jaccard would have missed this pair
     assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_js_divergence_bounds(spark):
+    import math
+
+    from mahout_samsara_book_spark.functions.text_analysis import (
+        js_divergence_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc", "same1"),
+            (1, "aa bb cc", "same2"),
+            (2, "xx yy zz", "disjoint"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["grp_a"], r["grp_b"]): r["js"]
+           for r in js_divergence_by_group(docs, "lang").collect()}
+    assert out[("same1", "same2")] == pytest.approx(0.0, abs=1e-12)
+    assert out[("disjoint", "same1")] == pytest.approx(math.log(2), rel=1e-12)
+    assert out[("disjoint", "same2")] == pytest.approx(math.log(2), rel=1e-12)
