@@ -1,0 +1,156 @@
+"""Property-based invariants for the round-3 late-batch operators:
+random small inputs, brute-force reference implementations."""
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mahout_samsara_book_spark.operators.graph import (
+    kcore_peel,
+    triangle_counts,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random simple undirected graphs on ≤ 9 nodes as edge sets
+edge_sets = st.sets(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_node = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                per_node[n] = per_node.get(n, 0) + 1
+    return per_node
+
+
+@given(edges=edge_sets)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_bruteforce(sp, edges):
+    df = sp.createDataFrame(sorted(edges), "a long, b long")
+    got = {r["node"]: r["tri"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def _brute_kcore(edges, k, rounds):
+    es = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+@given(edges=edge_sets, k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_kcore_peel_matches_bruteforce(sp, edges, k):
+    df = sp.createDataFrame(sorted(edges), "a long, b long")
+    got = {r["node"]: r["deg"] for r in kcore_peel(df, k, rounds=3).collect()}
+    assert got == _brute_kcore(edges, k, 3)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_sample_quantiles_whole_group_is_exact(sp, vals):
+    from mahout_samsara_book_spark.operators.sketches import sample_quantiles
+
+    rows = [("g", float(v), i) for i, v in enumerate(vals)]
+    df = sp.createDataFrame(rows, "grp string, value double, key long")
+    out = {
+        r["q"]: r["est"]
+        for r in sample_quantiles(
+            df, "grp", "value", "key", quantiles=(0.0, 0.5, 1.0), k=128
+        ).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    assert out[0.0] == s[0]
+    assert out[1.0] == s[n - 1]
+    assert out[0.5] == s[(n - 1) // 2]
+
+
+def _brute_skyline(rows):
+    # strict-domination frontier with smallest-key canonical dedup of
+    # coincident points (matches q_rel_skyline's tiebreak)
+    out = []
+    for k, p, d in rows:
+        dominated = False
+        for k2, p2, d2 in rows:
+            if (k2, p2, d2) == (k, p, d):
+                continue
+            if p2 <= p and d2 <= d and (p2 < p or d2 < d):
+                dominated = True
+                break
+            if p2 == p and d2 == d and k2 < k:
+                dominated = True
+                break
+        if not dominated:
+            out.append(k)
+    return set(out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_matches_bruteforce(sp, rows):
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import __spark_entry__
+    import entry_rel
+
+    __spark_entry__.queries()  # initialize the sci helpers
+    d = tempfile.mkdtemp()
+    try:
+        data = [
+            (k, float(p), dt.date(2024, 1, 1) + dt.timedelta(days=day))
+            for k, p, day in rows
+        ]
+        sp.createDataFrame(
+            data, "o_orderkey long, o_totalprice double, o_orderdate date"
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = entry_rel.q_rel_skyline(sp, d)
+        got = {r["o_orderkey"] for r in out.collect()}
+        assert got == _brute_skyline(rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
