@@ -1405,3 +1405,49 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_js()
     d["text_js_divergence"] = o_text_js_divergence()
     return d
+
+
+# ------------------------------------------------------------------ #
+# language-ID confusion matrix (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: the (labeled lang × predicted lang) confusion
+    matrix of the stopword-coverage language ID — the quality gate a
+    pipeline runs before trusting langid-based filtering. One join of
+    the prediction relation back to the labels + one count aggregate."""
+    from mahout_samsara_book_spark.functions.text_analysis import (
+        language_id,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    out = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    return out.select(
+        "lang", "lang_pred", F.col("n").cast("long").alias("n")
+    )
+
+
+def o_text_langid_confusion() -> str:
+    return f"""
+WITH pred AS ({o_text_langid('documents')})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["text_langid_confusion"] = q_text_langid_confusion
+_oracles_pre_conf = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_conf()
+    d["text_langid_confusion"] = o_text_langid_confusion()
+    return d
