@@ -1451,3 +1451,65 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_conf()
     d["text_langid_confusion"] = o_text_langid_confusion()
     return d
+
+
+# ------------------------------------------------------------------ #
+# curation funnel report (round-3 late batch)
+# ------------------------------------------------------------------ #
+
+
+def q_docs_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.operators.pipeline import pipeline_funnel
+
+    return pipeline_funnel(
+        _augmented_docs(spark, sf_dir),
+        quality_min=0.65,
+        lang="en",
+        n=3,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+
+
+def o_docs_funnel() -> str:
+    return f"""
+WITH
+{_AUG_DOCS_SQL},
+q AS ({o_text_quality('aug', raw=True)}),
+l AS ({o_text_langid('aug')}),
+keepers AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+clus AS ({o_dedup_clusters()}),
+ql AS (
+  SELECT a.doc_id FROM aug a
+  JOIN q ON a.doc_id = q.doc_id
+  JOIN l ON a.doc_id = l.doc_id
+  WHERE q.quality >= 0.65 AND l.lang_pred = 'en'
+),
+ae AS (
+  SELECT doc_id FROM ql WHERE doc_id IN (SELECT doc_id FROM keepers)
+),
+fin AS (
+  SELECT doc_id FROM ae
+  WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster)
+)
+SELECT CAST(0 AS BIGINT) AS stage_id, 'total' AS stage,
+       CAST((SELECT count(*) FROM aug) AS BIGINT) AS n
+UNION ALL
+SELECT 1, 'quality_lang', CAST((SELECT count(*) FROM ql) AS BIGINT)
+UNION ALL
+SELECT 2, 'exact_keeper', CAST((SELECT count(*) FROM ae) AS BIGINT)
+UNION ALL
+SELECT 3, 'near_dup_final', CAST((SELECT count(*) FROM fin) AS BIGINT)
+"""
+
+
+QUERIES["docs_funnel"] = q_docs_funnel
+_oracles_pre_funnel = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_funnel()
+    d["docs_funnel"] = o_docs_funnel()
+    return d

@@ -135,3 +135,73 @@ def canonical_by_quality(
         .filter(F.col("rn") == 1)
         .select("cluster", "doc_id", "quality")
     )
+
+
+def pipeline_funnel(
+    docs: DataFrame,
+    quality_min: float = 0.65,
+    lang: str = "en",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(stage_id, stage, n)`` — per-stage retention counts of the
+    selection chain: the funnel report every curation run publishes
+    (where did the corpus go?). Stages nest (each count applies all
+    previous filters), so the numbers decrease monotonically and the
+    last row equals ``select_training_docs``'s output size.
+
+    One shared scan: the docs relation is persisted and every stage is
+    a key-only semi/anti-join chain off it — the funnel costs roughly
+    one extra aggregate per stage over the pipeline itself, not a
+    re-run per stage."""
+    docs = docs.persist()
+    toked = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    best = langid_best(F.col("_toks"))
+    q = quality_exprs(F.col(text_col), F.col("_toks"))["quality"]
+    lang_pred = F.when(best["score"] > 0, best["lang"]).otherwise("und")
+    ql_ok = (
+        toked.select(F.col(id_col), q.alias("_q"), lang_pred.alias("_lp"))
+        .filter(
+            (F.col("_q") >= F.lit(quality_min))
+            & (F.col("_lp") == F.lit(lang))
+        )
+        .select(id_col)
+        .persist()
+    )
+    keep_exact = exact_dedup(docs, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    after_exact = ql_ok.join(keep_exact, id_col, "leftsemi").persist()
+    pairs = minhash_lsh_dedup(
+        docs, n=n, k=k, bands=bands, seed=seed, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    losers = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    final = after_exact.join(losers, id_col, "left_anti")
+
+    def _stage(i, name, rel):
+        return rel.agg(F.count("*").alias("n")).select(
+            F.lit(i).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    return (
+        _stage(0, "total", docs.select(id_col))
+        .unionByName(_stage(1, "quality_lang", ql_ok))
+        .unionByName(_stage(2, "exact_keeper", after_exact))
+        .unionByName(_stage(3, "near_dup_final", final))
+    )
