@@ -585,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rel_skyline", "fmt_orc_roundtrip", "text_top_terms",
             "ev_attribution", "rel_yearly_growth", "ev_mad_outliers",
             "rel_table_checksum", "rel_share_of_total", "text_langid_confusion",
-            "docs_funnel",
+            "docs_funnel", "ev_hourly_profile",
             "text_js_divergence",
             "graph_triangles", "graph_degree_hist",
             "emb_quantize_int8", "text_bigram_lm",

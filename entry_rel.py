@@ -1649,3 +1649,42 @@ FROM rev
 
 QUERIES.update({"rel_share_of_total": q_rel_share_of_total})
 _LATE_ORACLES.update({"rel_share_of_total": o_rel_share_of_total})
+
+
+def q_ev_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity seasonality per event type — the
+    diurnal-profile report (capacity planning, anomaly baselines).
+    Hour is integer arithmetic on the µs normalization
+    ((epoch_s div 3600) mod 24), so a foreign session timezone can
+    never shift a bucket; one map-side-combined aggregate."""
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_us", ts_us(ev))
+    out = (
+        ev.withColumn(
+            "hour", F.expr("((_us div 1000000) div 3600) % 24")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    return out.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_hourly_profile() -> str:
+    return f"""
+SELECT event_type,
+       ((epoch_us(ts) // 1000000) // 3600) % 24 AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       {_sci_sql('sum(value)')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"ev_hourly_profile": q_ev_hourly_profile})
+_LATE_ORACLES.update({"ev_hourly_profile": o_ev_hourly_profile})
