@@ -1006,8 +1006,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("df").cast("long").alias("df"),
         F.col("total_tf").cast("long").alias("total_tf"),
-        F.transform(
-            F.col("head_postings"), lambda d: d.cast("long")
+        # Stringify the postings array: the driver's canonicalizer hashes
+        # result cells with pandas and cannot handle list-valued cells
+        # (VERDICT r3 item 1) — comma-joined string on both engines.
+        F.concat_ws(
+            ",", F.transform(F.col("head_postings"), lambda d: d.cast("long"))
         ).alias("head_postings"),
     )
 
@@ -1024,7 +1027,7 @@ agg AS (
 )
 SELECT term, CAST(df AS BIGINT) AS df,
        CAST(total_tf AS BIGINT) AS total_tf,
-       head_postings
+       array_to_string(head_postings, ',') AS head_postings
 FROM agg WHERE df >= {II_MIN_DF}
 """
 
