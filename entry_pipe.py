@@ -688,7 +688,12 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = label_centroids(emb)
     return out.select(
         F.col("label").cast("long").alias("label"),
-        F.transform(F.col("centroid"), lambda m: _sci(m)).alias("centroid"),
+        # Scalarize: the driver's canonicalizer cannot hash list cells
+        # (same hazard text_inverted_index hit in round 4), so join the
+        # per-dim %.7e strings into one comma-separated scalar.
+        F.concat_ws(
+            ",", F.transform(F.col("centroid"), lambda m: _sci(m))
+        ).alias("centroid"),
         "n",
     )
 
@@ -701,7 +706,7 @@ e AS (SELECT label, i, v[i + 1] AS x FROM l, range({EMB_DIM}) t(i)),
 pd AS (SELECT label, i AS dim, avg(x) AS m, count(*) AS cnt
        FROM e GROUP BY 1, 2)
 SELECT CAST(label AS BIGINT) AS label,
-       list({sci_m} ORDER BY dim) AS centroid,
+       array_to_string(list({sci_m} ORDER BY dim), ',') AS centroid,
        CAST(min(cnt) AS BIGINT) AS n
 FROM pd GROUP BY label
 """
