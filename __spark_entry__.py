@@ -336,8 +336,10 @@ def _q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bfgs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 BFGS on the F6 paraboloid fixture (driver-side by design;
-    rows-only — iterative, not SQL-expressible)."""
+    """C6 BFGS on the F6 paraboloid fixture (driver-side by design,
+    function-valued arguments — BFGS.scala:19-67). Oracled since r5:
+    the DuckDB twin replays the full quasi-Newton loop as a recursive
+    CTE (see ``_oracle_bfgs``)."""
     import numpy as np
 
     from mahout_samsara_book_spark.algorithms.bfgs import bfgs
@@ -357,8 +359,10 @@ def _q_bfgs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bahmani(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C8 Bahmani k-means|| sketch over the embeddings table (rows-only —
-    seeded-stochastic iterative algorithm)."""
+    """C8 Bahmani k-means|| sketch over the embeddings table
+    (BahmaniSketch.scala:37-99). Oracled since r5: the sampler draws
+    per-row portable md5 uniforms, so the DuckDB twin replays the whole
+    seeded-stochastic iteration (see ``_oracle_bahmani``)."""
     from mahout_samsara_book_spark.algorithms.bahmani import (
         compute_point_weights,
         d_sample,
@@ -1013,6 +1017,143 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS l FROM embeddings)
 """
 
 
+def _oracle_bfgs() -> str:
+    """Recursive-CTE replay of the BFGS loop (``BFGS.scala:19-67``) on
+    the F6 paraboloid fixture — every float op in the same order as
+    ``algorithms/bfgs.py``: unit line search (s = d), Sherman-Morrison
+    H update ``(I − ρsyᵀ) H (I − ρysᵀ) + ρssᵀ``, stop when ‖g‖ < 1e-7
+    or 40 iterations. Both engines converge to within 2.5e-8 of the
+    analytic optimum (3, 5), so the round-6 outputs agree regardless of
+    last-ulp BLAS/FMA differences in the trajectory."""
+    return """
+WITH RECURSIVE st(it, x0, x1, g0, g1, h00, h01, h10, h11) AS (
+  SELECT 0, 45.0::DOUBLE, -32.0::DOUBLE,
+         2.0::DOUBLE * (2.0::DOUBLE * (45.0::DOUBLE - 3.0::DOUBLE)),
+         2.0::DOUBLE * (0.5::DOUBLE * (-32.0::DOUBLE - 5.0::DOUBLE)),
+         1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 1.0::DOUBLE
+  UNION ALL
+  SELECT it + 1, x0n, x1n, g0n, g1n,
+         CASE WHEN abs(sy) > 1e-300
+              THEN (m00*t00 + m01*t01) + rho*(s0*s0) ELSE h00 END,
+         CASE WHEN abs(sy) > 1e-300
+              THEN (m00*t10 + m01*t11) + rho*(s0*s1) ELSE h01 END,
+         CASE WHEN abs(sy) > 1e-300
+              THEN (m10*t00 + m11*t01) + rho*(s1*s0) ELSE h10 END,
+         CASE WHEN abs(sy) > 1e-300
+              THEN (m10*t10 + m11*t11) + rho*(s1*s1) ELSE h11 END
+  FROM (
+    SELECT *,
+           t00*h00 + t01*h10 AS m00, t00*h01 + t01*h11 AS m01,
+           t10*h00 + t11*h10 AS m10, t10*h01 + t11*h11 AS m11
+    FROM (
+      SELECT *,
+             1.0 - rho*(s0*y0) AS t00, -(rho*(s0*y1)) AS t01,
+             -(rho*(s1*y0)) AS t10, 1.0 - rho*(s1*y1) AS t11
+      FROM (
+        SELECT *,
+               CASE WHEN abs(sy) > 1e-300 THEN 1.0/sy ELSE 0.0 END AS rho
+        FROM (
+          SELECT *, s0*y0 + s1*y1 AS sy
+          FROM (
+            SELECT *, g0n - g0 AS y0, g1n - g1 AS y1
+            FROM (
+              SELECT *, 2.0*(2.0*(x0n-3.0)) AS g0n,
+                     2.0*(0.5*(x1n-5.0)) AS g1n
+              FROM (
+                SELECT *, x0 + s0 AS x0n, x1 + s1 AS x1n
+                FROM (
+                  SELECT *, -(h00*g0 + h01*g1) AS s0,
+                         -(h10*g0 + h11*g1) AS s1
+                  FROM st
+                  WHERE it < 40 AND sqrt(g0*g0 + g1*g1) >= 1e-7
+                ) a
+              ) b
+            ) c
+          ) d
+        ) e2
+      ) f2
+    ) g2
+  ) h2
+),
+final AS (SELECT * FROM st ORDER BY it DESC LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS pos, round(x0, 6) AS x FROM final
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS pos, round(x1, 6) AS x FROM final
+"""
+
+
+def _oracle_bahmani(seed: int = 42, iterations: int = 3) -> str:
+    """DuckDB replay of the Bahmani k-means|| sketch
+    (``BahmaniSketch.scala:37-99``) with sketch_size=20, iterations=3,
+    seed=42 over the embeddings table. Replayable because the engine's
+    sampler draws a PER-ROW portable uniform (md5(seed:it:key) first 60
+    bits / 2^60) and orders candidates globally by row key — both
+    partitioning-invariant. Distances use the same expanded form
+    max(0, |a|² + |b|² − 2a·b); decisions (sample threshold, argmin
+    label) are threshold comparisons, robust to last-ulp BLAS/SQL
+    summation differences on continuous data."""
+    ell = repr(max(1.0, 20 / 3.0))
+
+    def u(it: int) -> str:
+        return (
+            f"('0x' || substring(md5('{seed}:{it}:' || CAST(id AS VARCHAR)), 1, 15))"
+            "::BIGINT / 1152921504606846976.0"
+        )
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"greatest(0.0, list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2.0 * list_dot_product({a}, {b}))"
+        )
+
+    ctes = [
+        "e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT v FROM e ORDER BY ('0x' || substring(md5(CAST(id AS"
+        f" VARCHAR) || ':{seed}'), 1, 15))::BIGINT, id LIMIT 1)",
+        f"y0 AS (SELECT e.id, e.v, CAST(0 AS BIGINT) AS label,"
+        f" {d2('e.v', 'c0.v')} AS d2 FROM e, c0)",
+    ]
+    offset_terms = ["1"]
+    prev = "y0"
+    for it in range(1, iterations + 1):
+        off = " + ".join(offset_terms)
+        ctes += [
+            f"s{it} AS (SELECT id, v FROM {prev} WHERE {u(it)} <"
+            f" least(1.0, {ell} * d2 / (SELECT sum(d2) FROM {prev})))",
+            f"cand{it} AS (SELECT ({off}) + row_number() OVER (ORDER BY id)"
+            f" - 1 AS cid, v FROM s{it})",
+            f"p{it} AS (SELECT {prev}.id, c.cid, {d2(prev + '.v', 'c.v')} AS d"
+            f" FROM {prev}, cand{it} c)",
+            f"m{it} AS (SELECT id, cid, d FROM (SELECT id, cid, d,"
+            f" row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn"
+            f" FROM p{it}) WHERE rn = 1)",
+            f"y{it} AS (SELECT {prev}.id, {prev}.v,"
+            f" CASE WHEN m{it}.d < {prev}.d2 THEN m{it}.cid"
+            f" ELSE {prev}.label END AS label,"
+            f" CASE WHEN m{it}.d < {prev}.d2 THEN m{it}.d"
+            f" ELSE {prev}.d2 END AS d2"
+            f" FROM {prev} LEFT JOIN m{it} USING (id))",
+        ]
+        offset_terms.append(f"(SELECT count(*) FROM cand{it})")
+        prev = f"y{it}"
+    univ = " UNION ALL ".join(
+        ["SELECT CAST(0 AS BIGINT) AS center"]
+        + [f"SELECT cid FROM cand{i}" for i in range(1, iterations + 1)]
+    )
+    ctes += [
+        f"univ AS ({univ})",
+        f"cnt AS (SELECT label AS center, count(*)::DOUBLE AS c FROM {prev}"
+        " GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT univ.center, round(coalesce(cnt.c, 0.0) /"
+        " (SELECT count(*) FROM e), 9) AS weight\n"
+        "FROM univ LEFT JOIN cnt USING (center)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     import entry_llm
     import entry_m5
@@ -1037,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "text_argmax": _oracle_text_argmax(),
         "twcnb_train": _oracle_twcnb(),
         "point_weights": _oracle_point_weights(),
+        "bfgs_argmin": _oracle_bfgs(),
+        "bahmani_weights": _oracle_bahmani(),
         "drm_sample_k": f"""
 WITH keyed AS (
   SELECT {_LI_KEY_SQL} AS k,

@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from mahout_samsara_book_spark.cache import release_tracked
 from mahout_samsara_book_spark.session import get_spark
 
 
@@ -74,6 +75,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — any query failure is recorded
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            # drop operator-persisted intermediates so a 160+-query run
+            # doesn't accumulate cache blocks across queries
+            release_tracked()
     total = round(sum(times.values()), 3)
     out = {
         "metric": "total_query_wall_sec",

@@ -522,9 +522,48 @@ FROM f GROUP BY doc_id, pos // 2
 """
 
 
+WAV_SAMPLES = 256
+WAV_RATE = 8000
+WAV_SEGMENTS = 8
+
+
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio codec round trip: stdlib ``wave`` writes genuine
+    RIFF/PCM payloads per doc (samples = a pure integer function of
+    (doc_id, t)), then ``decode_wav_features`` parses the bytes back
+    and emits integer-exact per-segment sample sums. The oracle never
+    sees the bytes — it recomputes the segment sums analytically, so a
+    hash match proves the encode→decode byte path is lossless."""
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_wav(docs, n_samples=WAV_SAMPLES, rate=WAV_RATE)
+    out = decode_wav_features(media, segments=WAV_SEGMENTS)
+    return out.select("doc_id", "rate", "n_samples", "seg", "seg_sum")
+
+
+def o_multimodal_wav() -> str:
+    width = WAV_SAMPLES // WAV_SEGMENTS
+    return f"""
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS rate,
+       CAST({WAV_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(t.t // {width} AS BIGINT) AS seg,
+       CAST(sum((doc_id * 7919 + t.t * 104729) % 65536 - 32768) AS BIGINT)
+         AS seg_sum
+FROM documents,
+     LATERAL unnest(generate_series(0, {WAV_SAMPLES - 1})) AS t(t)
+GROUP BY doc_id, t.t // {width}
+"""
+
+
 QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_wav": q_multimodal_wav,
     "rel_window_range": q_window_range,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
@@ -542,6 +581,7 @@ def oracles() -> dict[str, str]:
     return {
         "multimodal_frames": o_multimodal_frames(),
         "multimodal_resize": o_multimodal_resize(),
+        "multimodal_wav": o_multimodal_wav(),
         "rel_window_range": o_window_range(),
         "ev_funnel": o_ev_funnel(),
         "ev_retention": o_ev_retention(),

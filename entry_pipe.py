@@ -1286,7 +1286,7 @@ WITH hashed AS (
 ),
 rnk AS (
   SELECT grp, v, key,
-         row_number() OVER (PARTITION BY grp ORDER BY h, key) AS r
+         row_number() OVER (PARTITION BY grp ORDER BY h, key, v) AS r
   FROM hashed
 ),
 s AS (

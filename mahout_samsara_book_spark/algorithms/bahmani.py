@@ -7,10 +7,17 @@ State layout mirrors the reference: a DRM ``Y = [label, d², features]``
 (width ncol+2, ``BahmaniSketch.scala:23-26``). Per iteration:
 
 - φ = Σ d²  — one column-sum over the d² slice (``:59``)
-- each point is sampled w.p. ℓ·d²/φ with a per-partition deterministic
-  RNG seeded by (seed, iteration, first key in partition) — the
-  reference's ``new Random(subseed * keys(0).hashCode)`` pattern (``:71``)
-- sampled rows become new candidate centers (allreduce rbind, ``:63-92``)
+- each point is sampled w.p. ℓ·d²/φ with a PER-ROW portable uniform
+  derived from ``md5(seed:iteration:rowkey)`` — deliberately stronger
+  than the reference's per-partition ``new Random(subseed *
+  keys(0).hashCode)`` (``:71``): the reference's draw sequence changes
+  whenever partition boundaries move (a real hazard on a 1000-executor
+  cluster where split planning shifts with file layout), whereas the
+  per-row hash makes the sketch bit-reproducible under ANY
+  partitioning and lets the DuckDB oracle replay it exactly
+- sampled rows become new candidate centers (allreduce rbind,
+  ``:63-92``), globally ordered by row key — again
+  partitioning-invariant, unlike raw partition-concatenation order
 - distances/labels update against the NEW centers only, keeping the
   running min — broadcast centers + vectorized numpy block kernel
   (the reference's Elkan triangle pruning, ``:128-142``, is an in-core
@@ -28,8 +35,19 @@ from mahout_samsara_book_spark.drm.drm import Drm
 from mahout_samsara_book_spark.kernels.incore import dist
 
 
-def _iter_seed(seed: int, iteration: int, first_key: int) -> int:
-    return (seed * 1_000_003 + iteration * 10_007 + int(first_key) * 31) % (2**63)
+def _portable_uniform(seed: int, iteration: int, keys: np.ndarray) -> np.ndarray:
+    """Per-row uniform in [0, 1): first 60 bits of
+    ``md5("{seed}:{iteration}:{key}")`` / 2^60 — the same construction
+    (and therefore bit-identical doubles) as the SQL
+    ``('0x' || substring(md5(...), 1, 15))::BIGINT / 2^60``."""
+    import hashlib
+
+    out = np.empty(len(keys), dtype=np.float64)
+    prefix = f"{seed}:{iteration}:"
+    for i, k in enumerate(keys):
+        h = hashlib.md5(f"{prefix}{int(k)}".encode()).hexdigest()
+        out[i] = int(h[:15], 16) / 1152921504606846976.0
+    return out
 
 
 def d_sample(
@@ -72,18 +90,21 @@ def d_sample(
             break
 
         def sample_fn(keys, block, _it=it, _phi=phi):
-            rng = np.random.Generator(
-                np.random.PCG64(_iter_seed(seed, _it, keys[0]))
-            )
+            u = _portable_uniform(seed, _it, keys)
             p = np.minimum(1.0, ell * block[:, 1] / _phi)
-            mask = rng.random(block.shape[0]) < p
-            return block[mask, 2:]
+            mask = u < p
+            # carry the row key in col 0 so the driver can impose a
+            # global, partitioning-invariant candidate order
+            return np.hstack(
+                [keys[mask].astype(np.float64)[:, None], block[mask, 2:]]
+            )
 
         sampled = y.allreduce_block(
             sample_fn, lambda a, b: np.vstack([a, b])
         )
         if sampled.shape[0] == 0:
             continue
+        sampled = sampled[np.argsort(sampled[:, 0], kind="stable"), 1:]
         offset = centers.shape[0]
         centers = np.vstack([centers, sampled])
         bc_new = spark.sparkContext.broadcast(sampled)

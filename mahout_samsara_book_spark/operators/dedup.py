@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.cache import track
+
 from mahout_samsara_book_spark.functions.text import tokenize
 from mahout_samsara_book_spark.operators.similarity import ensure_min_partitions
 from mahout_samsara_book_spark.operators.hashing import (
@@ -246,11 +248,11 @@ def minhash_lsh_dedup(
     # the hashed shingle set feeds BOTH the signature build and the
     # exact-Jaccard verify — persist it once (longs, not gram strings)
     # instead of re-tokenizing the corpus
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sh = track(shingle_hashes(docs, n, id_col, text_col))
     sig = minhash_signatures(sh, k, seed, id_col)
     # the verify stage reads the candidate set three times (both doc-side
     # semi filters + the intersect join) — cache the banding join's output
-    cand = lsh_candidate_pairs(sig, bands, rows, id_col).persist()
+    cand = track(lsh_candidate_pairs(sig, bands, rows, id_col))
     return ngram_jaccard(sh, cand, id_col).filter(
         F.col("jaccard") >= F.lit(threshold)
     )
@@ -296,7 +298,7 @@ def ngram_jaccard_dedup(
     overlap is stop-grams; scores always come from the FULL shingle
     sets, so with max_df=None the result is the exact all-pairs ground
     truth that the LSH pipeline approximates."""
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sh = track(shingle_hashes(docs, n, id_col, text_col))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     len_ok = F.least("sz_a", "sz_b") >= F.ceil(
         F.lit(threshold) * F.greatest("sz_a", "sz_b")
@@ -735,11 +737,10 @@ def incremental_dedup(
         bkt_b.select(F.col(id_col).alias("doc_a"), "band", "sig"),
         ["band", "sig"],
     ).filter(F.col("doc_a") < F.col("doc_b"))
-    cand = (
+    cand = track(
         cross.unionByName(within)
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
     )
     sh_all = sh_c.unionByName(sh_b)
     verified = ngram_jaccard(sh_all, cand, id_col).filter(
@@ -770,6 +771,7 @@ def connected_components_lsls(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 30,
+    on_exhaustion: str = "warn",
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (the
     Kiveris et al. MapReduce algorithm) — the DEEP-graph alternative to
@@ -792,7 +794,16 @@ def connected_components_lsls(
     points directly at its component minimum, a star). Output matches
     dup_clusters exactly: ``(doc_id, cluster)`` with cluster = the
     component's smallest id, one row per node seen in any pair.
-    ``localCheckpoint`` per round keeps plan depth O(1)."""
+    ``localCheckpoint`` per round keeps plan depth O(1).
+
+    If ``max_iter`` rounds pass without reaching the fixed point the
+    labels may still be interior-node ids rather than component
+    minima; ``on_exhaustion`` controls whether that surfaces as a
+    ``RuntimeError`` (``"raise"``) or a ``RuntimeWarning`` (``"warn"``,
+    default — O(log diameter) convergence makes exhaustion at 30
+    rounds pathological, ~2^30-diameter chains)."""
+    if on_exhaustion not in ("warn", "raise"):
+        raise ValueError(f"on_exhaustion must be warn|raise, got {on_exhaustion!r}")
     spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -857,6 +868,17 @@ def connected_components_lsls(
         edges = ss
         if delta == 0:
             break
+    else:
+        msg = (
+            f"connected_components_lsls did not reach a fixed point in "
+            f"{max_iter} rounds — emitted labels may not be component "
+            "minima; raise max_iter (rounds needed ~ log2(diameter))"
+        )
+        if on_exhaustion == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # star edges are (min, member); nodes may appear only as a min
     members = edges.select(
         F.col("v").alias("doc_id"), F.col("u").alias("cluster")
@@ -900,7 +922,7 @@ def containment_dedup(
     pair's intersection as its join row count (Σ df(h)² cost — cap hot
     shingles upstream for zipfian corpora), then two exact-integer
     divisions against the per-doc set sizes."""
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sh = track(shingle_hashes(docs, n, id_col, text_col))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "h").alias("ca")
     b = sh.select(F.col(id_col).alias("doc_b"), "h").alias("cb")

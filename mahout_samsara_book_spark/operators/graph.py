@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.cache import track
+
 
 def transition_edges(
     events: DataFrame,
@@ -76,13 +78,13 @@ def pagerank(
     is pinned — incoming folds by src, dangling folds by node, and the
     recombination applies ops in one fixed order — so DuckDB replays
     the trajectory exactly, not just approximately."""
-    edges = edges.persist()
+    edges = track(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    nodes = track(nodes)
     n_nodes = nodes.count()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # p(u,v) = w/out_w(u): one IEEE division of exact integers
@@ -93,13 +95,14 @@ def pagerank(
             "dst",
             (F.col("w").cast("double") / F.col("ow").cast("double")).alias("p"),
         )
-        .persist()
     )
+    probs = track(probs)
     dangling = nodes.join(
         edges.select("src").distinct(),
         nodes.node == F.col("src"),
         "left_anti",
-    ).persist()
+    )
+    dangling = track(dangling)
 
     n_d = F.lit(float(n_nodes))
     base = F.lit(1.0 - damping) / n_d
@@ -222,7 +225,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     keys; nothing is collected, nothing is broadcast except optionally
     the degree relation (one row per node). Pure integer relational
     algebra — the DuckDB oracle replays it verbatim."""
-    edges = edges.persist()
+    edges = track(edges)
     deg = degrees(edges)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -236,7 +239,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # three self-references below: persist the (small) oriented edge
     # relation so the contraction pipeline runs once, not per alias
-    oriented = oriented.persist()
+    oriented = track(oriented)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

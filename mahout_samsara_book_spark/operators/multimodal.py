@@ -1,16 +1,25 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata (north star, BASELINE.json).
 
-The container has no image/audio codecs, so the DECODE step is stubbed —
-``decode_features`` computes a deterministic fake feature vector from raw
-bytes for ``application/octet-stream``-ish payloads and raises
-``NotImplementedError`` for real media types — but the Spark-side
+The container has no image/video codec libraries, so those DECODE paths
+are stubbed — ``decode_features`` computes a deterministic fake feature
+vector from raw bytes for ``application/octet-stream``-ish payloads and
+raises ``NotImplementedError`` for image/video — but the Spark-side
 plumbing is real and tested: binary schema, Arrow batching through
 ``mapInPandas``, fixed-shape feature output, partition-preserving
 narrow execution.
+
+AUDIO is real (round-5): ``attach_wav`` writes genuine RIFF/PCM WAV
+payloads with the stdlib ``wave`` module and ``decode_wav_features``
+parses them back (header + frame extraction + int16 PCM decode) into
+per-segment sample sums — an actual byte-level codec round trip, not a
+fold of raw bytes.
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -43,6 +52,106 @@ def attach_media(
     )
 
 
+def attach_wav(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 256,
+    rate: int = 8000,
+) -> DataFrame:
+    """Synthesize a REAL mono 16-bit PCM WAV payload per doc with the
+    stdlib ``wave`` writer. Sample t of doc d is the deterministic
+    ``((d*7919 + t*104729) mod 65536) - 32768`` — a pure integer
+    function, so an analytic oracle can verify the decoded output
+    without itself parsing RIFF. Arrow-batched, narrow (no shuffle):
+    the per-doc payload synthesis is exactly where a production table's
+    binary column would arrive from storage."""
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            t = np.arange(n_samples, dtype=np.int64)
+            for did in pdf["doc_id"]:
+                pcm = ((int(did) * 7919 + t * 104729) % 65536) - 32768
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.astype("<i2").tobytes())
+                blobs.append(bio.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        op, schema="doc_id long, media binary"
+    )
+    return media.select(
+        "doc_id",
+        "media",
+        F.lit("audio/wav").alias("media_type"),
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("checksum"),
+    )
+
+
+def _wav_segment_sums(buf: bytes, segments: int) -> tuple[int, int, np.ndarray]:
+    """Parse one WAV payload: returns (framerate, n_samples, per-segment
+    int64 sample sums). Mono 16-bit PCM only — the type ``attach_wav``
+    writes and the only uncompressed WAV flavor worth a fast path."""
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise NotImplementedError(
+                "decode_wav_features handles mono 16-bit PCM; got "
+                f"{w.getnchannels()}ch/{w.getsampwidth() * 8}-bit"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+    edges = np.linspace(0, pcm.size, segments + 1).astype(int)
+    sums = np.array(
+        [pcm[a:b].sum() for a, b in zip(edges[:-1], edges[1:])], dtype=np.int64
+    )
+    return rate, pcm.size, sums
+
+
+def decode_wav_features(
+    media_df: DataFrame, segments: int = 8
+) -> DataFrame:
+    """Real audio decode: RIFF parse → int16 PCM → per-segment sample
+    sums, exploded to ``(doc_id, rate, n_samples, seg, seg_sum)``.
+    Integer-exact (int64 sums of int16 samples never lose precision),
+    Arrow-batched, narrow — one output row per (doc, segment)."""
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc, rates, ns, seg, ssum = [], [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["media"]):
+                rate, n, sums = _wav_segment_sums(bytes(buf), segments)
+                for i, s in enumerate(sums):
+                    doc.append(did)
+                    rates.append(rate)
+                    ns.append(n)
+                    seg.append(i)
+                    ssum.append(int(s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc,
+                    "rate": rates,
+                    "n_samples": ns,
+                    "seg": seg,
+                    "seg_sum": ssum,
+                }
+            )
+
+    return media_df.mapInPandas(
+        op,
+        schema="doc_id long, rate long, n_samples long, seg long, seg_sum long",
+    )
+
+
 def _fake_decode(buf: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: fold the byte stream into
     out_dim accumulators (sum of bytes at stride positions, normalized).
@@ -69,9 +178,16 @@ def decode_features(
                 continue
             feats = []
             for mt, buf in zip(pdf["media_type"], pdf["media"]):
-                if mt.startswith(("image/", "audio/", "video/")):
+                if mt == "audio/wav":
+                    # real codec path: RIFF parse → PCM segment means
+                    _, n, sums = _wav_segment_sums(bytes(buf), out_dim)
+                    edges = np.linspace(0, n, out_dim + 1).astype(int)
+                    widths = np.maximum(np.diff(edges), 1)
+                    feats.append((sums / widths).tolist())
+                elif mt.startswith(("image/", "audio/", "video/")):
                     raise NotImplementedError(_REAL_CODECS_MSG.format(mt=mt))
-                feats.append(_fake_decode(bytes(buf), out_dim).tolist())
+                else:
+                    feats.append(_fake_decode(bytes(buf), out_dim).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.cache import track
+
 from mahout_samsara_book_spark.functions.text import tokenize
 from mahout_samsara_book_spark.functions.text_analysis import (
     langid_best,
@@ -159,7 +161,7 @@ def pipeline_funnel(
     a key-only semi/anti-join chain off it — the funnel costs roughly
     one extra aggregate per stage over the pipeline itself, not a
     re-run per stage."""
-    docs = docs.persist()
+    docs = track(docs)
     toked = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -175,12 +177,12 @@ def pipeline_funnel(
             & (F.col("_lp") == F.lit(lang))
         )
         .select(id_col)
-        .persist()
     )
+    ql_ok = track(ql_ok)
     keep_exact = exact_dedup(docs, id_col, text_col).select(
         F.col("keeper").alias(id_col)
     )
-    after_exact = ql_ok.join(keep_exact, id_col, "leftsemi").persist()
+    after_exact = track(ql_ok.join(keep_exact, id_col, "leftsemi"))
     pairs = minhash_lsh_dedup(
         docs, n=n, k=k, bands=bands, seed=seed, threshold=threshold,
         id_col=id_col, text_col=text_col,

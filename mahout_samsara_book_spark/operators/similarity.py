@@ -904,6 +904,11 @@ def kmeans_lloyd(
     does not replay iterations 1..t-1. A cluster that loses all
     members simply drops out of the centers relation, identically on
     both engines."""
+    if iters < 1:
+        raise ValueError(
+            f"kmeans_lloyd needs iters >= 1 (got {iters}): the final "
+            "assignment/sizes come from the last iteration's scan"
+        )
     if n_centers == "auto":
         n_centers = auto_n_centers(emb)
     centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)

@@ -305,6 +305,12 @@ def sample_quantiles(
     quantile sketch a 100 TB pipeline uses when exact per-group sorts
     are off the table).
 
+    Determinism contract: ``key_col`` SHOULD uniquely identify rows
+    within a group — the hash is drawn from the key, so duplicate keys
+    are correlated (sampled together), skewing the draw toward
+    repeated keys. The selection itself stays deterministic either way
+    (ties fall through to the value ordering below).
+
     The sample is the k rows whose portable hash ``h60(seed:key)`` is
     smallest — a uniform without-replacement sample that is MERGEABLE
     by construction (bottom-k of a union = bottom-k of the per-shard
@@ -329,7 +335,13 @@ def sample_quantiles(
             )
         ).alias("h"),
     )
-    w = Window.partitionBy("grp").orderBy("h", "key")
+    # ("h", "key", "v"): the hash ranks the sample; "key" breaks hash
+    # collisions; the final "v" makes selection deterministic even when
+    # key_col is NOT unique (duplicate keys share h, so without it
+    # row_number would pick an arbitrary duplicate's value). With a
+    # unique key (recommended — the sample is then a true uniform
+    # without-replacement draw) the "v" term never fires.
+    w = Window.partitionBy("grp").orderBy("h", "key", "v")
     sample = hashed.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= k
     )

@@ -1,0 +1,167 @@
+"""Robustness contracts from the round-4 review (VERDICT r4 item 5):
+argument validation, convergence surfacing, and cache hygiene across a
+long-lived multi-query session."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.cache import release_tracked
+
+
+def test_kmeans_iters_zero_raises(spark):
+    from mahout_samsara_book_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iters >= 1"):
+        kmeans_lloyd(emb, iters=0, n_centers=1)
+
+
+def test_lsls_exhaustion_warns_and_raises(spark):
+    from mahout_samsara_book_spark.operators.dedup import (
+        connected_components_lsls,
+    )
+
+    # a 64-node chain: diameter 63, so ONE round cannot reach the fixed
+    # point — exhaustion must surface, not silently mislabel
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="fixed point"):
+        connected_components_lsls(chain, max_iter=1).count()
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components_lsls(chain, max_iter=1, on_exhaustion="raise")
+    with pytest.raises(ValueError, match="warn|raise"):
+        connected_components_lsls(chain, on_exhaustion="bogus")
+    # and with enough rounds the same chain converges silently to one
+    # component rooted at 0
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = connected_components_lsls(chain, max_iter=10).toPandas()
+    assert set(out["cluster"]) == {0}
+    assert len(out) == 64
+
+
+def test_sample_quantiles_duplicate_keys_deterministic(spark):
+    from mahout_samsara_book_spark.operators.sketches import sample_quantiles
+
+    # duplicate keys with different values: selection must not depend on
+    # partition-arrival order
+    rows = [("g", float(v), "dup") for v in range(40)] + [
+        ("g", float(v), f"k{v}") for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double, key string")
+    outs = [
+        sample_quantiles(
+            df.repartition(p), "grp", "value", "key", k=16
+        )
+        .orderBy("q")
+        .toPandas()
+        for p in (1, 7)
+    ]
+    assert outs[0].equals(outs[1])
+
+
+def test_tracked_caches_released_across_queries(spark, docs_fixture):
+    """containment_dedup / pipeline_funnel / triangle_counts persist
+    intermediates they cannot unpersist themselves; after consumption +
+    release_tracked() the session must hold no more cached RDDs than it
+    started with (VERDICT r4 'no persisted-RDD growth' criterion)."""
+    from mahout_samsara_book_spark.operators.dedup import containment_dedup
+    from mahout_samsara_book_spark.operators.graph import triangle_counts
+    from mahout_samsara_book_spark.operators.pipeline import pipeline_funnel
+
+    import gc
+    import time
+
+    def cached_count():
+        # localCheckpoint blocks from UNRELATED earlier tests are freed
+        # asynchronously by the ContextCleaner once Python drops the
+        # plan — force gc and let it drain so the count reflects only
+        # live caches
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def settle(limit, deadline_s=30.0):
+        t0 = time.monotonic()
+        n = cached_count()
+        while n > limit and time.monotonic() - t0 < deadline_s:
+            time.sleep(1.0)
+            n = cached_count()
+        return n
+
+    release_tracked()
+    baseline = settle(0)
+
+    containment_dedup(docs_fixture).count()
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "a long, b long"
+    )
+    triangle_counts(edges).count()
+    out = pipeline_funnel(docs_fixture)
+    out.count()
+    assert cached_count() > baseline
+
+    released = release_tracked()
+    assert released > 0
+    del out  # drop the last plan so its localCheckpoint blocks free too
+    assert settle(baseline) <= baseline
+
+
+@pytest.fixture
+def docs_fixture(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return df.select("doc_id", "text", *[
+        c for c in df.columns if c not in ("doc_id", "text")
+    ])
+
+
+def test_wav_codec_roundtrip(spark):
+    """attach_wav writes genuine RIFF bytes; decode_wav_features parses
+    them back to the exact analytic sample sums."""
+    import io
+    import wave as wavmod
+
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav_features,
+    )
+
+    docs = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    media = attach_wav(docs, n_samples=64, rate=16000).toPandas()
+    # the payload is a real parseable WAV with the declared format
+    with wavmod.open(io.BytesIO(bytes(media["media"][0])), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, 16000,
+        )
+        assert w.getnframes() == 64
+    out = (
+        decode_wav_features(
+            attach_wav(docs, n_samples=64, rate=16000), segments=4
+        )
+        .orderBy("doc_id", "seg")
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        t0, t1 = int(r.seg) * 16, (int(r.seg) + 1) * 16
+        expect = sum(
+            ((int(r.doc_id) * 7919 + t * 104729) % 65536) - 32768
+            for t in range(t0, t1)
+        )
+        assert int(r.seg_sum) == expect
+        assert (int(r.rate), int(r.n_samples)) == (16000, 64)
+
+
+def test_decode_features_wav_no_longer_raises(spark):
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_wav,
+        decode_features,
+    )
+
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    out = decode_features(attach_wav(docs), out_dim=8).toPandas()
+    assert len(out) == 1 and len(out["features"][0]) == 8

@@ -15,6 +15,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry  # noqa: E402
+from mahout_samsara_book_spark.cache import release_tracked  # noqa: E402
 from mahout_samsara_book_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -48,6 +49,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark query raised: {exc}")
             failures += 1
+            release_tracked()
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
@@ -73,6 +75,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK   {name}: rows={len(g)} hash-match ({dt:.1f}s)")
+        release_tracked()
     spark.stop()
     return 1 if failures else 0
 
