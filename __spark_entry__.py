@@ -618,7 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window cuts at exactly 50.
     rotation_r5 = [
         "emb_centroids", "emb_outliers", "multimodal_frames",
-        "multimodal_resize", "multimodal_wav", "kmeans_lloyd",
+        "multimodal_resize", "multimodal_wav", "multimodal_ppm",
+        "kmeans_lloyd",
         "dedup_containment", "dedup_incremental", "dedup_ngram_jaccard",
         "dedup_clusters", "graph_components_lsls", "ivf_refine",
         "pq_encode", "pq_mse", "ann_ivfpq_topk",

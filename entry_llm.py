@@ -560,10 +560,47 @@ GROUP BY doc_id, t.t // {width}
 """
 
 
+PPM_W = 16
+PPM_H = 12
+
+
+def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image codec round trip (same design as multimodal_wav):
+    synthesize genuine Netpbm P6 payloads, parse the bytes back, emit
+    integer-exact per-channel pixel sums; the oracle recomputes them
+    analytically from the pixel formula without seeing the bytes."""
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_ppm,
+        decode_ppm_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_ppm(docs, width=PPM_W, height=PPM_H)
+    out = decode_ppm_features(media)
+    return out.select("doc_id", "width", "height", "channel", "ch_sum")
+
+
+def o_multimodal_ppm() -> str:
+    npix = PPM_W * PPM_H
+    return f"""
+SELECT doc_id,
+       CAST({PPM_W} AS BIGINT) AS width,
+       CAST({PPM_H} AS BIGINT) AS height,
+       CAST(c.c AS BIGINT) AS channel,
+       CAST(sum((doc_id * 31 + t.i * 7 + c.c * 13) % 256) AS BIGINT)
+         AS ch_sum
+FROM documents,
+     LATERAL unnest(generate_series(0, {npix - 1})) AS t(i),
+     (VALUES (0), (1), (2)) AS c(c)
+GROUP BY doc_id, c.c
+"""
+
+
 QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_wav": q_multimodal_wav,
+    "multimodal_ppm": q_multimodal_ppm,
     "rel_window_range": q_window_range,
     "ev_funnel": q_ev_funnel,
     "ev_retention": q_ev_retention,
@@ -582,6 +619,7 @@ def oracles() -> dict[str, str]:
         "multimodal_frames": o_multimodal_frames(),
         "multimodal_resize": o_multimodal_resize(),
         "multimodal_wav": o_multimodal_wav(),
+        "multimodal_ppm": o_multimodal_ppm(),
         "rel_window_range": o_window_range(),
         "ev_funnel": o_ev_funnel(),
         "ev_retention": o_ev_retention(),

@@ -28,7 +28,14 @@ def tokenize(text: Column) -> Column:
 
 
 def term_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Unigram counts per document: ``(doc_id, term, tf)``."""
+    """Unigram counts per document: ``(doc_id, term, tf)``.
+
+    The tokenize+explode is the corpus's hottest narrow stage, so the
+    scan-parallelism guard widens small-file inputs before it (no-op on
+    any real-scale table — see ``partitioning.py``)."""
+    from mahout_samsara_book_spark.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(docs.select(id_col, text_col))
     return (
         docs.select(id_col, F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")

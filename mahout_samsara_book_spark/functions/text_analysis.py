@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.functions.text import tokenize
+from mahout_samsara_book_spark.partitioning import ensure_min_partitions
 from mahout_samsara_book_spark.operators.hashing import P31, h31
 
 # Tiny deterministic stopword profiles (top function words). The langid
@@ -74,7 +75,7 @@ def language_id(
     language's filter would re-run the regex split once per language per
     row. CollapseProject keeps a multiply-referenced non-cheap alias in
     its own stage — measured ~2.7× on the langid query."""
-    base = docs.select(
+    base = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     )
     best = langid_best(F.col("_toks"))
@@ -97,6 +98,7 @@ def token_stats(
     bpe = F.size(
         F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
     )
+    docs = ensure_min_partitions(docs.select(id_col, text_col))
     return docs.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
@@ -115,7 +117,7 @@ def quality_score(
     quality)``."""
     # tokens materialized in their own projection — see language_id's
     # docstring (HOFs evaluate interpreted; avoid per-use re-tokenize)
-    base = docs.select(
+    base = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.col(text_col),
         tokenize(F.col(text_col)).alias("_toks"),
@@ -190,7 +192,7 @@ def repetition_stats(
             lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
+    base = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).select(
         F.col(id_col),
@@ -237,6 +239,7 @@ def fingerprint(
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % F.lit(P31),
     )
+    docs = ensure_min_partitions(docs.select(id_col, text_col))
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
 
 

@@ -42,7 +42,9 @@ def exact_dedup(
 ) -> DataFrame:
     """Hash-groupBy exact dedup: ``(content_hash, n_copies, keeper)`` —
     keeper is the smallest id in the group. One shuffle on the content
-    hash; at scale the md5 prunes the group width to O(1)."""
+    hash; at scale the md5 prunes the group width to O(1). The md5 over
+    full text is the hot narrow stage — scan-parallelism guard first."""
+    docs = ensure_min_partitions(docs.select(F.col(id_col), F.col(text_col)))
     return (
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")

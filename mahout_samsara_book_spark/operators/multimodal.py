@@ -1,19 +1,20 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata (north star, BASELINE.json).
 
-The container has no image/video codec libraries, so those DECODE paths
-are stubbed — ``decode_features`` computes a deterministic fake feature
-vector from raw bytes for ``application/octet-stream``-ish payloads and
-raises ``NotImplementedError`` for image/video — but the Spark-side
-plumbing is real and tested: binary schema, Arrow batching through
-``mapInPandas``, fixed-shape feature output, partition-preserving
-narrow execution.
+The container has no codec LIBRARIES (PIL/ffmpeg), so compressed media
+decode stays stubbed — ``decode_features`` computes a deterministic
+fake feature vector from raw bytes for ``application/octet-stream``-ish
+payloads and raises ``NotImplementedError`` for media types without a
+stdlib decoder — but the Spark-side plumbing is real and tested: binary
+schema, Arrow batching through ``mapInPandas``, fixed-shape feature
+output, partition-preserving narrow execution.
 
-AUDIO is real (round-5): ``attach_wav`` writes genuine RIFF/PCM WAV
-payloads with the stdlib ``wave`` module and ``decode_wav_features``
-parses them back (header + frame extraction + int16 PCM decode) into
-per-segment sample sums — an actual byte-level codec round trip, not a
-fold of raw bytes.
+AUDIO and PPM IMAGES are real (round-5): ``attach_wav`` writes genuine
+RIFF/PCM WAV payloads with the stdlib ``wave`` module and
+``decode_wav_features`` parses them back (header + frame extraction +
+int16 PCM decode); ``attach_ppm``/``decode_ppm_features`` do the same
+for binary Netpbm P6 images (comment-tolerant header parse + RGB plane
+decode). Actual byte-level codec round trips, not folds of raw bytes.
 """
 
 from __future__ import annotations
@@ -152,6 +153,103 @@ def decode_wav_features(
     )
 
 
+def attach_ppm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 12,
+) -> DataFrame:
+    """Synthesize a REAL binary PPM (P6) image payload per doc: the
+    standard Netpbm header (``P6\\n{w} {h}\\n255\\n``) followed by
+    row-major RGB bytes. Pixel (x, y) channel c of doc d is the
+    deterministic ``(d*31 + (y*w + x)*7 + c*13) mod 256`` so an
+    analytic oracle can verify the decoded output without parsing
+    Netpbm itself. Arrow-batched, narrow."""
+
+    def op(batches):
+        npix = width * height
+        idx = np.arange(npix, dtype=np.int64)  # y*w + x, row-major
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            header = f"P6\n{width} {height}\n255\n".encode()
+            for did in pdf["doc_id"]:
+                base = int(did) * 31 + idx * 7
+                rgb = np.empty((npix, 3), dtype=np.int64)
+                for c in range(3):
+                    rgb[:, c] = (base + c * 13) % 256
+                blobs.append(header + rgb.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        op, schema="doc_id long, media binary"
+    )
+    return media.select(
+        "doc_id",
+        "media",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("checksum"),
+    )
+
+
+def _ppm_parse(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Minimal but real P6 parser: magic, whitespace/comment-tolerant
+    header tokens (width, height, maxval), then the raw RGB plane.
+    Returns (width, height, pixels[h*w, 3] int64)."""
+    if buf[:2] != b"P6":
+        raise NotImplementedError("only binary PPM (P6) supported")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval per spec
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    pix = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, pix.reshape(-1, 3).astype(np.int64)
+
+
+def decode_ppm_features(media_df: DataFrame) -> DataFrame:
+    """Real image decode: Netpbm P6 parse → per-channel pixel sums,
+    ``(doc_id, width, height, channel, ch_sum)`` — integer-exact,
+    Arrow-batched, narrow; three output rows per image."""
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc, ws, hs, ch, s = [], [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["media"]):
+                w, h, pix = _ppm_parse(bytes(buf))
+                sums = pix.sum(axis=0)
+                for c in range(3):
+                    doc.append(did)
+                    ws.append(w)
+                    hs.append(h)
+                    ch.append(c)
+                    s.append(int(sums[c]))
+            yield pd.DataFrame(
+                {"doc_id": doc, "width": ws, "height": hs,
+                 "channel": ch, "ch_sum": s}
+            )
+
+    return media_df.mapInPandas(
+        op,
+        schema="doc_id long, width long, height long, channel long, ch_sum long",
+    )
+
+
 def _fake_decode(buf: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: fold the byte stream into
     out_dim accumulators (sum of bytes at stride positions, normalized).
@@ -184,6 +282,17 @@ def decode_features(
                     edges = np.linspace(0, n, out_dim + 1).astype(int)
                     widths = np.maximum(np.diff(edges), 1)
                     feats.append((sums / widths).tolist())
+                elif mt == "image/x-portable-pixmap":
+                    # real codec path: P6 parse → pooled pixel means
+                    _, _, pix = _ppm_parse(bytes(buf))
+                    flat = pix.reshape(-1).astype(np.float64)
+                    edges = np.linspace(0, flat.size, out_dim + 1).astype(int)
+                    feats.append(
+                        [
+                            float(flat[a:b].mean()) if b > a else 0.0
+                            for a, b in zip(edges[:-1], edges[1:])
+                        ]
+                    )
                 elif mt.startswith(("image/", "audio/", "video/")):
                     raise NotImplementedError(_REAL_CODECS_MSG.format(mt=mt))
                 else:

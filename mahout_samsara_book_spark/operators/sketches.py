@@ -109,7 +109,9 @@ def heavy_hitters(
     ~|vocabulary|·partitions rows of (term, long) — the same shape
     word-count has at any scale."""
     from mahout_samsara_book_spark.functions.text import tokenize
+    from mahout_samsara_book_spark.partitioning import ensure_min_partitions
 
+    docs = ensure_min_partitions(docs.select(text_col))
     counts = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy("term")

@@ -472,8 +472,12 @@ def sliding_hll_users(
     (absolute epoch alignment, timezone-proof), identical to the
     oracle's replay."""
     from mahout_samsara_book_spark.operators.sketches import hll_distinct
+    from mahout_samsara_book_spark.partitioning import ensure_min_partitions
 
     nw = width_s // slide_s
+    # the nw-way window explode + register build is the hot narrow
+    # stage; widen small-file scans first (no-op at real scale)
+    ev = ensure_min_partitions(ev)
     t = ev.withColumn("_t_us", ts_us(ev))
     sec = F.expr(f"_t_us div {US_PER_SEC}")
     starts = F.array(

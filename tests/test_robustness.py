@@ -86,7 +86,10 @@ def test_tracked_caches_released_across_queries(spark, docs_fixture):
         spark.sparkContext._jvm.System.gc()
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    def settle(limit, deadline_s=30.0):
+    def settle(limit, deadline_s=180.0):
+        # generous deadline: under a full-suite run the ContextCleaner's
+        # reference-queue drain (localCheckpoint blocks) can lag well
+        # behind the explicit unpersists this test is really asserting
         t0 = time.monotonic()
         n = cached_count()
         while n > limit and time.monotonic() - t0 < deadline_s:
@@ -106,8 +109,16 @@ def test_tracked_caches_released_across_queries(spark, docs_fixture):
     out.count()
     assert cached_count() > baseline
 
+    from mahout_samsara_book_spark import cache as _cache
+
+    tracked = list(_cache._TRACKED)
     released = release_tracked()
-    assert released > 0
+    assert released == len(tracked) > 0
+    # unpersist takes effect on the storage level synchronously (block
+    # eviction is async — that's what settle() waits for below)
+    for df in tracked:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
     del out  # drop the last plan so its localCheckpoint blocks free too
     assert settle(baseline) <= baseline
 
@@ -165,3 +176,35 @@ def test_decode_features_wav_no_longer_raises(spark):
     docs = spark.createDataFrame([(5,)], "doc_id long")
     out = decode_features(attach_wav(docs), out_dim=8).toPandas()
     assert len(out) == 1 and len(out["features"][0]) == 8
+
+
+def test_ppm_codec_roundtrip(spark):
+    """attach_ppm writes a genuine Netpbm P6 payload (parseable header
+    incl. comment tolerance); decode_ppm_features recovers the exact
+    analytic channel sums."""
+    from mahout_samsara_book_spark.operators.multimodal import (
+        _ppm_parse,
+        attach_ppm,
+        decode_ppm_features,
+    )
+
+    docs = spark.createDataFrame([(4,), (9,)], "doc_id long")
+    media = attach_ppm(docs, width=5, height=3).toPandas()
+    buf = bytes(media["media"][0])
+    assert buf.startswith(b"P6\n5 3\n255\n")
+    # header parser tolerates comments, per the Netpbm spec
+    w, h, pix = _ppm_parse(b"P6\n# a comment\n5 3\n255\n" + buf[11:])
+    assert (w, h, pix.shape) == (5, 3, (15, 3))
+    out = (
+        decode_ppm_features(attach_ppm(docs, width=5, height=3))
+        .orderBy("doc_id", "channel")
+        .toPandas()
+    )
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        expect = sum(
+            (int(r.doc_id) * 31 + i * 7 + int(r.channel) * 13) % 256
+            for i in range(15)
+        )
+        assert int(r.ch_sum) == expect
+        assert (int(r.width), int(r.height)) == (5, 3)
