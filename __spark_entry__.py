@@ -622,7 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd",
         "dedup_containment", "dedup_incremental", "dedup_ngram_jaccard",
         "dedup_clusters", "graph_components_lsls", "ivf_refine",
-        "pq_encode", "pq_mse", "ann_ivfpq_topk",
+        "pq_encode", "pq_mse", "ann_ivfpq_topk", "ann_ivfpq_probe",
         "sel_decontaminate", "sel_domain_mix", "sel_split_assign",
         "sel_stratified_sample", "sel_shard_assign", "sel_pack_sequences",
         "sel_chunk_docs",

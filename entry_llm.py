@@ -323,6 +323,86 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_NQ = 64
+IVFPQ_QSEED = 23
+
+
+def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF-PQ shape: a bounded probe set (64 hash-chosen
+    query vectors) against the full corpus index — Θ(n + Q·√n) total
+    work, linear in the corpus, vs the all-points-as-queries evaluation
+    shape's Θ(n^1.5) (ann_ivfpq_topk; SCALING.md sf1 call-out)."""
+    from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("vec_id").cast("string"), F.lit(str(IVFPQ_QSEED))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qids = emb.select("vec_id").orderBy(h, "vec_id").limit(IVFPQ_NQ)
+    out = ann_ivfpq_topk(
+        emb,
+        topk=IVFPQ_TOPK,
+        n_centers="auto",
+        nprobe=IVFPQ_NPROBE,
+        pq_m=PQ_M,
+        pq_k=PQ_K,
+        pq_seed=PQ_SEED,
+        query_ids=qids,
+    )
+    return out.select(
+        "vec_id", "neighbor", _sci(F.col("ad2")).alias("ad2"), "rank"
+    )
+
+
+def o_ann_ivfpq_probe() -> str:
+    import entry_m5
+
+    return f"""
+WITH {entry_m5._IVF_CTES},
+qsel AS (SELECT vec_id FROM e
+         ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                   || ':{IVFPQ_QSEED}'), 1, 15))::BIGINT, vec_id
+         LIMIT {IVFPQ_NQ}),
+probes AS (SELECT vec_id AS q_id, cid FROM ranked_c
+           WHERE rn <= {IVFPQ_NPROBE}
+             AND vec_id IN (SELECT vec_id FROM qsel)),
+cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS neighbor
+  FROM probes p JOIN assign a ON p.cid = a.cid AND p.q_id <> a.vec_id
+),
+{{PQ_CTES}},
+perm AS (
+  SELECT c.q_id, c.neighbor, s.m, s.d2
+  FROM cand c
+  JOIN penc n ON n.vec_id = c.neighbor
+  JOIN pscored s ON s.vec_id = c.q_id AND s.m = n.m AND s.code = n.code
+),
+ad2 AS (
+  SELECT q_id, neighbor, list_sum(list(d2 ORDER BY m)) AS ad2
+  FROM perm GROUP BY 1, 2
+),
+rk AS (
+  SELECT q_id, neighbor, ad2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY ad2, neighbor) AS rank
+  FROM ad2
+)
+SELECT CAST(q_id AS BIGINT) AS vec_id, CAST(neighbor AS BIGINT) AS neighbor,
+       {_sci_sql('ad2')} AS ad2, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {IVFPQ_TOPK}
+""".replace("{PQ_CTES}", _pq_ctes().lstrip())
+
+
 def o_ann_ivfpq_topk() -> str:
     import entry_m5
 
@@ -611,6 +691,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_mse": q_pq_mse,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_probe": q_ann_ivfpq_probe,
 }
 
 
@@ -630,4 +711,5 @@ def oracles() -> dict[str, str]:
         "pq_encode": o_pq_encode(),
         "pq_mse": o_pq_mse(),
         "ann_ivfpq_topk": o_ann_ivfpq_topk(),
+        "ann_ivfpq_probe": o_ann_ivfpq_probe(),
     }

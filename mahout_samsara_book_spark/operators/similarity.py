@@ -774,6 +774,7 @@ def ann_ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k, the composed FAISS-style scale
     architecture: IVF buckets prune candidates (nprobe/n_centers of the
@@ -786,7 +787,13 @@ def ann_ivfpq_topk(
     broadcast cross join); candidates × M join against the code table is
     linear in the candidate stream; the only per-query state is the
     window top-k. Everything shuffles on query or (query, neighbor)
-    keys — no quadratic relation anywhere."""
+    keys — no quadratic relation anywhere.
+
+    ``query_ids`` (a one-column relation of ``id_col`` values) bounds
+    the query set — the PRODUCTION shape: with Q queries total work is
+    Θ(n + Q·n/√n·nprobe), linear in the corpus. The default (None =
+    every corpus vector queries) is the self-join evaluation shape,
+    Θ(n^1.5) by construction — see SCALING.md's sf1 call-out."""
     if n_centers == "auto":
         # ~√n rule, same rationale + resolution as ivf_topk (measured:
         # the 16-center sf1 run burned 13+ min in ADC scoring; auto's
@@ -821,8 +828,16 @@ def ann_ivfpq_topk(
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("d2").asc(), F.col("cid").asc()
     )
+    probe_src = ensure_min_partitions(emb)
+    if query_ids is not None:
+        # bounded query set: semi-restrict BEFORE the center cross join
+        # so probe ranking, candidate generation, and the ADC stream are
+        # all Q-sized, not corpus-sized
+        probe_src = probe_src.join(
+            F.broadcast(query_ids.select(id_col)), id_col, "leftsemi"
+        )
     probes = (
-        ensure_min_partitions(emb).crossJoin(F.broadcast(centers))
+        probe_src.crossJoin(F.broadcast(centers))
         .select(F.col(id_col), F.col("cid"), d2c.alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
