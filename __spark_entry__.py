@@ -627,7 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_stratified_sample", "sel_shard_assign", "sel_pack_sequences",
         "sel_chunk_docs",
         "sketch_heavy_hitters", "sketch_kmv_distinct", "sketch_kmv_union",
-        "bloom_build", "bloom_probe", "zorder_stats",
+        "bloom_build", "bloom_probe", "zorder_stats", "fmt_bucketed_join",
         "text_top_terms", "text_langid_confusion", "text_js_divergence",
         "text_repetition",
         "docs_funnel", "docs_pipeline",
