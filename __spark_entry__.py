@@ -635,7 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_window",
         "rel_window_range", "rel_shipping_priority", "rel_large_orders",
         "rel_json_extract", "rel_date_trunc", "rel_string_funcs",
-        "rel_rank_family", "rel_upsert", "rel_incr_summary",
+        "rel_rank_family", "rel_upsert", "rel_incr_summary", "rel_profile",
         "rel_asof_tolerance", "rel_scalar_subquery", "rel_percentiles",
         "rel_unpivot", "rel_setops",
         "drm_abs_slice", "drm_group_sum", "drm_transpose", "drm_mmul",

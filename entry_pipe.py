@@ -1755,3 +1755,95 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_cksum()
     d["rel_table_checksum"] = o_rel_table_checksum()
     return d
+
+
+# ------------------------------------------------------------------ #
+# table profiling: the data-quality audit a pipeline runs before
+# trusting a 100 TB input (round-5 extension)
+# ------------------------------------------------------------------ #
+
+_PROFILE_COLS = (
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_linestatus", "str"),
+    ("l_returnflag", "str"),
+)
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem — ``(column, n, n_null,
+    n_distinct, min_s, max_s)``: the null/cardinality/range audit every
+    ingestion run performs before trusting an input drop. ONE scan: all
+    per-column aggregates evaluate in a single codegen'd aggregation
+    pass (no per-column jobs), then a literal-array posexplode pivots
+    the fixed-width result to rows — the profile relation is O(columns)
+    regardless of table size. Numeric extremes are formatted through
+    the engine's %.7e convention; strings pass through raw."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(col).alias(f"{c}__nd"),
+            (
+                _sci(F.min(col).cast("double"))
+                if kind == "num"
+                else F.min(col).cast("string")
+            ).alias(f"{c}__min"),
+            (
+                _sci(F.max(col).cast("double"))
+                if kind == "num"
+                else F.max(col).cast("string")
+            ).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n"),
+                F.col(f"{c}__nulls").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def o_rel_profile() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        mn = (
+            _sci_sql(f"min({c})::DOUBLE")
+            if kind == "num"
+            else f"CAST(min({c}) AS VARCHAR)"
+        )
+        mx = (
+            _sci_sql(f"max({c})::DOUBLE")
+            if kind == "num"
+            else f"CAST(max({c}) AS VARCHAR)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n,\n"
+            f"  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null,\n"
+            f"  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  {mn} AS min_s, {mx} AS max_s\n"
+            "FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["rel_profile"] = q_rel_profile
+_oracles_pre_profile = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_profile()
+    d["rel_profile"] = o_rel_profile()
+    return d

@@ -696,6 +696,87 @@ def main() -> int:
         )
     )
 
+    # ---- round-5 additions ---- #
+    from mahout_samsara_book_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav_features,
+    )
+    from mahout_samsara_book_spark.operators.sketches import heavy_hitters
+    from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
+
+    docs5 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p27 = plan_of(decode_wav_features(attach_wav(docs5)))
+    checks.append(
+        (
+            "multimodal wav encode→decode (real codec round trip)",
+            p27,
+            [
+                (
+                    "fully narrow: zero shuffles — codec stages pipeline "
+                    "onto the scan",
+                    n_shuffles(p27) == 0,
+                ),
+                (
+                    "Arrow-batched python stages, not row-at-a-time UDFs",
+                    "MapInPandas" in p27 and "BatchEvalPython" not in p27,
+                ),
+                (
+                    "only doc_id scanned (payloads synthesized, text "
+                    "column pruned)",
+                    "ReadSchema: struct<doc_id:bigint>" in p27,
+                ),
+            ],
+        )
+    )
+
+    p28 = plan_of(heavy_hitters(docs5, k=25))
+    checks.append(
+        (
+            "heavy_hitters (vocabulary top-k with scan-parallelism guard)",
+            p28,
+            [
+                (
+                    "global top-k is TakeOrderedAndProject (per-partition "
+                    "top-k + k-row driver merge), no global sort",
+                    "TakeOrderedAndProject" in p28,
+                ),
+                (
+                    "term aggregate has map-side partial combine",
+                    "partial_count" in p28,
+                ),
+                (
+                    "exactly two shuffles: the small-file parallelism "
+                    "guard (round-robin, no-op at real scale) + the "
+                    "vocabulary aggregate",
+                    n_shuffles(p28) == 2,
+                ),
+            ],
+        )
+    )
+
+    emb5 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids5 = emb5.select("vec_id").limit(8)
+    p29 = plan_of(ann_ivfpq_topk(emb5, query_ids=qids5))
+    checks.append(
+        (
+            "ann_ivfpq_topk with bounded query_ids (production shape)",
+            p29,
+            [
+                (
+                    "query restriction is a broadcast LEFT-SEMI join "
+                    "(never shuffles the corpus to filter it)",
+                    "BroadcastHashJoin" in p29 and "LeftSemi" in p29,
+                ),
+                ("no cartesian product", "CartesianProduct" not in p29),
+                (
+                    "codebook/center cross joins are broadcast nested "
+                    "loops over O(K)-row literals, not shuffles",
+                    "BroadcastNestedLoopJoin" in p29,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
