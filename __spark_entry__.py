@@ -632,7 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition",
         "docs_funnel", "docs_pipeline",
         "ev_funnel", "ev_retention", "ev_dedup", "ev_enriched",
-        "ev_session_window",
+        "ev_stream_enriched", "ev_session_window",
         "rel_window_range", "rel_shipping_priority", "rel_large_orders",
         "rel_json_extract", "rel_date_trunc", "rel_string_funcs",
         "rel_rank_family", "rel_upsert", "rel_incr_summary", "rel_profile",

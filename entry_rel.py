@@ -1236,6 +1236,28 @@ QUERIES.update({"ev_stream_windowed": q_ev_stream_windowed})
 _LATE_ORACLES.update({"ev_stream_windowed": o_ev_windowed_counts})
 
 
+def q_ev_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment through the ACTUAL streaming engine
+    (readStream events ⋈ broadcast static customers, complete-mode
+    memory sink, availableNow) checked against the SAME batch oracle as
+    ev_enriched: the streaming twin must compute the batch answer."""
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_enriched_counts,
+    )
+
+    out = run_stream_enriched_counts(spark, sf_dir)
+    return out.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES.update({"ev_stream_enriched": q_ev_stream_enriched})
+_LATE_ORACLES.update({"ev_stream_enriched": o_ev_enriched})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #

@@ -414,6 +414,42 @@ def sliding_active_users(
 _STREAM_RUN_SEQ = [0]
 
 
+def run_stream_enriched_counts(spark, sf_dir: str) -> DataFrame:
+    """Execute :func:`enriched_nation_counts` as a REAL Structured
+    Streaming query: ``readStream`` over the events parquet joined to
+    the STATIC customer dimension (the stream-static broadcast join —
+    the dimension re-resolves per micro-batch, the unbounded side never
+    shuffles for the join), aggregated in complete mode into a memory
+    sink, ``availableNow`` trigger. Complete-mode totals are
+    arrival-order-invariant, so the result hash-matches the batch
+    oracle exactly — the registry's proof that stream-static
+    enrichment computes the batch answer through the actual streaming
+    engine (micro-batches + state store), not a batch shortcut."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = enriched_nation_counts(ev_stream, customers)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"ev_stream_enriched_{_STREAM_RUN_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.table(name)
+
+
 def run_stream_windowed_counts(
     spark, sf_dir: str, width: str = "1 hour"
 ) -> DataFrame:
