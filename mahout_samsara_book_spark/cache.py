@@ -31,15 +31,17 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_tracked() -> int:
+def release_tracked(blocking: bool = False) -> int:
     """Unpersist every tracked relation; returns how many were dropped.
     Safe to call at any time — lazily-defined results recompute from
-    lineage if re-executed afterward."""
+    lineage if re-executed afterward. ``blocking=True`` waits for block
+    removal (tests assert on cache counts; production hosts keep the
+    async default)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist(blocking=False)
+            df.unpersist(blocking=blocking)
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
