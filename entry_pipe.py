@@ -1774,45 +1774,61 @@ _PROFILE_COLS = (
 def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of lineitem — ``(column, n, n_null,
     n_distinct, min_s, max_s)``: the null/cardinality/range audit every
-    ingestion run performs before trusting an input drop. ONE scan: all
-    per-column aggregates evaluate in a single codegen'd aggregation
-    pass (no per-column jobs), then a literal-array posexplode pivots
-    the fixed-width result to rows — the profile relation is O(columns)
-    regardless of table size. Numeric extremes are formatted through
-    the engine's %.7e convention; strings pass through raw."""
+    ingestion run performs before trusting an input drop.
+
+    Plan shape (round-6 rewrite): UNPIVOT first.  Each row explodes to
+    one narrow ``(column, kind, v_str, v_num)`` entry per profiled
+    column, then a single ``groupBy("column", "kind")`` computes ONE
+    ``count_distinct`` per group.  A single distinct aggregate plans as
+    a plain two-phase hash aggregate — NO Expand.  The previous shape
+    (N ``count_distinct`` in one ``agg``) forced Catalyst's
+    multi-distinct Expand, replicating every input row once per
+    distinct column before aggregating: an N× row multiplication that
+    rides to 100 TB.  The unpivot also multiplies rows N×, but entries
+    are a handful of bytes and the map-side partial aggregate collapses
+    them per partition before any shuffle.  ``v_str`` (string cast,
+    injective on the actual value domain) carries distinctness and
+    string extremes; ``v_num`` carries numeric extremes formatted
+    through the engine's %.7e convention."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c, kind in _PROFILE_COLS:
-        col = F.col(c)
-        aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(col).alias(f"{c}__nd"),
-            (
-                _sci(F.min(col).cast("double"))
-                if kind == "num"
-                else F.min(col).cast("string")
-            ).alias(f"{c}__min"),
-            (
-                _sci(F.max(col).cast("double"))
-                if kind == "num"
-                else F.max(col).cast("string")
-            ).alias(f"{c}__max"),
-        ]
-    row = li.agg(*aggs)
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col("_n").cast("long").alias("n"),
-                F.col(f"{c}__nulls").cast("long").alias("n_null"),
-                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_s"),
-                F.col(f"{c}__max").alias("max_s"),
+                F.lit(kind).alias("kind"),
+                F.col(c).cast("string").alias("v_str"),
+                (
+                    F.col(c).cast("double")
+                    if kind == "num"
+                    else F.lit(None).cast("double")
+                ).alias("v_num"),
             )
-            for c, _ in _PROFILE_COLS
+            for c, kind in _PROFILE_COLS
         ]
     )
-    return row.select(F.explode(entries).alias("e")).select("e.*")
+    long = li.select(F.explode(entries).alias("e")).select("e.*")
+    agg = long.groupBy("column", "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v_str").isNull().cast("long")).cast("long").alias("n_null"),
+        F.count_distinct(F.col("v_str")).cast("long").alias("n_distinct"),
+        F.min("v_num").alias("_mn_num"),
+        F.max("v_num").alias("_mx_num"),
+        F.min("v_str").alias("_mn_str"),
+        F.max("v_str").alias("_mx_str"),
+    )
+    is_num = F.col("kind") == F.lit("num")
+    return agg.select(
+        "column",
+        "n",
+        "n_null",
+        "n_distinct",
+        F.when(is_num, _sci(F.col("_mn_num"))).otherwise(F.col("_mn_str")).alias(
+            "min_s"
+        ),
+        F.when(is_num, _sci(F.col("_mx_num"))).otherwise(F.col("_mx_str")).alias(
+            "max_s"
+        ),
+    )
 
 
 def o_rel_profile() -> str:

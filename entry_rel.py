@@ -1258,6 +1258,50 @@ QUERIES.update({"ev_stream_enriched": q_ev_stream_enriched})
 _LATE_ORACLES.update({"ev_stream_enriched": o_ev_enriched})
 
 
+def q_ev_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION unbounded streaming shape — watermark + APPEND
+    output mode — executed through the real engine (readStream,
+    availableNow micro-batch, state-store eviction, final no-data
+    batch). Unlike the complete-mode twins, state here is O(open
+    windows): each window row is emitted exactly once when the
+    watermark passes its end, then evicted — the only form that
+    survives an unbounded 100 TB stream. Emission is STRICT
+    (window_end < watermark, verified by
+    tests/test_streaming_exec.py boundary case), so the oracle is the
+    batch aggregation filtered to windows that closed before the final
+    watermark (= max event-time second at 0s delay)."""
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_windowed_append,
+    )
+
+    out = run_stream_windowed_append(spark, sf_dir, "1 hour", "0 seconds")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_stream_append() -> str:
+    return f"""
+WITH mx AS (SELECT max(epoch_us(ts) // 1000000) AS m FROM events),
+agg AS (
+  SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n,
+         {_sci_sql('sum(value)')} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, total_value
+FROM agg, mx
+WHERE window_start + 3600 < mx.m
+"""
+
+
+QUERIES.update({"ev_stream_append": q_ev_stream_append})
+_LATE_ORACLES.update({"ev_stream_append": o_ev_stream_append})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #
@@ -1376,6 +1420,7 @@ def q_fmt_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     write/read/join edge loses nothing. Output DB is per-invocation
     (sequence-numbered, like fmt_orc_roundtrip) so a pending lazy read
     is never clobbered by a re-run."""
+    import os
     import shutil
     import tempfile
 
@@ -1386,7 +1431,9 @@ def q_fmt_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.sources.tables import load_table
 
     _BKT_SEQ[0] += 1
-    db = f"spark_graft_bkt_{_BKT_SEQ[0]}"
+    # pid-qualified: two concurrent driver processes on one host must
+    # never rmtree/overwrite each other's table location (ADVICE r5)
+    db = f"spark_graft_bkt_{os.getpid()}_{_BKT_SEQ[0]}"
     loc = tempfile.gettempdir() + f"/{db}"
     shutil.rmtree(loc, ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")

@@ -14,7 +14,14 @@ State layout mirrors the reference: a DRM ``Y = [label, d², features]``
   whenever partition boundaries move (a real hazard on a 1000-executor
   cluster where split planning shifts with file layout), whereas the
   per-row hash makes the sketch bit-reproducible under ANY
-  partitioning and lets the DuckDB oracle replay it exactly
+  partitioning and lets the DuckDB oracle replay it exactly.
+  (One caveat, ADVICE r5: the DRAWS are partitioning-invariant, but
+  the threshold p = ℓ·d²/φ depends on φ, whose last-ulp float value
+  can vary with partition summation order; a uniform landing within
+  ~1 ulp of p could then flip a draw between engines. Astronomically
+  unlikely on real data and never observed across the fixture scales;
+  a fully airtight variant would round φ to a partitioning-invariant
+  precision before the compare on both engines.)
 - sampled rows become new candidate centers (allreduce rbind,
   ``:63-92``), globally ordered by row key — again
   partitioning-invariant, unlike raw partition-concatenation order

@@ -74,9 +74,23 @@ def _topk_desc_tiebreak(ids, scores, k: int):
     keeps ALL boundary ties so the id tiebreak stays exact), then one
     small lexsort of that subset. O(n + t·log t) with t = k + ties,
     vs O(n·log n) for the full sort — the difference between 27s and
-    ~8s on the 20k-corpus exact-ANN benchmark."""
+    ~8s on the 20k-corpus exact-ANN benchmark.
+
+    Non-finite scores (a zero-norm embedding yields 0/0 = NaN cosine)
+    are dropped up front: ``np.partition`` treats NaN as largest, so a
+    single NaN would otherwise inflate the selection threshold and
+    silently shift real candidates out of the top k (ADVICE r5). A NaN
+    similarity is never a valid neighbor, so the filtered result is
+    the intended semantics; when fewer than k finite scores remain,
+    fewer than k rows come back."""
     import numpy as np
 
+    finite = np.isfinite(scores)
+    if not finite.all():
+        keep = np.nonzero(finite)[0]
+        ids, scores = ids[keep], scores[keep]
+    else:
+        keep = None
     n = scores.size
     if n > k:
         thresh = np.partition(scores, n - k)[n - k]
@@ -84,7 +98,8 @@ def _topk_desc_tiebreak(ids, scores, k: int):
     else:
         sel = np.arange(n)
     order = np.lexsort((ids[sel], -scores[sel]))[:k]
-    return sel[order]
+    out = sel[order]
+    return keep[out] if keep is not None else out
 
 
 def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -215,7 +230,6 @@ def ivf_centers(
         16,
         10,
     ).cast("long")
-    w = Window.orderBy(h, F.col(id_col))
     return (
         emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("center")

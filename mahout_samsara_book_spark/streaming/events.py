@@ -492,6 +492,57 @@ def run_stream_windowed_counts(
     return spark.table(name)
 
 
+def run_stream_windowed_append(
+    spark,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Execute :func:`stream_windowed_counts` in the PRODUCTION
+    unbounded shape — watermark + **append** output mode — through the
+    real streaming engine and return the emitted rows.
+
+    Complete mode (``run_stream_windowed_counts``) keeps every window
+    in the state store forever: fine for a bounded proof, unbounded
+    memory on an unbounded stream. Append mode is what a 100 TB
+    deployment runs: a window row is emitted exactly once, when the
+    watermark (max observed event time − delay) passes the window end,
+    and its state is evicted — state is O(open windows), not O(history).
+
+    Determinism & oracle: the bounded fixture is ONE parquet file, so
+    availableNow delivers every row in a single data micro-batch
+    (no partial-window emission against an intermediate watermark);
+    the engine then runs the final no-data batch with the advanced
+    watermark, emitting every window whose end ≤ max event-time second.
+    The only rows withheld are the trailing window(s) still open at the
+    final watermark — a closed-form condition
+    (``window_start + width ≤ max_event_second``) the DuckDB oracle
+    applies to the batch aggregation, so the append run stays exactly
+    hash-checkable."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_windowed_counts(ev_stream, width=width, watermark=watermark)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"ev_stream_append_{_STREAM_RUN_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.table(name)
+
+
 def sliding_hll_users(
     ev: DataFrame,
     width_s: int = 3600,

@@ -66,14 +66,49 @@ def test_stream_windowed_counts_matches_batch(spark, events, tmp_path_factory):
         .agg(F.max(F.expr(f"t_us div {US_PER_SEC}")))
         .collect()[0][0]
     )
-    # append mode emits only windows finalized by the watermark
-    finalized = batch[batch.window_start + 3600 <= max_sec]
+    # append mode emits only windows finalized by the watermark —
+    # STRICTLY: a window whose end equals the final watermark stays
+    # open (verified by test_stream_append_boundary_strict)
+    finalized = batch[batch.window_start + 3600 < max_sec]
     g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     b = finalized.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     assert len(g) == len(b)
     assert (g.window_start == b.window_start).all()
     assert (g.n == b.n).all()
     assert abs(g.total_value - b.total_value).max() < 1e-9
+
+
+def test_stream_append_boundary_strict(spark, tmp_path_factory):
+    """Pin the append-mode emission boundary the ev_stream_append
+    oracle relies on: a window whose END equals the final watermark
+    (max event time, 0s delay) is NOT emitted — emission is strictly
+    ``window_end < watermark``. Three events: two inside [3600, 7200)
+    and one exactly AT 7200 (so max_sec == 7200, the first window's
+    end). If the engine emitted at ``end <= watermark`` this would
+    return one row; the real engine returns zero."""
+    import pandas as pd
+
+    src = str(tmp_path_factory.mktemp("ev_boundary"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "ts": pd.to_datetime(
+                [3_600_000_000, 3_605_000_000, 7_200_000_000], unit="us"
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{src}/events.parquet"
+    )
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_windowed_append,
+    )
+
+    got = run_stream_windowed_append(spark, src).toPandas()
+    assert len(got) == 0
 
 
 def test_stream_stream_join_matches_batch(spark, events, tmp_path_factory):

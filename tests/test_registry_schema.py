@@ -5,11 +5,14 @@ round 4).  Assert — registry-wide — that every ``queries()`` entry
 yields a scalar-only schema, so reintroducing a complex-typed output
 column fails CI before it reaches the driver.
 
-Construction is lazy: each callable builds its DataFrame (no collect),
-which is enough to resolve the analyzed schema.  Queries whose
-*construction* is inherently driver-iterative (they run collects while
-building the plan) still return a plain DataFrame, so this stays cheap
-at sf0.001.
+Construction is MOSTLY lazy — a callable builds its DataFrame and the
+analyzed schema resolves without executing the query.  A handful of
+entries do real work at construction time (ADVICE r5): the executed
+streaming twins run a full availableNow query, ``fmt_bucketed_join``
+writes bucketed tables, and the iterative algorithms (bfgs, bahmani,
+kmeans) run driver-side iterations while building the plan.  That is
+acceptable at sf0.001 (the whole parametrized sweep stays in seconds),
+and exercising those constructions here is itself useful coverage.
 """
 
 import pytest

@@ -777,6 +777,32 @@ def main() -> int:
         )
     )
 
+    # ---- round-6 additions ---- #
+    import entry_pipe as _ep
+
+    p31 = plan_of(_ep.q_rel_profile(spark, sf_dir))
+    checks.append(
+        (
+            "rel_profile (unpivot-then-group column audit)",
+            p31,
+            [
+                (
+                    "NO multi-distinct Expand: one count_distinct per "
+                    "group plans as a plain two-phase aggregate",
+                    "Expand" not in p31,
+                ),
+                (
+                    "map-side partial aggregation before the shuffle",
+                    "partial_" in p31,
+                ),
+                (
+                    "single lineitem scan",
+                    p31.count("Location: InMemoryFileIndex") == 1,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
