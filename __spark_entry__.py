@@ -613,7 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the whole registry and every query's LATEST driver row is green.
     # Window composition: (1) the 18 queries that have never appeared
     # in any driver artifact (union of CORRECTNESS_r01..r05 = 150 of
-    # 168) plus the brand-new append-mode streaming entry; (2) the 7
+    # 168) plus the two brand-new round-6 streaming entries; (2) the 7
     # queries whose latest driver row is a stale round-1/2 red that
     # predates their oracles or was the r2 driver-harness fault; (3)
     # the oldest-graded names (last driver row = round 2) to refresh.
@@ -626,7 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_abs_slice", "drm_group_sum", "drm_transpose", "drm_mmul",
         "drm_mmul_coo", "drm_rbind", "drm_gram_wide",
         "skew_salted_group_sum", "drm_map_block", "drm_allreduce",
-        "ev_stream_append",
+        "ev_stream_append", "ev_stream_join",
         # -- (2) stale-red regrades (all hash-match locally; their red
         #        rows predate the oracles / were the r2 harness fault)
         "multimodal_decode", "bfgs_argmin", "bahmani_weights",
@@ -640,7 +640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign", "ivf_topk", "multimodal_meta",
         "nb_predict_text", "nb_train_text", "point_weights",
         "reg_coeff_tests", "rel_asof_events", "rel_cube",
-        "rel_grouping_sets",
     ]
     head = {n: full[n] for n in rotation_r6 if n in full}
     return {**head, **full}

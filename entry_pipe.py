@@ -1776,58 +1776,80 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct, min_s, max_s)``: the null/cardinality/range audit every
     ingestion run performs before trusting an input drop.
 
-    Plan shape (round-6 rewrite): UNPIVOT first.  Each row explodes to
-    one narrow ``(column, kind, v_str, v_num)`` entry per profiled
-    column, then a single ``groupBy("column", "kind")`` computes ONE
-    ``count_distinct`` per group.  A single distinct aggregate plans as
-    a plain two-phase hash aggregate — NO Expand.  The previous shape
-    (N ``count_distinct`` in one ``agg``) forced Catalyst's
-    multi-distinct Expand, replicating every input row once per
-    distinct column before aggregating: an N× row multiplication that
-    rides to 100 TB.  The unpivot also multiplies rows N×, but entries
-    are a handful of bytes and the map-side partial aggregate collapses
-    them per partition before any shuffle.  ``v_str`` (string cast,
-    injective on the actual value domain) carries distinctness and
-    string extremes; ``v_num`` carries numeric extremes formatted
-    through the engine's %.7e convention."""
+    Plan shape (round-6 rewrite, two stages, both Expand-free and
+    sort-free):
+
+    1. **Extremes + row count** — ONE wide global aggregate (min/max
+       per column, count(*)), no distinct, no grouping keys.  The
+       string min/max buffers make this a SortAggregate, but with an
+       empty grouping key there is nothing to sort — partials fold on
+       the scan, one row crosses the wire.  A literal-array explode
+       pivots the single row to ``(column, min_s, max_s)``.
+    2. **Null + distinct counts** — UNPIVOT to a narrow
+       ``(column, v)`` relation, then ``groupBy("column")`` with ONE
+       ``count_distinct``.  A single distinct aggregate plans as a
+       plain two-phase HASH aggregate (long-only buffers) — no Expand,
+       no sort.
+
+    The previous shapes each hid a row-scaled cost: N
+    ``count_distinct`` in one ``agg`` forced Catalyst's multi-distinct
+    Expand (N× row replication); folding string extremes into the
+    grouped long-relation aggregate forced a SortAggregate over the
+    N×-exploded rows (string min/max buffers are immutable, so hash
+    aggregation is off the table — measured 6.5 s at sf0.1).  Splitting
+    costs a second column-pruned parquet scan — the right trade at
+    100 TB, where scans are linear and parallel but Expand/sort
+    multipliers compound.  ``v`` (string cast, injective on the actual
+    value domain) carries distinctness; numeric extremes format through
+    the engine's %.7e convention.  The two 5-row sides broadcast-join
+    on column name."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ext_aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        ext_aggs += [
+            (
+                _sci(F.min(col).cast("double"))
+                if kind == "num"
+                else F.min(col).cast("string")
+            ).alias(f"{c}__min"),
+            (
+                _sci(F.max(col).cast("double"))
+                if kind == "num"
+                else F.max(col).cast("string")
+            ).alias(f"{c}__max"),
+        ]
+    ext_row = li.agg(*ext_aggs)
+    ext_entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    ext = ext_row.select(
+        F.col("_n").alias("n"), F.explode(ext_entries).alias("e")
+    ).select("n", "e.*")
+
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.lit(kind).alias("kind"),
-                F.col(c).cast("string").alias("v_str"),
-                (
-                    F.col(c).cast("double")
-                    if kind == "num"
-                    else F.lit(None).cast("double")
-                ).alias("v_num"),
+                F.col(c).cast("string").alias("v"),
             )
-            for c, kind in _PROFILE_COLS
+            for c, _ in _PROFILE_COLS
         ]
     )
     long = li.select(F.explode(entries).alias("e")).select("e.*")
-    agg = long.groupBy("column", "kind").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("v_str").isNull().cast("long")).cast("long").alias("n_null"),
-        F.count_distinct(F.col("v_str")).cast("long").alias("n_distinct"),
-        F.min("v_num").alias("_mn_num"),
-        F.max("v_num").alias("_mx_num"),
-        F.min("v_str").alias("_mn_str"),
-        F.max("v_str").alias("_mx_str"),
+    dn = long.groupBy("column").agg(
+        F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_null"),
+        F.count_distinct(F.col("v")).cast("long").alias("n_distinct"),
     )
-    is_num = F.col("kind") == F.lit("num")
-    return agg.select(
-        "column",
-        "n",
-        "n_null",
-        "n_distinct",
-        F.when(is_num, _sci(F.col("_mn_num"))).otherwise(F.col("_mn_str")).alias(
-            "min_s"
-        ),
-        F.when(is_num, _sci(F.col("_mx_num"))).otherwise(F.col("_mx_str")).alias(
-            "max_s"
-        ),
+    return ext.join(F.broadcast(dn), "column").select(
+        "column", "n", "n_null", "n_distinct", "min_s", "max_s"
     )
 
 

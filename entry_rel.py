@@ -1302,6 +1302,53 @@ QUERIES.update({"ev_stream_append": q_ev_stream_append})
 _LATE_ORACLES.update({"ev_stream_append": o_ev_stream_append})
 
 
+def q_ev_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join through the real engine
+    (two readStream sources, state-store buffering per user key,
+    event-time range eviction, append mode — the only mode stream-stream
+    inner joins support). The batch twin is rel_range_join; this entry
+    proves the stateful streaming form computes the same matches. Times
+    are truncated-to-second event times (with_event_time), so the
+    oracle replays the predicate on epoch seconds, not raw µs."""
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_click_error_join,
+    )
+
+    out = run_stream_click_error_join(spark, sf_dir)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("error_id").cast("long").alias("error_id"),
+        F.col("error_time").cast("long").alias("error_s"),
+        F.col("click_time").cast("long").alias("click_s"),
+        _sci(F.col("click_value")).alias("click_value"),
+    )
+
+
+def o_ev_stream_join() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id AS error_id,
+         epoch_us(ts) // 1000000 AS e_s
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS c_s, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(e.error_id AS BIGINT) AS error_id,
+       CAST(e.e_s AS BIGINT) AS error_s,
+       CAST(c.c_s AS BIGINT) AS click_s,
+       {_sci_sql('c.value')} AS click_value
+FROM e JOIN c ON e.user_id = c.user_id
+ AND c.c_s > e.e_s - 600 AND c.c_s < e.e_s
+"""
+
+
+QUERIES.update({"ev_stream_join": q_ev_stream_join})
+_LATE_ORACLES.update({"ev_stream_join": o_ev_stream_join})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #

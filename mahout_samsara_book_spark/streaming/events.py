@@ -413,6 +413,50 @@ def sliding_active_users(
 
 _STREAM_RUN_SEQ = [0]
 
+# State-store parallelism for the bounded gate/pytest runs. Stateful
+# streaming cost is per (partition × micro-batch): every shuffle
+# partition materializes its own state store instance and rewrites its
+# delta files each batch, so a 25-row aggregate spread over 32
+# partitions pays 32 stores' worth of fixed overhead (measured 17.6 s →
+# 4.2 s on the stream-stream join at sf0.01 going 32 → 4). A production
+# deployment sizes this to the cluster — state VOLUME scales with key
+# cardinality and must spread — which is exactly why it's a knob here,
+# not a hardcode. Spark pins the value into the query's checkpoint at
+# start, so setting it around ``start()`` and restoring the session
+# value immediately is safe and leaks nothing to other queries.
+BOUNDED_STATE_PARTITIONS = 4
+
+
+def _run_bounded_stream(
+    spark, out: DataFrame, prefix: str, output_mode: str, state_partitions: int
+) -> DataFrame:
+    """Start ``out`` as an availableNow streaming query into a memory
+    sink named ``{prefix}_{seq}``, block until the backlog drains, and
+    return the sink table. Sets state-store parallelism for the query
+    (restoring the session conf immediately — the engine pins the value
+    per query at start)."""
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_RUN_SEQ[0]}"
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(key, old)
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.table(name)
+
 
 def run_stream_enriched_counts(spark, sf_dir: str) -> DataFrame:
     """Execute :func:`enriched_nation_counts` as a REAL Structured
@@ -433,21 +477,9 @@ def run_stream_enriched_counts(spark, sf_dir: str) -> DataFrame:
     )
     customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
     out = enriched_nation_counts(ev_stream, customers)
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"ev_stream_enriched_{_STREAM_RUN_SEQ[0]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_bounded_stream(
+        spark, out, "ev_stream_enriched", "complete", BOUNDED_STATE_PARTITIONS
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:  # pragma: no cover — availableNow self-terminates
-            q.stop()
-    return spark.table(name)
 
 
 def run_stream_windowed_counts(
@@ -475,21 +507,9 @@ def run_stream_windowed_counts(
         .parquet(sf_dir)
     )
     out = stream_windowed_counts(ev_stream, width=width)
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"ev_stream_windowed_{_STREAM_RUN_SEQ[0]}"
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_bounded_stream(
+        spark, out, "ev_stream_windowed", "complete", BOUNDED_STATE_PARTITIONS
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:  # pragma: no cover — availableNow self-terminates
-            q.stop()
-    return spark.table(name)
 
 
 def run_stream_windowed_append(
@@ -526,21 +546,54 @@ def run_stream_windowed_append(
         .parquet(sf_dir)
     )
     out = stream_windowed_counts(ev_stream, width=width, watermark=watermark)
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"ev_stream_append_{_STREAM_RUN_SEQ[0]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _run_bounded_stream(
+        spark, out, "ev_stream_append", "append", BOUNDED_STATE_PARTITIONS
     )
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:  # pragma: no cover — availableNow self-terminates
-            q.stop()
-    return spark.table(name)
+
+
+def run_stream_click_error_join(
+    spark,
+    sf_dir: str,
+    lookback_secs: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Execute :func:`stream_click_error_join` — the watermarked
+    STREAM-STREAM interval join, the hardest stateful shape in
+    Structured Streaming — through the real engine and return the
+    matched pairs.
+
+    Both sides are independent ``readStream`` sources over the same
+    bounded events fixture; the join buffers each side in the state
+    store keyed by user, and the event-time range condition lets the
+    watermark evict click rows once they fall behind
+    ``error watermark − lookback`` — bounded state at any input volume,
+    the property that makes this shape deployable on an unbounded
+    100 TB stream. Stream-stream inner joins support append mode only.
+
+    Determinism & oracle: each side is ONE parquet file, so
+    availableNow delivers both sides complete in micro-batch 0; every
+    match is emitted there (an inner join emits on arrival of the
+    matching pair — eviction only drops UNMATCHED future potential,
+    which a bounded replay never exercises). The result is therefore
+    exactly the batch join on truncated-to-second event times, which
+    the DuckDB oracle replays closed-form."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _src():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = _src().filter(F.col("event_type") == "click")
+    errors = _src().filter(F.col("event_type") == "error")
+    out = stream_click_error_join(
+        clicks, errors, lookback_secs=lookback_secs, watermark=watermark
+    )
+    return _run_bounded_stream(
+        spark, out, "ev_stream_join", "append", BOUNDED_STATE_PARTITIONS
+    )
 
 
 def sliding_hll_users(

@@ -796,8 +796,18 @@ def main() -> int:
                     "partial_" in p31,
                 ),
                 (
-                    "single lineitem scan",
-                    p31.count("Location: InMemoryFileIndex") == 1,
+                    "no row-scaled Sort: string extremes fold in a "
+                    "grouping-key-free global aggregate, counts in a "
+                    "hash aggregate (a grouped string min/max buffer "
+                    "would force a SortAggregate over the exploded "
+                    "relation — measured 6.5s at sf0.1)",
+                    "Sort (" not in p31,
+                ),
+                (
+                    "two column-pruned scans (extremes + counts), "
+                    "5-row sides broadcast-joined",
+                    p31.count("Location: InMemoryFileIndex") == 2
+                    and "BroadcastHashJoin" in p31,
                 ),
             ],
         )
