@@ -91,6 +91,83 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ #
 
 
+def q_text_shingle_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 lexical neighbors per document by idf-weighted shingle
+    cosine via the posting-list join — "more like this" retrieval with
+    no embedding model, and the graded companion to the binary LSH
+    dedup verdicts (a full similarity ranking, not a threshold).
+
+    Feature space is hashed 3-gram shingles (tf = 1 per distinct
+    shingle, so the weight is pure idf): the unigram vocabulary of the
+    fixture corpus is ~31 near-stopwords whose posting lists are the
+    whole corpus — shingles give the diverse, df-bounded vocabulary a
+    real near-dup scorer wants. Candidate cost is Σ df² with df capped
+    at 50 (the scale contract; a no-op on the fixture where max shingle
+    df is ~25). Cross-engine determinism comes from fixed-point integer
+    weights — see functions/text.py:tfidf_neighbors."""
+    from mahout_samsara_book_spark.functions.text import tfidf_neighbors
+
+    docs = _augmented_docs(spark, sf_dir)
+    from mahout_samsara_book_spark.operators.dedup import shingle_hashes
+
+    counts = shingle_hashes(docs, n=3).select(
+        "doc_id", F.col("h").alias("term"), F.lit(1).cast("long").alias("tf")
+    )
+    out = tfidf_neighbors(docs, k=5, max_df=50, counts=counts)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("neighbor").cast("long").alias("neighbor"),
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_text_shingle_neighbors() -> str:
+    # replay of tfidf_neighbors over the hashed shingle features:
+    # identical fixed-point quantization (w = round(idf·1e6) as BIGINT),
+    # exact integer dot/norm sums, then single correctly-rounded IEEE
+    # ops for the cosine — bit-identical doubles on both engines, so
+    # the (cosine DESC, neighbor) row_number ranking matches exactly
+    return f"""
+WITH {_SHINGLE_CTES},
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM aug),
+dfq AS (SELECT h, count(*) AS df FROM shh GROUP BY 1),
+wq AS (
+  SELECT shh.doc_id, shh.h,
+         CAST(round((ln(nd.n / (dfq.df + 1.0)) + 1.0) * 1000000.0)
+              AS BIGINT) AS w
+  FROM shh, dfq, nd
+  WHERE shh.h = dfq.h AND dfq.df <= 50
+),
+s2 AS (SELECT doc_id, sum(w * w) AS s2 FROM wq GROUP BY 1),
+num AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor, sum(a.w * b.w) AS num
+  FROM wq a JOIN wq b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT n.doc_id, n.neighbor,
+         least(CAST(n.num AS DOUBLE)
+               / (sqrt(CAST(sa.s2 AS DOUBLE)) * sqrt(CAST(sb.s2 AS DOUBLE))),
+               1.0) AS cosine
+  FROM num n
+  JOIN s2 sa ON n.doc_id = sa.doc_id
+  JOIN s2 sb ON n.neighbor = sb.doc_id
+),
+rk AS (
+  SELECT doc_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM cos
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(neighbor AS BIGINT) AS neighbor,
+       {_sci_sql('cosine')} AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import exact_dedup
 
@@ -959,6 +1036,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "text_shingle_neighbors": q_text_shingle_neighbors,
 }
 
 
@@ -986,6 +1064,7 @@ def oracles() -> dict[str, str]:
         "text_fingerprint": o_text_fingerprint(),
         "multimodal_meta": o_multimodal_meta(),
         "multimodal_decode": o_multimodal_decode(),
+        "text_shingle_neighbors": o_text_shingle_neighbors(),
     }
 
 

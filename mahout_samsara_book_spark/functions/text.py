@@ -130,3 +130,121 @@ def inverted_index(
         ).alias("head_postings"),
     )
     return agg.filter(F.col("df") >= F.lit(int(min_df)))
+
+
+def tfidf_neighbors(
+    docs: DataFrame,
+    k: int = 5,
+    max_df: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """``(doc_id, neighbor, cosine, rank)`` — top-k most similar
+    documents per document by SPARSE tf-idf cosine, via the
+    inverted-index (posting-list) join: the "more like this" /
+    lexical near-dup retrieval that needs no embedding model.
+
+    Scale shape: candidate pairs come from an equi-join of the weighted
+    term relation with itself on ``term`` — cost is Σ df² over term
+    document-frequencies, never |docs|². The ``max_df`` cap is the
+    scale contract that keeps that sum linear-ish: a stop-word's
+    posting list at 100 TB is the corpus itself (df² = everything),
+    so terms with df > max_df are excluded from SCORING entirely —
+    standard stop-term pruning, replayed identically by the oracle.
+    The pair aggregate and the per-doc top-k window both partition by
+    doc id; no global sort anywhere.
+
+    Cross-engine determinism: a float dot product over a term SET is
+    summed in partition-arrival order — not reproducible bit-for-bit
+    across engines (or even runs), and a last-ulp wobble under a
+    top-k boundary flips ranks. So weights are quantized to
+    fixed-point micro-units (``round(tfidf · 1e6)`` as int64) and the
+    dot product and squared norms are EXACT integer sums —
+    order-invariant by construction. The final
+    ``cosine = num / (sqrt(s2_a) · sqrt(s2_b))`` is then a chain of
+    single correctly-rounded IEEE ops on identical integers, hence
+    bit-identical on Spark and the oracle, making the (cosine desc,
+    neighbor asc) ranking fully deterministic. Overflow headroom:
+    w ≤ ~3.5e7 (tfidf ≲ 35), per-pair Σ w·w ≤ ~2.4e17 < 2^63.
+
+    ``counts`` overrides the default unigram ``term_counts`` with any
+    ``(id, term, tf)`` feature relation — e.g. hashed word-shingles
+    (tf = 1), which is the right feature space when the unigram
+    vocabulary is tiny or stop-word-dominated (then every unigram
+    posting list is the corpus and df pruning either empties the
+    scorer or goes quadratic)."""
+    from pyspark.sql import Window
+
+    if counts is None:
+        counts = term_counts(docs, id_col=id_col, text_col=text_col)
+    dfs = doc_frequencies(counts, id_col).filter(
+        F.col("df") <= F.lit(int(max_df))
+    )
+    n_df = docs.select(id_col).distinct().agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    from mahout_samsara_book_spark.cache import track
+
+    # the weighted relation feeds BOTH self-join sides plus the norm
+    # aggregate — persist it once (ids + two longs) instead of
+    # re-running the tokenize/shingle explode and df join three times
+    w = track(
+        counts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.sqrt(F.col("tf"))
+                * (F.log(F.col("_n") / (F.col("df") + 1.0)) + 1.0)
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    s2 = w.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("s2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    num = (
+        a.join(b, "term")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_id"),
+            F.col(f"b.{id_col}").alias("neighbor"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("num"))
+    )
+    sa = s2.select(F.col(id_col).alias("doc_id"), F.col("s2").alias("s2_a"))
+    sb = s2.select(F.col(id_col).alias("neighbor"), F.col("s2").alias("s2_b"))
+    cos = (
+        num.join(sa, "doc_id")
+        .join(sb, "neighbor")
+        .select(
+            "doc_id",
+            "neighbor",
+            # least(·, 1.0): for exact-duplicate vectors num² == s2_a·s2_b,
+            # and fl(sqrt(s))·fl(sqrt(s)) can round one ulp BELOW s,
+            # pushing the quotient one ulp above 1.0 — clamp restores the
+            # cosine contract; both engines clamp the same double, so
+            # determinism is preserved
+            F.least(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("s2_a").cast("double"))
+                    * F.sqrt(F.col("s2_b").cast("double"))
+                ),
+                F.lit(1.0),
+            ).alias("cosine"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        cos.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("doc_id", "neighbor", "cosine", "rank")
+    )

@@ -168,6 +168,48 @@ def test_inverted_index(spark):
     assert out["y"]["head_postings"] == [0, 2]
 
 
+def test_tfidf_neighbors_invariants(spark):
+    """Exact duplicates are each other's rank-1 neighbor with cosine
+    exactly 1.0 (integer dot == integer norm product is exact); every
+    cosine ∈ (0, 1]; ranks are dense 1..k per doc; a doc is never its
+    own neighbor; terms over max_df never contribute (the stop-term doc
+    pair shares only 'the', so it must NOT appear)."""
+    from mahout_samsara_book_spark.functions.text import tfidf_neighbors
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),  # exact dup of 0
+            (2, "alpha beta epsilon zeta"),
+            (3, "the quick brown fox"),
+            (4, "the lazy dog sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df=2 drops nothing here except terms shared by >2 docs
+    # ('alpha'/'beta' have df=3): pairs must come from rarer terms
+    out = tfidf_neighbors(docs, k=3, max_df=2).collect()
+    rows = {(r["doc_id"], r["neighbor"]): r for r in out}
+    assert all(r["doc_id"] != r["neighbor"] for r in out)
+    assert all(0.0 < r["cosine"] <= 1.0 for r in out)
+    # dup pair: top neighbor of each other at cosine exactly 1.0
+    assert rows[(0, 1)]["rank"] == 1 and rows[(0, 1)]["cosine"] == 1.0
+    assert rows[(1, 0)]["rank"] == 1 and rows[(1, 0)]["cosine"] == 1.0
+    # docs 3 and 4 share only 'the' (df=2 ≤ max_df) — they DO pair via
+    # it; drop max_df to 1 and the pair must disappear
+    strict = tfidf_neighbors(docs, k=3, max_df=1).collect()
+    skeys = {(r["doc_id"], r["neighbor"]) for r in strict}
+    assert (3, 4) not in skeys and (4, 3) not in skeys
+    # ranks dense per doc
+    import collections
+
+    per_doc = collections.defaultdict(list)
+    for r in out:
+        per_doc[r["doc_id"]].append(r["rank"])
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_pmi_pairs_hand_computed(spark):
     from mahout_samsara_book_spark.functions.text_analysis import pmi_pairs
 

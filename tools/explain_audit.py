@@ -813,6 +813,38 @@ def main() -> int:
         )
     )
 
+    import entry_m5 as _em
+
+    p32 = plan_of(_em.q_text_shingle_neighbors(spark, sf_dir))
+    checks.append(
+        (
+            "text_shingle_neighbors (posting-list cosine top-k)",
+            p32,
+            [
+                (
+                    "df table broadcast onto the shingle relation "
+                    "(vocabulary ≪ corpus)",
+                    "BroadcastHashJoin" in p32,
+                ),
+                (
+                    "no cartesian pair generation — candidates come from "
+                    "the term equi-join",
+                    "CartesianProduct" not in p32,
+                ),
+                (
+                    "top-k window partitioned by doc_id, no global sort",
+                    "windowspecdefinition(doc_id#" in p32,
+                ),
+                (
+                    "weighted relation cached once for both join sides + "
+                    "norms",
+                    "InMemoryTableScan" in p32
+                    or "TableCacheQueryStage" in p32,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
