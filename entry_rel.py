@@ -1349,6 +1349,37 @@ QUERIES.update({"ev_stream_join": q_ev_stream_join})
 _LATE_ORACLES.update({"ev_stream_join": o_ev_stream_join})
 
 
+def q_ev_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator through the real streaming engine:
+    ``applyInPandasWithState`` per-key running totals (arbitrary Python
+    state per key — the template for streamed sketches, session models,
+    online learners), availableNow, update-mode emissions folded to the
+    final state per key. On the bounded fixture the final state equals
+    the batch aggregate — the oracle twin."""
+    from mahout_samsara_book_spark.streaming.stateful import (
+        run_stream_stateful_totals,
+    )
+
+    out = run_stream_stateful_totals(spark, sf_dir)
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_stream_stateful() -> str:
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {_sci_sql('sum(value)')} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update({"ev_stream_stateful": q_ev_stream_stateful})
+_LATE_ORACLES.update({"ev_stream_stateful": o_ev_stream_stateful})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #

@@ -66,6 +66,66 @@ def start_running_totals(
     )
 
 
+def run_stream_stateful_totals(spark, sf_dir: str) -> DataFrame:
+    """Execute the ``applyInPandasWithState`` running-totals operator —
+    the CUSTOM stateful shape (arbitrary per-key Python state, the
+    template for streamed sketches / session models / online learners)
+    — through the real engine over the bounded events fixture, and
+    return the final per-key state.
+
+    Update-mode emissions land in a driver-side list via foreachBatch
+    (the memory sink does not take update mode); the LAST emission per
+    key is the final state. The bounded fixture is one parquet file, so
+    availableNow delivers everything in micro-batch 0 and the final
+    state is exactly the batch aggregate — the closed-form DuckDB twin.
+    Per-key float totals fold in pandas arrival order; the %.7e output
+    convention absorbs the last-ulp summation-order wobble exactly as
+    it does for every other distributed float sum in the registry."""
+    from mahout_samsara_book_spark.streaming.events import (
+        BOUNDED_STATE_PARTITIONS,
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    updated = ev_stream.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    rows: dict[str, tuple] = {}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in batch_df.collect():
+            rows[r["event_type"]] = (r["event_type"], r["n"], r["total_value"])
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(BOUNDED_STATE_PARTITIONS))
+    try:
+        q = (
+            updated.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(key, old)
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.createDataFrame(
+        sorted(rows.values()), "event_type string, n long, total_value double"
+    )
+
+
 # ------------------------------------------------------------------ #
 # Spark 4 state API: transformWithStateInPandas
 # ------------------------------------------------------------------ #
