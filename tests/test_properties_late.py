@@ -154,3 +154,70 @@ def test_skyline_matches_bruteforce(sp, rows):
         assert got == _brute_skyline(rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tfidf_neighbors_bruteforce_parity(spark):
+    """Full-output parity of the posting-list cosine top-k against a
+    driver-side numpy brute force that replays the identical
+    fixed-point quantization — every (doc, neighbor, cosine, rank) row
+    must match exactly, including tie order. Seeded random corpus so
+    shared-term structure is nontrivial."""
+    import math
+    import random
+
+    import numpy as np
+
+    from mahout_samsara_book_spark.functions.text import tfidf_neighbors
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 25))))
+        for i in range(30)
+    ]
+    k, max_df = 4, 20
+    out = tfidf_neighbors(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        k=k,
+        max_df=max_df,
+    ).collect()
+
+    # brute force with the same quantization
+    from collections import Counter, defaultdict
+
+    tf = {i: Counter(t.split()) for i, t in docs}
+    df = Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    n = float(len(docs))
+    w = defaultdict(dict)
+    for i, c in tf.items():
+        for term, f in c.items():
+            if df[term] <= max_df:
+                # replicate Spark: round(sqrt(tf)*(ln(n/(df+1))+1)*1e6) HALF_UP
+                v = math.sqrt(f) * (math.log(n / (df[term] + 1.0)) + 1.0) * 1e6
+                w[i][term] = math.floor(v + 0.5)
+    ids = sorted(w)
+    expect = {}
+    for a in ids:
+        scored = []
+        s2a = sum(x * x for x in w[a].values())
+        for b in ids:
+            if a == b:
+                continue
+            num = sum(w[a][t] * w[b][t] for t in w[a].keys() & w[b].keys())
+            if num == 0:
+                continue
+            s2b = sum(x * x for x in w[b].values())
+            cos = min(num / (math.sqrt(s2a) * math.sqrt(s2b)), 1.0)
+            scored.append((-cos, b))
+        scored.sort()
+        for rank, (negcos, b) in enumerate(scored[:k], 1):
+            expect[(a, b)] = (-negcos, rank)
+    got = {(r["doc_id"], r["neighbor"]): (r["cosine"], r["rank"]) for r in out}
+    assert set(got) == set(expect)
+    for key, (cos, rank) in expect.items():
+        gcos, grank = got[key]
+        assert grank == rank, (key, grank, rank)
+        assert gcos == pytest.approx(cos, rel=1e-12), (key, gcos, cos)
