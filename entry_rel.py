@@ -1380,6 +1380,65 @@ QUERIES.update({"ev_stream_stateful": q_ev_stream_stateful})
 _LATE_ORACLES.update({"ev_stream_stateful": o_ev_stream_stateful})
 
 
+_PART_RT_SEQ = [0]
+
+
+def q_fmt_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning proof in the gate: events written to a
+    Hive-partitioned layout (``event_type=…/`` directories — the 100 TB
+    data-skipping primitive), read back through the partition-aware
+    reader, filtered to ONE type, and aggregated. The filter never
+    touches the other types' files — it prunes whole directories at
+    planning time (PartitionFilters on the scan, asserted in
+    tools/explain_audit.py) — and the oracle aggregates the ORIGINAL
+    parquet with the same predicate, so a hash-match certifies the
+    partitioned write/read/prune edge loses nothing. Output dir is
+    pid-qualified + sequence-numbered (same concurrency contract as
+    fmt_bucketed_join)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.formats import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import windowed_counts
+
+    _PART_RT_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_part_rt_{os.getpid()}_{_PART_RT_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, path, ["event_type"])
+    back = read_partitioned(spark, path).filter(
+        F.col("event_type") == "click"
+    )
+    out = windowed_counts(back, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_fmt_partitioned_prune() -> str:
+    return f"""
+SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       {_sci_sql('sum(value)')} AS total_value
+FROM events WHERE event_type = 'click' GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"fmt_partitioned_prune": q_fmt_partitioned_prune})
+_LATE_ORACLES.update({"fmt_partitioned_prune": o_fmt_partitioned_prune})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #

@@ -89,6 +89,24 @@ def read_jsonl(
     return spark.read.options(**_JSON_OPTS).schema(schema).json(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` directories)
+    — the 100 TB data-skipping primitive: a filter on a partition column
+    prunes whole directories at PLANNING time (PartitionFilters in the
+    scan), so a one-type query over a petabyte table reads only that
+    type's files. The write shuffles nothing (partitionBy splits each
+    task's output by value)."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Hive-partitioned parquet tree; partition columns come back
+    as real columns reconstructed from directory names."""
+    return spark.read.parquet(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 

@@ -845,6 +845,30 @@ def main() -> int:
         )
     )
 
+    import entry_rel as _er6
+
+    p33 = plan_of(_er6.q_fmt_partitioned_prune(spark, sf_dir))
+    checks.append(
+        (
+            "fmt_partitioned_prune (Hive-layout directory pruning)",
+            p33,
+            [
+                (
+                    "event_type filter is a PARTITION filter — whole "
+                    "directories pruned at planning time, other types' "
+                    "files never opened",
+                    "PartitionFilters: [" in p33
+                    and "(event_type" in p33.split("PartitionFilters: [")[1].split("]")[0],
+                ),
+                (
+                    "partition column not re-filtered row-wise after the "
+                    "prune (no residual data filter on event_type)",
+                    "PushedFilters: [IsNotNull(event_type)" not in p33,
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
