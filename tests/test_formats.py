@@ -75,3 +75,36 @@ def test_embeddings_nested_roundtrip(spark, embeddings, tmp_path_factory, fmt):
     assert len(a) == len(b) > 0
     for va, vb in zip(a.embedding, b.embedding):
         assert list(va) == pytest.approx(list(vb), rel=1e-6)
+
+
+def test_partitioned_roundtrip_and_layout(spark, events, tmp_path_factory):
+    """Hive-partitioned write/read: values and row counts survive, the
+    partition column comes back (as string — directory names carry no
+    type), and the pre-shuffle produces exactly ONE data file per
+    partition value (the small-files contract measured in SCALING.md's
+    sf10 section: 39.3s → 5.6s)."""
+    import glob
+    import os
+
+    from mahout_samsara_book_spark.sources.formats import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("ev_part")) + "/tree"
+    write_partitioned(events, path, ["event_type"])
+    back = read_partitioned(spark, path)
+    assert back.count() == events.count()
+    types = {r["event_type"] for r in events.select("event_type").distinct().collect()}
+    dirs = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(f"{path}/event_type=*")
+    }
+    assert dirs == types
+    for d in glob.glob(f"{path}/event_type=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files (want 1)"
+    # per-type counts identical
+    a = {r["event_type"]: r["n"] for r in events.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    b = {r["event_type"]: r["n"] for r in back.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert a == b
