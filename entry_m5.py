@@ -322,6 +322,66 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_a", "vec_b", _sci(F.col("cosine")).alias("cosine"))
 
 
+def q_sel_decontaminate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag (train, eval) embedding pairs at
+    cosine ≥ 0.9 — the embedding companion to the n-gram
+    sel_decontaminate (paraphrased eval leakage shares no 13-gram but
+    sits next to the eval point in embedding space). Eval = the
+    hash-chosen tenth of the corpus plus the 10 seed vectors; train =
+    the augmented corpus (which plants exact copies of those seeds)
+    minus eval — so the copies provably flag at cosine 1.0 alongside
+    any natural near-leakage. Eval broadcasts; the corpus never
+    shuffles."""
+    from mahout_samsara_book_spark.operators.hashing import h60
+    from mahout_samsara_book_spark.operators.selection import (
+        decontaminate_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(dups)
+    is_eval = (F.col("vec_id") < 10) | (
+        h60(F.concat(F.lit("de:"), F.col("vec_id").cast("string"))) % 10 == 0
+    )
+    ev = aug.filter(is_eval)
+    train = aug.filter(~is_eval)
+    out = decontaminate_embeddings(train, ev, threshold=0.9)
+    return out.select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        _sci(F.col("cosine")).alias("cosine"),
+    )
+
+
+def o_sel_decontaminate_emb() -> str:
+    h = h60_sql("'de:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             (vec_id < 10 OR ({h}) % 10 = 0) AS is_eval
+      FROM aug),
+n AS (SELECT vec_id, v, is_eval, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+s AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         list_dot_product(t.v, e.v) / (t.nrm * e.nrm) AS cosine
+  FROM n t JOIN n e ON NOT t.is_eval AND e.is_eval
+)
+SELECT CAST(train_id AS BIGINT) AS train_id,
+       CAST(eval_id AS BIGINT) AS eval_id,
+       {_sci_sql('cosine')} AS cosine
+FROM s WHERE cosine >= 0.9
+"""
+
+
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import cosine_topk
 
@@ -1037,6 +1097,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "text_shingle_neighbors": q_text_shingle_neighbors,
+    "sel_decontaminate_emb": q_sel_decontaminate_emb,
 }
 
 
@@ -1065,6 +1126,7 @@ def oracles() -> dict[str, str]:
         "multimodal_meta": o_multimodal_meta(),
         "multimodal_decode": o_multimodal_decode(),
         "text_shingle_neighbors": o_text_shingle_neighbors(),
+        "sel_decontaminate_emb": o_sel_decontaminate_emb(),
     }
 
 
