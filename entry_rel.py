@@ -1439,6 +1439,84 @@ QUERIES.update({"fmt_partitioned_prune": q_fmt_partitioned_prune})
 _LATE_ORACLES.update({"fmt_partitioned_prune": o_fmt_partitioned_prune})
 
 
+_CSV_RT_SEQ = [0]
+
+
+def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-zone ingestion edge in the gate: events → CSV (header,
+    explicit timestamp format) → read back with the EXPLICIT schema
+    (inference is a full extra pass at 100 TB and silently widens
+    types) → windowed aggregate. Oracle aggregates the ORIGINAL
+    parquet, so a hash-match certifies the CSV write/read edge —
+    including microsecond TIMESTAMP_NTZ fidelity through the text
+    format — loses nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.formats import read_csv, write_csv
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import windowed_counts
+
+    _CSV_RT_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_csv_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    write_csv(ev, path)
+    back = read_csv(spark, path, ev.schema)
+    out = windowed_counts(back, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES.update({"fmt_csv_roundtrip": q_fmt_csv_roundtrip})
+_LATE_ORACLES.update({"fmt_csv_roundtrip": o_ev_windowed_counts})
+
+
+def q_fmt_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines twin of fmt_csv_roundtrip — the other landing-zone
+    format (full fidelity for nested types, pinned timestamp format,
+    explicit schema on read)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.formats import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.streaming.events import windowed_counts
+
+    _CSV_RT_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_jsonl_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    write_jsonl(ev, path)
+    back = read_jsonl(spark, path, ev.schema)
+    out = windowed_counts(back, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES.update({"fmt_jsonl_roundtrip": q_fmt_jsonl_roundtrip})
+_LATE_ORACLES.update({"fmt_jsonl_roundtrip": o_ev_windowed_counts})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #
