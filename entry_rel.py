@@ -1517,6 +1517,64 @@ QUERIES.update({"fmt_jsonl_roundtrip": q_fmt_jsonl_roundtrip})
 _LATE_ORACLES.update({"fmt_jsonl_roundtrip": o_ev_windowed_counts})
 
 
+def q_fmt_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read in the gate: a 100 TB table accretes
+    columns over years of ingest, so old files lack what new files
+    carry. Half the events (by even/odd event_id) are written WITHOUT
+    the ``value`` column (the 'old generation'), half with it; a
+    ``mergeSchema`` read unifies them — old rows surface NULL values —
+    and the per-type aggregate counts rows and non-null values. The
+    oracle replays the generation split analytically on the original
+    parquet, so the hash-match certifies missing-column null-fill and
+    cross-file schema unification."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.tables import load_table
+
+    _CSV_RT_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_merge_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    old_gen = ev.filter(F.col("event_id") % 2 == 0).drop("value")
+    new_gen = ev.filter(F.col("event_id") % 2 == 1)
+    old_gen.write.parquet(f"{path}/gen=0")
+    new_gen.write.parquet(f"{path}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=0", f"{path}/gen=1"
+    )
+    out = back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.sum("value").alias("value_sum"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_with_value").cast("long").alias("n_with_value"),
+        _sci(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+def o_fmt_schema_merge() -> str:
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_value,
+       {_sci_sql('sum(CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END)')}
+         AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update({"fmt_schema_merge": q_fmt_schema_merge})
+_LATE_ORACLES.update({"fmt_schema_merge": o_fmt_schema_merge})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #
