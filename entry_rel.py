@@ -1575,6 +1575,28 @@ QUERIES.update({"fmt_schema_merge": q_fmt_schema_merge})
 _LATE_ORACLES.update({"fmt_schema_merge": o_fmt_schema_merge})
 
 
+def q_ev_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup through the REAL streaming engine:
+    ``dropDuplicatesWithinWatermark`` over a doubled source (two copies
+    of the events file), state bounded by the watermark horizon. The
+    batch twin is ev_dedup; the oracle is the original relation (dups
+    are full-row identical, so the surviving copy is immaterial)."""
+    from mahout_samsara_book_spark.streaming.events import run_stream_dedup
+
+    out = run_stream_dedup(spark, sf_dir)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("t_sec").cast("long").alias("t_sec"),
+        _sci(F.col("value")).alias("value"),
+    )
+
+
+QUERIES.update({"ev_stream_dedup": q_ev_stream_dedup})
+_LATE_ORACLES.update({"ev_stream_dedup": o_ev_dedup})
+
+
 # ------------------------------------------------------------------ #
 # 2D skyline + ORC sink round-trip (round-3 late batch)
 # ------------------------------------------------------------------ #

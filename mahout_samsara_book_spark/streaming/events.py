@@ -596,6 +596,34 @@ def run_stream_click_error_join(
     )
 
 
+def run_stream_dedup(spark, sf_dir: str, watermark: str = "30 minutes") -> DataFrame:
+    """Execute :func:`stream_dedup_events` — at-least-once replay dedup
+    via ``dropDuplicatesWithinWatermark`` — through the real engine.
+    The source directory carries TWO copies of the events file (the
+    at-least-once delivery simulation, same doubling as the batch
+    ev_dedup twin); the dedup state drops the replayed copy and emits
+    each event once. Duplicates are full-row identical, so which copy
+    survives is immaterial and the bounded result equals the original
+    relation — the batch oracle. State is bounded by (arrival rate ×
+    watermark), the property that keeps this shape runnable forever on
+    an unbounded stream."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="sg_dedup_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = spark.readStream.schema(batch_schema).parquet(src)
+    out = stream_dedup_events(ev_stream, watermark=watermark)
+    try:
+        return _run_bounded_stream(
+            spark, out, "ev_stream_dedup", "append", BOUNDED_STATE_PARTITIONS
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def sliding_hll_users(
     ev: DataFrame,
     width_s: int = 3600,
