@@ -97,7 +97,11 @@ def test_tracked_caches_released_across_queries(spark, docs_fixture):
     out = pipeline_funnel(docs_fixture)
     out.count()
     n_mid = cached_count()
-    assert n_mid > baseline
+    # NOT strict: under full-suite ordering an earlier test may have
+    # cached an IDENTICAL plan (CacheManager dedups by canonicalized
+    # plan — "Asked to cache already cached data"), leaving the count
+    # unchanged; the load-bearing assertions are the release ones below
+    assert n_mid >= baseline
 
     from mahout_samsara_book_spark import cache as _cache
 
