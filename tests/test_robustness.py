@@ -96,12 +96,17 @@ def test_tracked_caches_released_across_queries(spark, docs_fixture):
     triangle_counts(edges).count()
     out = pipeline_funnel(docs_fixture)
     out.count()
+    # the GLOBAL persistent-RDD count is unstable under full-suite
+    # ordering: an earlier test may have cached an identical plan
+    # (CacheManager dedups by canonicalized plan) and the async
+    # ContextCleaner frees unrelated localCheckpoint blocks between any
+    # two measurements — both directions observed in CI. The
+    # deterministic mid-state signal is the cache REGISTRY itself; the
+    # load-bearing assertions are the release ones below.
+    from mahout_samsara_book_spark import cache as _cache_mid
+
+    assert len(_cache_mid._TRACKED) > 0
     n_mid = cached_count()
-    # NOT strict: under full-suite ordering an earlier test may have
-    # cached an IDENTICAL plan (CacheManager dedups by canonicalized
-    # plan — "Asked to cache already cached data"), leaving the count
-    # unchanged; the load-bearing assertions are the release ones below
-    assert n_mid >= baseline
 
     from mahout_samsara_book_spark import cache as _cache
 
