@@ -374,11 +374,12 @@ s AS (
   SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
          list_dot_product(t.v, e.v) / (t.nrm * e.nrm) AS cosine
   FROM n t JOIN n e ON NOT t.is_eval AND e.is_eval
+                   AND t.nrm > 0 AND e.nrm > 0
 )
 SELECT CAST(train_id AS BIGINT) AS train_id,
        CAST(eval_id AS BIGINT) AS eval_id,
        {_sci_sql('cosine')} AS cosine
-FROM s WHERE cosine >= 0.9
+FROM s WHERE round(cosine, 9) >= 0.9
 """
 
 

@@ -245,7 +245,17 @@ def decontaminate_embeddings(
     measured >50× slower on the same flops (a 18k×2k×64 sweep timed
     out where the matmul takes milliseconds). Sub-%.7e float noise
     from BLAS summation order is absorbed by the output convention,
-    the same contract as every other distributed float sum here."""
+    the same contract as every other distributed float sum here.
+
+    Determinism contracts (round-7): zero-norm vectors are EXCLUDED
+    from both sides (cosine is undefined; numpy would yield NaN —
+    silently dropped — while an engine with NaN-greatest float
+    ordering would admit the pair). And the threshold compare runs on
+    the cosine ROUNDED to 9 decimals, so a pair within ~1 ulp of the
+    cutoff cannot be included by one engine and excluded by a
+    recomputing oracle (filter MEMBERSHIP is not absorbed by the
+    %.7e value convention; same caveat class as the bahmani φ
+    threshold). Emitted cosine stays unrounded."""
     import numpy as np
     import pandas as pd
 
@@ -285,8 +295,12 @@ def decontaminate_embeddings(
                 rm = r_m[lo : lo + chunk]
                 rn = r_nrm[lo : lo + chunk]
                 rid = r_ids[lo : lo + chunk]
-                cos = (t_m @ rm.T) / np.outer(t_nrm, rn)
-                ti, ei = np.nonzero(cos >= thr)
+                denom = np.outer(t_nrm, rn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (t_m @ rm.T) / denom
+                # zero-norm mask: undefined cosine never matches
+                cos = np.where(denom > 0, cos, -1.0)
+                ti, ei = np.nonzero(np.round(cos, 9) >= thr)
                 if ti.size:
                     yield pd.DataFrame(
                         {

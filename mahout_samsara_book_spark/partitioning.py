@@ -37,23 +37,32 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     Probe cost (round-6): the exact probe (``df.rdd.getNumPartitions``)
     forces physical planning + RDD translation on the driver, which at
     real scale is pure waste — the answer is always "already wide". So
-    Catalyst's *logical* size estimate short-circuits first: if the
-    optimized plan's ``sizeInBytes`` already spans ≥ target
-    ``maxPartitionBytes`` splits the input cannot scan narrower than
-    target, and the guard returns without ever building a physical
-    plan. Only plausibly-small inputs (fixtures, post-filter slivers,
-    in-memory ranges whose stats underestimate their partitioning) fall
-    through to the exact probe — measured at ~1-3 ms warm on such
-    plans (SCALING.md round-6 note). Streaming DataFrames pass through
-    untouched: ``.rdd`` raises on them and micro-batch sources manage
-    their own parallelism.
+    Catalyst's *logical* size estimate short-circuits first, and since
+    round 7 the estimate is the LARGEST LEAF's ``sizeInBytes``, not the
+    full plan's: without column stats Catalyst sizes a join as the
+    product of its children, so a genuinely narrow post-join plan can
+    carry a huge full-plan estimate (a silent skip of the widen). A
+    leaf, by contrast, is a scan whose stats are real file bytes — if
+    one leaf alone spans ≥ target ``maxPartitionBytes`` splits, the
+    streamed side of any join stack on top of it is at least that wide
+    (shuffled stages get ``shuffle.partitions`` anyway), and the guard
+    returns without ever building a physical plan. Only plausibly-small
+    inputs (fixtures, post-filter slivers, in-memory ranges whose stats
+    underestimate their partitioning) fall through to the exact probe —
+    measured at ~1-3 ms warm on such plans (SCALING.md round-6 note).
+    Streaming DataFrames pass through untouched: ``.rdd`` raises on
+    them and micro-batch sources manage their own parallelism.
     """
     if df.isStreaming:
         return df
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        est = max(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
