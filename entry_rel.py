@@ -1773,6 +1773,72 @@ QUERIES.update({"fmt_bucketed_join": q_fmt_bucketed_join})
 _LATE_ORACLES.update({"fmt_bucketed_join": o_fmt_bucketed_join})
 
 
+def q_rel_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 chain over the bucketed layout (VERDICT r6 item 4): lineitem
+    + orders bucketed by order key, customer bucketed by c_custkey, all
+    written once into a per-invocation explicit-LOCATION database and
+    read back through the catalog. The chain re-plans as
+    ``revenue_by_nation_one_exchange`` — order-grain pre-aggregation +
+    co-bucketed joins, so the only fact-side exchange is the order-grain
+    aggregate moving to the customer bucketing (the sf10 answer to the
+    23× broadcast→shuffle boundary on the plain chain). The oracle is
+    the PLAIN Q5 SQL over the original parquet: a hash-match certifies
+    both the layout round-trip and the algebraic re-plan (order-grain
+    rollup == countDistinct semantics) lose nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.functions.relational import (
+        revenue_by_nation_one_exchange,
+    )
+    from mahout_samsara_book_spark.sources.bucketing import (
+        bucketed_table,
+        write_bucketed,
+    )
+    from mahout_samsara_book_spark.sources.tables import load_table
+
+    _BKT_SEQ[0] += 1
+    db = f"spark_graft_q5b_{os.getpid()}_{_BKT_SEQ[0]}"
+    loc = tempfile.gettempdir() + f"/{db}"
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    write_bucketed(li, f"{db}.lineitem_b", ["l_orderkey"], 8)
+    write_bucketed(orders, f"{db}.orders_b", ["o_orderkey"], 8)
+    write_bucketed(cust, f"{db}.customer_b", ["c_custkey"], 8)
+    out = revenue_by_nation_one_exchange(
+        bucketed_table(spark, f"{db}.lineitem_b"),
+        bucketed_table(spark, f"{db}.orders_b"),
+        bucketed_table(spark, f"{db}.customer_b"),
+        nation,
+    )
+    return out.select(
+        "n_name",
+        _sci(F.col("revenue")).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+def o_rel_revenue_bucketed() -> str:
+    return o_revenue_by_nation()
+
+
+QUERIES.update({"rel_revenue_by_nation_bucketed": q_rel_revenue_bucketed})
+_LATE_ORACLES.update(
+    {"rel_revenue_by_nation_bucketed": o_rel_revenue_bucketed}
+)
+
+
 # ------------------------------------------------------------------ #
 # first-touch session attribution, YoY growth, MAD outliers
 # (round-3 late batch)

@@ -66,6 +66,52 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_nation_one_exchange(
+    li: DataFrame,
+    orders: DataFrame,
+    cust: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """The Q5 chain re-planned for a bucketed layout (round-7, VERDICT
+    r6 item 4): when the customer dimension outgrows broadcast (sf10
+    measured the plain chain at 23× for 100× data — the broadcast→
+    shuffle boundary), the scale answer is layout, not a bigger
+    broadcast threshold.
+
+    Expected layout: ``li`` and ``orders`` bucketed by order key,
+    ``cust`` bucketed by ``c_custkey`` (same bucket count). The chain
+    then pre-aggregates revenue to ORDER grain first — exchange-free,
+    the scan's bucket hash-partitioning already satisfies the groupBy —
+    joins orders exchange-free on the co-bucketed key, and only the
+    order-grain aggregate (|orders| rows, not |lineitem|) shuffles once
+    to the customer bucketing, whose side stays exchange-free. Nation
+    broadcasts. Net: ONE fact-side exchange at order grain vs the plain
+    chain's lineitem-sized shuffles, and it degrades linearly with
+    orders, never with lineitem.
+
+    ``n_orders`` is ``count(*)`` after the order-grain rollup — each
+    surviving order appears exactly once, so it equals the plain
+    chain's ``countDistinct(o_orderkey)`` (inner-join semantics
+    preserved: orders without lineitems drop on both shapes)."""
+    order_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "order_rev"
+        )
+    )
+    per_order = orders.join(
+        order_rev, orders.o_orderkey == order_rev.l_orderkey
+    ).select("o_custkey", "o_orderkey", "order_rev")
+    return (
+        per_order.join(cust, per_order.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("order_rev").alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def top_customers_per_nation(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -90,3 +90,41 @@ def test_bucketed_aggregation_is_exchange_free(bucketed):
     assert "Exchange" not in plan, plan
     raw = load_table(spark, SF_DIR, "lineitem")
     assert agg.count() == raw.select("l_orderkey").distinct().count()
+
+
+def test_q5_chain_over_buckets_has_no_fact_shuffle(bucketed):
+    """The re-planned Q5 chain (revenue_by_nation_one_exchange) over the
+    bucketed layout must not shuffle at LINEITEM grain: the order-grain
+    rollup is satisfied by the li bucketing, the orders join is
+    co-bucketed, and the only hash exchanges left are at order grain
+    (to the customer bucketing, when customer is too big to broadcast)
+    and the tiny final n_name aggregate."""
+    from mahout_samsara_book_spark.functions.relational import (
+        revenue_by_nation_one_exchange,
+    )
+
+    spark = bucketed
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    write_bucketed(cust, "bktdb.customer_b", ["c_custkey"], 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = revenue_by_nation_one_exchange(
+            bucketed_table(spark, "bktdb.lineitem_b"),
+            bucketed_table(spark, "bktdb.orders_b"),
+            bucketed_table(spark, "bktdb.customer_b"),
+            load_table(spark, SF_DIR, "nation"),
+        )
+        plan = _initial_plan(out)
+        # no shuffle keyed on any lineitem-grain column
+        assert "hashpartitioning(l_orderkey" not in plan, plan
+        # the exchanges that remain are order-grain or the final agg
+        import re
+
+        shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+        assert set(shuffles) <= {"o_custkey", "n_name"}, plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
