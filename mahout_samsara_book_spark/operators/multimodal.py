@@ -14,7 +14,11 @@ RIFF/PCM WAV payloads with the stdlib ``wave`` module and
 ``decode_wav_features`` parses them back (header + frame extraction +
 int16 PCM decode); ``attach_ppm``/``decode_ppm_features`` do the same
 for binary Netpbm P6 images (comment-tolerant header parse + RGB plane
-decode). Actual byte-level codec round trips, not folds of raw bytes.
+decode). PNG is real too (round-7): ``attach_png`` writes
+spec-conformant zlib-compressed, CRC-framed 8-bit RGB PNGs exercising
+all five scanline filters, and ``_png_decode`` walks chunks, inflates
+and reconstructs the filters with only the stdlib. Actual byte-level
+codec round trips, not folds of raw bytes.
 """
 
 from __future__ import annotations
@@ -250,6 +254,212 @@ def decode_ppm_features(media_df: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4)."""
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+
+def attach_png(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 12,
+    height: int = 10,
+) -> DataFrame:
+    """Synthesize a REAL PNG payload per doc with only the stdlib:
+    8-bit RGB (color type 2), zlib-compressed IDAT, CRC-32 chunk
+    framing — byte-for-byte spec-conformant (``PIL.Image.open`` reads
+    them). Pixel (x, y) channel c of doc d is the same deterministic
+    ``(d*31 + (y*w + x)*7 + c*13) mod 256`` as :func:`attach_ppm`, so
+    the analytic oracle needs no codec. Row y uses filter type
+    ``(d + y) mod 5`` — all five PNG filters (None/Sub/Up/Average/
+    Paeth) appear across the corpus, so a decoder that fakes any
+    filter's reconstruction cannot hash-match. Arrow-batched, narrow."""
+    import struct
+    import zlib
+
+    def op(batches):
+        bpp = 3
+        npix = width * height
+        idx = np.arange(npix, dtype=np.int64)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base = d * 31 + idx * 7
+                rgb = np.empty((npix, 3), dtype=np.int64)
+                for c in range(3):
+                    rgb[:, c] = (base + c * 13) % 256
+                rows = rgb.reshape(height, width * bpp)
+                scan = bytearray()
+                prior = np.zeros(width * bpp, dtype=np.int64)
+                zeros = np.zeros(bpp, dtype=np.int64)
+                for y in range(height):
+                    raw = rows[y]
+                    left = np.concatenate([zeros, raw[:-bpp]])
+                    ul = np.concatenate([zeros, prior[:-bpp]])
+                    ft = (d + y) % 5
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = left
+                    elif ft == 2:
+                        pred = prior
+                    elif ft == 3:
+                        pred = (left + prior) // 2
+                    else:
+                        pred = _paeth_vec(left, prior, ul)
+                    scan.append(ft)
+                    scan.extend(((raw - pred) % 256).astype(np.uint8).tobytes())
+                    prior = raw
+                blobs.append(
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+                    + _png_chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        op, schema="doc_id long, media binary"
+    )
+    return media.select(
+        "doc_id",
+        "media",
+        F.lit("image/png").alias("media_type"),
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("checksum"),
+    )
+
+
+def _png_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decode with only the stdlib: chunk walk (CRC-verified),
+    IHDR parse, IDAT concatenation, zlib inflate, and full filter
+    reconstruction for all five filter types. Supports the 8-bit RGB
+    non-interlaced flavor (what :func:`attach_png` writes and the
+    dominant layout in practice); other color types/bit depths raise
+    the declared stub contract. Returns (width, height,
+    pixels[h*w, 3] int64). The sequential left-neighbor dependency of
+    Sub/Average/Paeth reconstruction is inherently per-byte; at real
+    scale this loop is where libpng/PIL drops in — the Spark side
+    (binary column in, Arrow batch, narrow map) is unchanged."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG byte stream")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "PNG decoder supports 8-bit RGB non-interlaced; got "
+                    f"depth={depth} colortype={ctype} interlace={interlace}"
+                )
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prior) % 256
+        else:
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                rec[i] = (line[i] + pred) % 256
+        out[y] = rec
+        prior = rec
+    return w, h, out.reshape(-1, 3)
+
+
+def decode_png_features(media_df: DataFrame) -> DataFrame:
+    """Real PNG decode: chunk walk → inflate → filter reconstruction →
+    per-channel pixel sums, ``(doc_id, width, height, channel,
+    ch_sum)`` — integer-exact, Arrow-batched, narrow; three output rows
+    per image (mirrors :func:`decode_ppm_features`)."""
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc, ws, hs, ch, s = [], [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf["media"]):
+                w, h, pix = _png_decode(bytes(buf))
+                sums = pix.sum(axis=0)
+                for c in range(3):
+                    doc.append(did)
+                    ws.append(w)
+                    hs.append(h)
+                    ch.append(c)
+                    s.append(int(sums[c]))
+            yield pd.DataFrame(
+                {"doc_id": doc, "width": ws, "height": hs,
+                 "channel": ch, "ch_sum": s}
+            )
+
+    return media_df.mapInPandas(
+        op,
+        schema="doc_id long, width long, height long, channel long, ch_sum long",
+    )
+
+
 def _fake_decode(buf: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for a codec: fold the byte stream into
     out_dim accumulators (sum of bytes at stride positions, normalized).
@@ -282,9 +492,13 @@ def decode_features(
                     edges = np.linspace(0, n, out_dim + 1).astype(int)
                     widths = np.maximum(np.diff(edges), 1)
                     feats.append((sums / widths).tolist())
-                elif mt == "image/x-portable-pixmap":
-                    # real codec path: P6 parse → pooled pixel means
-                    _, _, pix = _ppm_parse(bytes(buf))
+                elif mt in ("image/x-portable-pixmap", "image/png"):
+                    # real codec paths: P6 parse / PNG inflate+filter
+                    # reconstruction → pooled pixel means
+                    parse = (
+                        _png_decode if mt == "image/png" else _ppm_parse
+                    )
+                    _, _, pix = parse(bytes(buf))
                     flat = pix.reshape(-1).astype(np.float64)
                     edges = np.linspace(0, flat.size, out_dim + 1).astype(int)
                     feats.append(

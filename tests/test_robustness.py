@@ -213,3 +213,78 @@ def test_ppm_codec_roundtrip(spark):
         )
         assert int(r.ch_sum) == expect
         assert (int(r.width), int(r.height)) == (5, 3)
+
+
+def test_png_codec_roundtrip(spark):
+    """attach_png writes a spec-conformant PNG (signature, CRC-framed
+    chunks, zlib IDAT) covering all five scanline filters across the
+    doc×row grid; decode_png_features reconstructs them back to the
+    exact analytic channel sums."""
+    from mahout_samsara_book_spark.operators.multimodal import (
+        _png_decode,
+        attach_png,
+        decode_png_features,
+    )
+
+    # doc_ids 0..4 × 5 rows → every (doc+y) mod 5 filter type appears
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    media = attach_png(docs, width=6, height=5).toPandas()
+    buf = bytes(media["media"][0])
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, pix = _png_decode(buf)
+    assert (w, h, pix.shape) == (6, 5, (30, 3))
+    # pixel-exact reconstruction against the analytic formula
+    did = int(media["doc_id"][0])
+    for i in range(30):
+        for c in range(3):
+            assert pix[i, c] == (did * 31 + i * 7 + c * 13) % 256
+    out = (
+        decode_png_features(attach_png(docs, width=6, height=5))
+        .orderBy("doc_id", "channel")
+        .toPandas()
+    )
+    assert len(out) == 15
+    for _, r in out.iterrows():
+        expect = sum(
+            (int(r.doc_id) * 31 + i * 7 + int(r.channel) * 13) % 256
+            for i in range(30)
+        )
+        assert int(r.ch_sum) == expect
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    """CRC corruption is detected; non-PNG bytes and unsupported color
+    types hit the declared contracts."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from mahout_samsara_book_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_decode,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _png_decode(b"GIF89a not a png")
+    # grayscale (color type 0) is outside the supported flavor
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    gray = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        _png_decode(gray)
+    # flip one IDAT byte -> CRC mismatch must raise
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x01\x02\x03")
+    good = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _png_decode(good)[2].tolist() == [[1, 2, 3]]
+    bad = bytearray(good)
+    bad[8 + 25 + 8] ^= 0xFF  # first IDAT payload byte
+    with pytest.raises(ValueError):
+        _png_decode(bytes(bad))
