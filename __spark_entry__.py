@@ -608,40 +608,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-6 is the FINAL rotation (VERDICT r5
-    # item 1): with it, the union of driver rows across r1–r6 covers
-    # the whole registry and every query's LATEST driver row is green.
-    # Window composition: (1) the 18 queries that have never appeared
-    # in any driver artifact (union of CORRECTNESS_r01..r05 = 150 of
-    # 168) plus the two brand-new round-6 streaming entries; (2) the 7
-    # queries whose latest driver row is a stale round-1/2 red that
-    # predates their oracles or was the r2 driver-harness fault; (3)
-    # the oldest-graded names (last driver row = round 2) to refresh.
-    rotation_r6 = [
-        # -- (1) never driver-graded: the r5 rotation tail + the new
-        #        round-6 streaming entry
-        "rel_upsert", "rel_incr_summary", "rel_profile",
-        "rel_asof_tolerance", "rel_scalar_subquery", "rel_percentiles",
-        "rel_unpivot", "rel_setops",
-        "drm_abs_slice", "drm_group_sum", "drm_transpose", "drm_mmul",
-        "drm_mmul_coo", "drm_rbind", "drm_gram_wide",
-        "skew_salted_group_sum", "drm_map_block", "drm_allreduce",
-        "ev_stream_append", "ev_stream_join",
-        # -- (2) stale-red regrades (all hash-match locally; their red
-        #        rows predate the oracles / were the r2 harness fault)
-        "multimodal_decode", "bfgs_argmin", "bahmani_weights",
-        "rel_lead_lag", "rel_range_join", "ev_windowed_counts",
-        "ev_sessionize",
-        # -- (3) oldest driver rows (round 2) refreshed
-        "ann_lsh_topk", "dedup_embedding", "dedup_exact",
-        "dedup_lsh_jaccard", "dedup_minhash_sig", "dedup_simhash",
-        "dridge", "drm_ax", "drm_colsums", "drm_gram", "drm_normal_eq",
-        "drm_rowsums", "drm_sample_k", "drm_ssr",
-        "ivf_assign", "ivf_topk", "multimodal_meta",
-        "nb_predict_text", "nb_train_text", "point_weights",
-        "reg_coeff_tests", "rel_asof_events", "rel_cube",
+    # after ~50 queries.  Round-7 window (VERDICT r6 item 1): (1) the
+    # 10 queries with no driver row ever — the 8 late round-6 additions
+    # plus the two new round-7 entries (bucketed Q5 chain, PNG codec);
+    # (2) ann_ivfpq_topk, whose OUTPUT changed this round (ground-truth
+    # query side capped to a 1024-vector hash-chosen subset), so its
+    # old green row no longer describes the current query; (3) the 39
+    # oldest driver rows (last graded round ≤ 4) refreshed. After this
+    # window every registry query has a driver row and the stalest
+    # remaining row is round 5.
+    rotation_r7 = [
+        # -- (1) never driver-graded
+        "multimodal_png", "text_shingle_neighbors",
+        "sel_decontaminate_emb", "ev_stream_stateful",
+        "fmt_partitioned_prune", "fmt_csv_roundtrip",
+        "fmt_jsonl_roundtrip", "fmt_schema_merge", "ev_stream_dedup",
+        "rel_revenue_by_nation_bucketed",
+        # -- (2) output changed this round (query-side cap)
+        "ann_ivfpq_topk",
+        # -- (3) oldest driver rows (round ≤ 4) refreshed
+        "rel_grouping_sets", "rel_pivot", "rel_pricing_summary",
+        "rel_revenue_by_nation", "rel_running_totals",
+        "rel_sales_rollup", "rel_semi_anti", "rel_topk_customers",
+        "sim_cosine_topk", "sim_lsh_buckets", "text_argmax",
+        "text_df_counts", "text_dictionary", "text_fingerprint",
+        "text_langid", "text_quality", "text_tfidf",
+        "text_token_stats", "text_tokenize_counts", "twcnb_train",
+        "bloom_join_prune", "emb_pca_power", "emb_quantize_int8",
+        "ev_anomalies", "ev_attribution", "ev_gapfill",
+        "ev_hourly_profile", "ev_mad_outliers", "ev_markov_next",
+        "ev_sliding_active", "ev_stream_windowed", "fmt_orc_roundtrip",
+        "graph_degree_hist", "graph_kcore", "graph_pagerank",
+        "graph_triangles", "rel_custdist", "rel_disjunctive_revenue",
+        "rel_forecast_revenue",
     ]
-    head = {n: full[n] for n in rotation_r6 if n in full}
+    # a misspelled/renamed rotation entry would silently waste one of
+    # the ~50 driver-gate slots (ADVICE r6) — fail fast instead
+    missing = set(rotation_r7) - full.keys()
+    assert not missing, f"rotation names not in registry: {sorted(missing)}"
+    head = {n: full[n] for n in rotation_r7}
     return {**head, **full}
 
 
