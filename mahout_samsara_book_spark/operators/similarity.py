@@ -246,15 +246,108 @@ def ivf_centers(
     )
 
 
+def _centers_matrix(centers, vec_col: str = "center"):
+    """Collect the (small by construction — O(√n) rows) center relation
+    to a driver matrix in ascending-cid order. Even at n = 10¹² vectors
+    the √n-rule gives ~1M centers × 64 dims ≈ 0.5 GB — the practical
+    broadcast ceiling; beyond it use :func:`ivf_assign_join`.
+
+    Accepts an already-collected ``(cids, matrix)`` tuple and returns
+    it untouched — composed operators (ivf_topk, ann_ivfpq_topk)
+    collect once and hand the tuple to both the assign and probe
+    passes instead of paying two identical collection actions."""
+    import numpy as np
+
+    if isinstance(centers, tuple):
+        return centers
+    pdf = centers.select("cid", vec_col).toPandas()
+    cids = pdf["cid"].to_numpy(dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+    return cids[order], mat
+
+
 def ivf_assign(
+    emb: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2, ties by
+    cid) — the inverted-file partitioning step. ``(vec_id, cid)``.
+    ``centers`` is the center relation or an already-collected
+    ``(cids, matrix)`` tuple from :func:`_centers_matrix`.
+
+    Round-7 execution: broadcast-BLAS argmin. The centroid matrix
+    ships once per executor and every Arrow batch computes the full
+    distance block as ONE matmul (expanded form ‖x‖²+‖c‖²−2xᵀc,
+    center-axis chunked to ~32 MB per task) — a single NARROW pass,
+    zero shuffle. The previous relational form (broadcast cross join +
+    window argmin) materialized and SHUFFLED the n×√n pair stream to
+    rank it: at sf10 that is 89M rows through one exchange per call,
+    measured 167 s on kmeans_lloyd's three assigns vs ~9 s for this
+    path. Tie/ulp contract: chunks ascend in cid and the running merge
+    keeps strict-less, so exact distance ties break to the smallest
+    cid, same as the oracle's ``ORDER BY d2, cid``; sub-ulp expanded-vs
+    -fold noise can flip an argmin only when two centers are
+    equidistant to ~1e-15 relative — the same continuous-data
+    robustness contract as the bahmani sampler (entry docstrings).
+    Corpus-member centers are bit-safe: both sides evaluate identical
+    expressions on identical slices, so the self-distance ties out
+    exactly. For center counts beyond the driver-collect ceiling the
+    declared relational twin :func:`ivf_assign_join` keeps the old
+    shape (parity-tested in tests/test_similarity_blas.py)."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat = _centers_matrix(centers)
+    c2 = (cmat * cmat).sum(axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cmat, c2))
+    base = ensure_min_partitions(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+    )
+
+    def op(batches):
+        k_ids, cm, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["_v"].to_numpy())
+            x2 = (x * x).sum(axis=1)
+            best_d = np.full(len(x), np.inf)
+            best_c = np.zeros(len(x), dtype=np.int64)
+            chunk = max(16, 4_000_000 // max(1, x.shape[0]))
+            for lo in range(0, cm.shape[0], chunk):
+                d2 = np.maximum(
+                    0.0,
+                    x2[:, None]
+                    + cn[lo : lo + chunk][None, :]
+                    - 2.0 * (x @ cm[lo : lo + chunk].T),
+                )
+                j = np.argmin(d2, axis=1)
+                dj = d2[np.arange(len(x)), j]
+                upd = dj < best_d
+                best_d = np.where(upd, dj, best_d)
+                best_c = np.where(upd, k_ids[lo + j], best_c)
+            yield pd.DataFrame({id_col: pdf[id_col], "cid": best_c})
+
+    return base.mapInPandas(op, schema=f"{id_col} long, cid long")
+
+
+def ivf_assign_join(
     emb: DataFrame,
     centers: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (squared L2, ties by
-    cid): broadcast cross join over the small centroid table + window
-    argmin — the inverted-file partitioning step. ``(vec_id, cid)``."""
+    """Relational twin of :func:`ivf_assign` for the regime where the
+    center relation exceeds the driver-collect/broadcast ceiling
+    (≳1M centers): broadcast cross join + window argmin. Shuffles the
+    n×centers pair stream — correct at any size, but strictly slower
+    whenever the BLAS path is feasible. Kept as the declared fallback
+    and as the parity oracle for the BLAS tie/ulp contract."""
     v = F.col(vec_col).cast("array<double>")
     d2 = F.aggregate(
         F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
@@ -270,6 +363,79 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, "cid")
     )
+
+
+def ivf_probes(
+    emb: DataFrame,
+    centers,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(q_id, cid)`` — each vector's ``nprobe`` nearest centroid
+    cells in (d2, cid) lexicographic order, the IVF probe-list step.
+    Same broadcast-BLAS single-narrow-pass execution and tie contract
+    as :func:`ivf_assign` (the relational form shuffled the n×√n pair
+    stream through a window to keep nprobe rows of it). Per-row
+    selection: within each ascending-cid chunk a STABLE argsort on d2
+    takes the chunk's top-nprobe (ties → lowest cid), the survivors are
+    re-ordered by cid so the cross-chunk candidate matrix stays
+    cid-ascending among equal d2, and one final stable argsort on d2
+    yields the global (d2, cid) order."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat = _centers_matrix(centers)
+    c2 = (cmat * cmat).sum(axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cmat, c2))
+    base = ensure_min_partitions(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+    )
+    p = int(nprobe)
+
+    def op(batches):
+        k_ids, cm, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["_v"].to_numpy())
+            x2 = (x * x).sum(axis=1)
+            b = len(x)
+            cand_d, cand_c = [], []
+            chunk = max(16, 4_000_000 // max(1, b))
+            for lo in range(0, cm.shape[0], chunk):
+                d2 = np.maximum(
+                    0.0,
+                    x2[:, None]
+                    + cn[lo : lo + chunk][None, :]
+                    - 2.0 * (x @ cm[lo : lo + chunk].T),
+                )
+                pp = min(p, d2.shape[1])
+                idx = np.argsort(d2, axis=1, kind="stable")[:, :pp]
+                sel_d = np.take_along_axis(d2, idx, axis=1)
+                sel_c = k_ids[lo + idx]
+                # keep the chunk block cid-ascending so the final stable
+                # sort breaks cross-candidate d2 ties by cid
+                ordc = np.argsort(sel_c, axis=1, kind="stable")
+                cand_d.append(np.take_along_axis(sel_d, ordc, axis=1))
+                cand_c.append(np.take_along_axis(sel_c, ordc, axis=1))
+            all_d = np.concatenate(cand_d, axis=1)
+            all_c = np.concatenate(cand_c, axis=1)
+            pick = np.argsort(all_d, axis=1, kind="stable")[:, :p]
+            out_c = np.take_along_axis(all_c, pick, axis=1)
+            n_out = out_c.shape[1]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), n_out
+                    ),
+                    "cid": out_c.reshape(-1),
+                }
+            )
+
+    return base.mapInPandas(op, schema="q_id long, cid long")
 
 
 def ivf_topk(
@@ -296,24 +462,12 @@ def ivf_topk(
     oracle computes the same count (see :func:`auto_n_centers`)."""
     if n_centers == "auto":
         n_centers = auto_n_centers(emb)
-    centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    # collect the center matrix ONCE; assign and probes share it
+    centers = _centers_matrix(
+        ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    )
     assign = ivf_assign(emb, centers, id_col, vec_col)
-    v = F.col(vec_col).cast("array<double>")
-    d2 = F.aggregate(
-        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_probe = Window.partitionBy(id_col).orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    probes = (
-        ensure_min_partitions(emb).crossJoin(F.broadcast(centers))
-        .select(F.col(id_col), F.col("cid"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col(id_col).alias("q_id"), "cid")
-    )
+    probes = ivf_probes(emb, centers, nprobe, id_col, vec_col)
     members = assign.select(
         F.col(id_col).alias("neighbor"), F.col("cid")
     )
@@ -728,17 +882,70 @@ def pq_encode(
     subspace (ties by code asc): the PQ compression step. 64 doubles →
     M 4-bit codes (with the default geometry), a 128× compression — the
     representation that lets a 100 TB embedding table live in cluster
-    memory for ADC scoring. Cost: one broadcast cross join + one window
-    argmin partitioned by (vec_id, m) — linear in the corpus."""
+    memory for ADC scoring.
+
+    Round-7 execution: broadcast-BLAS per-subspace argmin — the M·K-row
+    codebook ships once and each Arrow batch encodes with M tiny
+    matmuls, ONE narrow pass, zero shuffle. (The relational form
+    materialized the corpus × M·K scored relation — 25.6M rows at
+    sf10 — and shuffled it through a (vec, m) window to keep one row in
+    K.) Ulp contract: the expanded form picks the code (argmin first
+    index = lowest code on exact ties, matching the oracle's
+    ``ORDER BY d2, code``); the EMITTED d2 is then recomputed for the
+    selected pair in difference form ``Σ(x−c)²`` — exact 0 when a
+    codeword meets its own source row (the expanded form's
+    cancellation residue would break the '0'-vs-'%.7e' output
+    convention there), and within ~1e-16 relative of the oracle's
+    sequential fold everywhere else (absorbed by %.7e)."""
+    import numpy as np
+    import pandas as pd
+
+    sub_dim = dim // m
     books = pq_codebooks(emb, m, k, seed, id_col, vec_col, dim)
-    scored = pq_scored(emb, books, dim // m, id_col, vec_col)
-    w = Window.partitionBy(id_col, "m").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
+    bpdf = books.toPandas()
+    kk = int(bpdf["code"].max()) + 1
+    bmat = np.zeros((m, kk, sub_dim), dtype=np.float64)
+    for mi, code, sub in zip(bpdf["m"], bpdf["code"], bpdf["sub"]):
+        bmat[int(mi), int(code)] = np.asarray(sub, dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast(bmat)
+    base = ensure_min_partitions(
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "m", "code", "d2")
+
+    def op(batches):
+        bm = bc.value
+        n_m, n_k, sd = bm.shape
+        b2 = (bm * bm).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["_v"].to_numpy())
+            b = len(x)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            frames = []
+            for mi in range(n_m):
+                s = x[:, mi * sd : (mi + 1) * sd]
+                s2 = (s * s).sum(axis=1)
+                d2 = s2[:, None] + b2[mi][None, :] - 2.0 * (s @ bm[mi].T)
+                j = np.argmin(d2, axis=1)
+                diff = s - bm[mi][j]
+                d2_sel = (diff * diff).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "m": np.full(b, mi, dtype=np.int64),
+                            "code": j.astype(np.int64),
+                            "d2": d2_sel,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(
+        op, schema=f"{id_col} long, m long, code long, d2 double"
     )
 
 
@@ -816,47 +1023,31 @@ def ann_ivfpq_topk(
         n_centers = auto_n_centers(emb)
     sub_dim = dim // pq_m
     books = pq_codebooks(emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim)
-    scored = pq_scored(emb, books, sub_dim, id_col, vec_col).persist()
-    # encoder: nearest codeword per (vector, subspace)
-    w_enc = Window.partitionBy(id_col, "m").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
+    # encoder: nearest codeword per (vector, subspace) — BLAS narrow
+    # pass (round-7; the previous window argmin over the corpus × M·K
+    # scored relation shuffled 25.6M rows at sf10)
+    codes = pq_encode(
+        emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim
+    ).select(
+        F.col(id_col).alias("neighbor"),
+        F.col("m").alias("cm"),
+        F.col("code").alias("ccode"),
     )
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col).alias("neighbor"),
-            F.col("m").alias("cm"),
-            F.col("code").alias("ccode"),
-        )
+    # IVF candidate generation (same shape as ivf_topk); the center
+    # matrix is collected ONCE and shared by assign + probes
+    centers = _centers_matrix(
+        ivf_centers(emb, n_centers, ivf_seed, id_col, vec_col)
     )
-    # IVF candidate generation (same shape as ivf_topk)
-    centers = ivf_centers(emb, n_centers, ivf_seed, id_col, vec_col)
     assign = ivf_assign(emb, centers, id_col, vec_col)
-    v = F.col(vec_col).cast("array<double>")
-    d2c = F.aggregate(
-        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_probe = Window.partitionBy(id_col).orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    probe_src = ensure_min_partitions(emb)
+    probe_src = emb
     if query_ids is not None:
-        # bounded query set: semi-restrict BEFORE the center cross join
-        # so probe ranking, candidate generation, and the ADC stream are
-        # all Q-sized, not corpus-sized
+        # bounded query set: semi-restrict BEFORE probe generation so
+        # probe ranking, candidate generation, and the ADC LUT are all
+        # Q-sized, not corpus-sized
         probe_src = probe_src.join(
             F.broadcast(query_ids.select(id_col)), id_col, "leftsemi"
         )
-    probes = (
-        probe_src.crossJoin(F.broadcast(centers))
-        .select(F.col(id_col), F.col("cid"), d2c.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col(id_col).alias("q_id"), "cid")
-    )
+    probes = ivf_probes(probe_src, centers, nprobe, id_col, vec_col)
     members = assign.select(F.col(id_col).alias("neighbor"), F.col("cid"))
     cand = (
         probes.join(members, "cid")
@@ -865,8 +1056,10 @@ def ann_ivfpq_topk(
         .distinct()
     )
     # ADC: candidate × M codes, joined to the query's LUT rows, then an
-    # order-fixed fold over the M addends (see pq_mse on associativity)
-    lut = scored.select(
+    # order-fixed fold over the M addends (see pq_mse on associativity).
+    # The LUT relation is Q × M·K — built only over the query side, so
+    # a bounded query set never materializes a corpus-sized LUT
+    lut = pq_scored(probe_src, books, sub_dim, id_col, vec_col).select(
         F.col(id_col).alias("q_id"),
         F.col("m").alias("cm"),
         F.col("code").alias("ccode"),
@@ -954,11 +1147,19 @@ def kmeans_lloyd(
     if n_centers == "auto":
         n_centers = auto_n_centers(emb)
     centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    from mahout_samsara_book_spark.cache import track
+
     embp = ensure_min_partitions(emb)
     v = F.col(vec_col).cast("array<double>")
     assign = None
-    for _ in range(iters):
+    for it in range(iters):
         assign = ivf_assign(embp, centers, id_col, vec_col)
+        if it == iters - 1:
+            # the LAST assignment feeds both this iteration's centroid
+            # means (checkpoint action) and the final sizes aggregate —
+            # tracked-persist it so the Arrow assign pass runs once,
+            # not twice (it is an n-row, 2-long-column relation)
+            assign = track(assign)
         coo = (
             embp.join(assign, id_col)
             .select("cid", F.posexplode(v).alias("pos", "x"))

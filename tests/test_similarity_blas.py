@@ -1,0 +1,103 @@
+"""Parity gates for the round-7 BLAS IVF/PQ paths: the broadcast-BLAS
+argmin/probe/encode passes must produce EXACTLY the rows of their
+declared relational twins on real fixture data (including the corpus-
+member-center self-distance ties and the lowest-cid/lowest-code tie
+contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_ivf_assign_blas_matches_join_twin(spark, emb):
+    from mahout_samsara_book_spark.operators.similarity import (
+        auto_n_centers,
+        ivf_assign,
+        ivf_assign_join,
+        ivf_centers,
+    )
+
+    centers = ivf_centers(emb, auto_n_centers(emb), seed=9)
+    blas = {(r.vec_id, r.cid) for r in ivf_assign(emb, centers).collect()}
+    join = {(r.vec_id, r.cid) for r in ivf_assign_join(emb, centers).collect()}
+    assert blas == join
+    # every vector assigned exactly once
+    assert len({v for v, _ in blas}) == len(blas) == emb.count()
+
+
+def test_ivf_probes_matches_window_formulation(spark, emb):
+    """ivf_probes == the old crossJoin + window top-nprobe, including
+    the (d2, cid) tie order."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_centers,
+        ivf_probes,
+    )
+
+    centers = ivf_centers(emb, 16, seed=9)
+    nprobe = 3
+    got = {
+        (r.q_id, r.cid)
+        for r in ivf_probes(emb, centers, nprobe).collect()
+    }
+    v = F.col("embedding").cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("center"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    old = (
+        emb.crossJoin(F.broadcast(centers))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+    )
+    expect = {(r.vec_id, r.cid) for r in old.collect()}
+    assert got == expect
+
+
+def test_pq_encode_blas_codes_and_exact_self_d2(spark, emb):
+    """The BLAS encoder picks the same codes as the relational window
+    argmin over pq_scored, and a codeword's own source row encodes to
+    d2 exactly 0.0 (the difference-form recompute contract)."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_scored,
+    )
+
+    got = pq_encode(emb, m=8, k=16, seed=11).collect()
+    books = pq_codebooks(emb, m=8, k=16, seed=11)
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    old = (
+        pq_scored(emb, books, 8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    gmap = {(r.vec_id, r.m): (r.code, r.d2) for r in got}
+    omap = {(r.vec_id, r.m): (r.code, r.d2) for r in old}
+    assert set(gmap) == set(omap)
+    for key, (code, d2) in gmap.items():
+        ocode, od2 = omap[key]
+        assert code == ocode, key
+        assert d2 == pytest.approx(od2, rel=1e-12, abs=1e-15), key
+    # the 16 sampled codeword source rows self-encode at exactly 0
+    zero_rows = [r for r in got if r.d2 == 0.0]
+    assert len(zero_rows) >= 8  # at least one full sampled vector

@@ -869,6 +869,46 @@ def main() -> int:
         )
     )
 
+    p34 = plan_of(_er6.q_rel_revenue_bucketed(spark, sf_dir))
+    checks.append(
+        (
+            "rel_revenue_by_nation_bucketed (Q5 over bucketed layout)",
+            p34,
+            [
+                (
+                    "no lineitem-grain shuffle anywhere — the order-grain "
+                    "rollup is satisfied by the bucket layout",
+                    "hashpartitioning(l_orderkey" not in p34,
+                ),
+                (
+                    "order-grain partial aggregation before any exchange",
+                    "partial_" in p34,
+                ),
+            ],
+        )
+    )
+
+    import entry_llm as _el7
+
+    p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
+    checks.append(
+        (
+            "multimodal_png (codec round trip)",
+            p35,
+            [
+                (
+                    "fully narrow — encode and decode pipeline on the scan, "
+                    "zero shuffles",
+                    n_shuffles(p35) == 0,
+                ),
+                (
+                    "scan prunes to doc_id only (text column never read)",
+                    "text" not in p35.split("ReadSchema")[-1].split("\n")[0],
+                ),
+            ],
+        )
+    )
+
     failures = 0
     lines = ["# PLANS — physical-plan audit of headline queries\n"]
     lines.append(
