@@ -283,11 +283,18 @@ def test_multimodal_plumbing(spark, dup_docs):
 
 
 def test_multimodal_real_codec_raises(spark, dup_docs):
+    # image/jpeg has no stdlib decoder — still the declared env-stub
+    # (WAV, PPM and PNG are real codecs now)
     media = attach_media(dup_docs).withColumn(
-        "media_type", F.lit("image/png")
+        "media_type", F.lit("image/jpeg")
     )
     with pytest.raises(Exception, match="codec"):
         decode_features(media).collect()
+    # bytes labeled image/png that are not a PNG stream hit the PNG
+    # decoder's own contract, not the generic stub
+    png = attach_media(dup_docs).withColumn("media_type", F.lit("image/png"))
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_features(png).collect()
 
 
 def test_ensure_min_partitions_contract(spark):

@@ -365,17 +365,20 @@ def main() -> int:
     p16 = plan_of(pq_encode(emb))
     checks.append(
         (
-            "pq_encode (codebook cross join + argmin)",
+            "pq_encode (broadcast-BLAS per-subspace argmin)",
             p16,
             [
                 (
-                    "M·K codebook broadcast, corpus side stays partitioned",
-                    "BroadcastNestedLoopJoin" in p16 or "BroadcastExchange" in p16,
+                    "ONE narrow Arrow pass — no shuffle, no window, no "
+                    "sort (round-7: the relational corpus × M·K scored "
+                    "relation + (vec, m) window shuffled 25.6M rows at "
+                    "sf10)",
+                    "ArrowEvalPython" in p16 or "MapInPandas" in p16,
                 ),
                 (
-                    "argmin window partitioned by (vec, subspace) — "
-                    "no global sort",
-                    "windowspecdefinition(vec_id#" in p16,
+                    "no corpus-sized shuffle or per-row window anywhere",
+                    "windowspecdefinition" not in p16
+                    and "SortMergeJoin" not in p16,
                 ),
             ],
         )
