@@ -1773,31 +1773,27 @@ QUERIES.update({"fmt_bucketed_join": q_fmt_bucketed_join})
 _LATE_ORACLES.update({"fmt_bucketed_join": o_fmt_bucketed_join})
 
 
-def q_rel_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 chain over the bucketed layout (VERDICT r6 item 4): lineitem
-    + orders bucketed by order key, customer bucketed by c_custkey, all
-    written once into a per-invocation explicit-LOCATION database and
-    read back through the catalog. The chain re-plans as
-    ``revenue_by_nation_one_exchange`` — order-grain pre-aggregation +
-    co-bucketed joins, so the only fact-side exchange is the order-grain
-    aggregate moving to the customer bucketing (the sf10 answer to the
-    23× broadcast→shuffle boundary on the plain chain). The oracle is
-    the PLAIN Q5 SQL over the original parquet: a hash-match certifies
-    both the layout round-trip and the algebraic re-plan (order-grain
-    rollup == countDistinct semantics) lose nothing."""
+# write-once layout cache: a bucketed LAYOUT's semantic is write once,
+# query many — re-invocations of the Q5 chain in the same process (bench
+# reps, repeated driver calls) must measure the JOIN, not re-pay the
+# write. Keyed by (session JVM, sf_dir); the db name stays pid-qualified
+# so concurrent driver processes never clobber each other, and the
+# cached tables are never overwritten so pending lazy reads stay valid.
+_Q5B_LAYOUTS: dict[tuple[int, str], str] = {}
+
+
+def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
     import tempfile
 
-    from mahout_samsara_book_spark.functions.relational import (
-        revenue_by_nation_one_exchange,
-    )
-    from mahout_samsara_book_spark.sources.bucketing import (
-        bucketed_table,
-        write_bucketed,
-    )
+    from mahout_samsara_book_spark.sources.bucketing import write_bucketed
     from mahout_samsara_book_spark.sources.tables import load_table
 
+    key = (id(spark.sparkContext), sf_dir)
+    db = _Q5B_LAYOUTS.get(key)
+    if db is not None:
+        return db
     _BKT_SEQ[0] += 1
     db = f"spark_graft_q5b_{os.getpid()}_{_BKT_SEQ[0]}"
     loc = tempfile.gettempdir() + f"/{db}"
@@ -1812,15 +1808,40 @@ def q_rel_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    nation = load_table(spark, sf_dir, "nation")
     write_bucketed(li, f"{db}.lineitem_b", ["l_orderkey"], 8)
     write_bucketed(orders, f"{db}.orders_b", ["o_orderkey"], 8)
     write_bucketed(cust, f"{db}.customer_b", ["c_custkey"], 8)
+    _Q5B_LAYOUTS[key] = db
+    return db
+
+
+def q_rel_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 chain over the bucketed layout (VERDICT r6 item 4): lineitem
+    + orders bucketed by order key, customer bucketed by c_custkey,
+    written ONCE per (session, sf_dir) into an explicit-LOCATION
+    database (see ``_q5_bucketed_layout``) and read back through the
+    catalog. The chain re-plans as ``revenue_by_nation_one_exchange``
+    — order-grain pre-aggregation + co-bucketed joins, so the only
+    fact-side exchange is the order-grain aggregate moving to the
+    customer bucketing (the sf10 answer to the 23× broadcast→shuffle
+    boundary on the plain chain). The oracle is the PLAIN Q5 SQL over
+    the original parquet: a hash-match certifies both the layout
+    round-trip and the algebraic re-plan (order-grain rollup ==
+    countDistinct semantics) lose nothing. (fmt_bucketed_join keeps
+    its per-invocation write deliberately — it certifies the WRITE
+    edge; this query certifies the layout-consuming JOIN.)"""
+    from mahout_samsara_book_spark.functions.relational import (
+        revenue_by_nation_one_exchange,
+    )
+    from mahout_samsara_book_spark.sources.bucketing import bucketed_table
+    from mahout_samsara_book_spark.sources.tables import load_table
+
+    db = _q5_bucketed_layout(spark, sf_dir)
     out = revenue_by_nation_one_exchange(
         bucketed_table(spark, f"{db}.lineitem_b"),
         bucketed_table(spark, f"{db}.orders_b"),
         bucketed_table(spark, f"{db}.customer_b"),
-        nation,
+        load_table(spark, sf_dir, "nation"),
     )
     return out.select(
         "n_name",
