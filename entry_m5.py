@@ -1658,3 +1658,139 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_funnel()
     d["docs_funnel"] = o_docs_funnel()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round 7: exact-substring span dedup + PII redaction
+# ------------------------------------------------------------------ #
+
+SUBSTR_WINDOW = 8
+SUBSTR_MAX_DF = 16
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021): verbatim window-token spans
+    shared across documents — the boilerplate/quotation leak that
+    doc-level Jaccard misses. Posting-list df-cap (2..16 docs) is the
+    100 TB contract; see operators/dedup.py:exact_substr_spans."""
+    from mahout_samsara_book_spark.operators.dedup import exact_substr_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_substr_spans(
+        docs, window=SUBSTR_WINDOW, max_df=SUBSTR_MAX_DF
+    )
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+    )
+
+
+def o_dedup_exact_substr() -> str:
+    w = SUBSTR_WINDOW
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '[^\p{{L}}\p{{Nd}}]+'), x -> x <> '') AS ts
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS start,
+         md5(array_to_string(ts[t.i:t.i+{w - 1}], ' ')) AS wh
+  FROM tok, LATERAL unnest(generate_series(1, len(ts) - {w - 1})) AS t(i)
+  WHERE len(ts) >= {w}
+),
+capped AS (
+  SELECT wh FROM w GROUP BY wh
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SUBSTR_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       min(a.start) AS a_start, min(b.start) AS b_start
+FROM w a
+JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+JOIN capped ON a.wh = capped.wh
+GROUP BY 1, 2
+"""
+
+
+def _pii_augment_spark(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection (the attach_wav pattern: the fixture
+    corpus has no PII, so plant spans that are a pure function of
+    doc_id; the oracle rebuilds the same text analytically)."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail.example.org or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 200).cast("string"),
+        F.lit("."), (d % 250).cast("string"),
+        F.lit("."), ((d % 9) + 1).cast("string"),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 9 + 1 AS VARCHAR)"
+)
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/privacy.py): per-type match counts on
+    the original text + md5 of the fully-redacted text — the hash makes
+    the oracle certify the redaction BYTE-FOR-BYTE, not just the
+    counts. Patterns restricted to the Java-regex ∩ RE2 dialect so both
+    engines replace identically."""
+    from mahout_samsara_book_spark.operators.privacy import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = redact_pii(_pii_augment_spark(docs))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("redacted")).alias("clean_hash"),
+    )
+
+
+def o_text_pii_redact() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,10}"
+    ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{email}', '[EMAIL]', 'g'),"
+        f" '{phone}', '[PHONE]', 'g'),"
+        f" '{ipv4}', '[IP]', 'g')"
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       md5({red}) AS clean_hash
+FROM aug
+"""
+
+
+QUERIES["dedup_exact_substr"] = q_dedup_exact_substr
+QUERIES["text_pii_redact"] = q_text_pii_redact
+_oracles_pre_r7 = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_r7()
+    d["dedup_exact_substr"] = o_dedup_exact_substr()
+    d["text_pii_redact"] = o_text_pii_redact()
+    return d

@@ -952,3 +952,79 @@ def containment_dedup(
         )
         .select("doc_a", "doc_b", "cont_ab", "cont_ba")
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    window: int = 8,
+    max_df: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_a, doc_b, n_shared, a_start, b_start)`` — token-level
+    EXACT duplicate spans: every pair of documents sharing at least one
+    identical ``window``-token run, with how many window positions they
+    share and each side's earliest match offset. The ExactSubstr
+    flavor of dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): verbatim boilerplate/quotation
+    spans that doc-level Jaccard/MinHash miss because the rest of the
+    documents differ.
+
+    Shape: tokenize (the engine-wide ``[^\\p{L}\\p{Nd}]+`` contract,
+    empty tokens dropped) → one narrow pass explodes each doc into its
+    ``n_tokens − window + 1`` rolling windows, each keyed by the md5 of
+    the space-joined run (a portable content hash — the oracle replays
+    it byte-for-byte) → window hashes that appear in 2..``max_df``
+    distinct docs survive (the same posting-list df-cap discipline as
+    ``tfidf_neighbors``: a boilerplate window shared by half the corpus
+    would otherwise stream O(df²) pairs — at 100 TB the cap IS the
+    scale contract, and capped-out windows are by definition
+    boilerplate, not plagiarism) → equi-join on the hash, one
+    aggregation per pair. Total cost: linear in corpus tokens plus
+    Σ df² over surviving windows."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        ensure_min_partitions,
+    )
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{Nd}]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = (
+        ensure_min_partitions(docs.select(id_col, text_col))
+        .select(F.col(id_col), toks.alias("ts"))
+        .filter(F.size("ts") >= window)
+    )
+    idxs = F.sequence(F.lit(0), F.size("ts") - window)
+    w = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("ts", i + 1, window))
+                    ).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select(F.col(id_col), F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
+    capped = (
+        w.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("wh")
+    )
+    wc = w.join(capped, "wh")
+    a = wc.select(F.col(id_col).alias("doc_a"), F.col("start").alias("sa"), "wh")
+    b = wc.select(F.col(id_col).alias("doc_b"), F.col("start").alias("sb"), "wh")
+    return (
+        a.join(b, (a["wh"] == b["wh"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("sa").alias("a_start"),
+            F.min("sb").alias("b_start"),
+        )
+    )

@@ -288,3 +288,42 @@ def test_png_decode_rejects_corruption_and_unsupported():
     bad[8 + 25 + 8] ^= 0xFF  # first IDAT payload byte
     with pytest.raises(ValueError):
         _png_decode(bytes(bad))
+
+
+def test_redact_pii_semantics(spark):
+    from mahout_samsara_book_spark.operators.privacy import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-y.org or a.b+c@x-y.org and +1-555-0012"),
+            (1, "server at 10.0.0.1 end"),
+            (2, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].n_email == 2 and out[0].n_phone == 1 and out[0].n_ipv4 == 0
+    assert out[0].redacted == "mail [EMAIL] or [EMAIL] and [PHONE]"
+    assert out[1].n_ipv4 == 1 and out[1].redacted == "server at [IP] end"
+    assert out[2].redacted == "clean text only"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+
+
+def test_exact_substr_spans_semantics(spark):
+    from mahout_samsara_book_spark.operators.dedup import exact_substr_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix words here " + shared + " tail a"),
+            (1, shared + " totally different ending text"),
+            (2, "no overlap with anything else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = exact_substr_spans(docs, window=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.n_shared) == (0, 1, 1)
+    # doc 0's shared window starts after its 3 prefix tokens; doc 1's at 0
+    assert (r.a_start, r.b_start) == (3, 0)
