@@ -624,7 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fmt_partitioned_prune", "fmt_csv_roundtrip",
         "fmt_jsonl_roundtrip", "fmt_schema_merge", "ev_stream_dedup",
         "rel_revenue_by_nation_bucketed", "dedup_exact_substr",
-        "text_pii_redact",
+        "text_pii_redact", "ev_stream_session",
         # -- (2) output changed this round (query-side cap)
         "ann_ivfpq_topk",
         # -- (3) oldest driver rows (round ≤ 4) refreshed
@@ -640,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hourly_profile", "ev_mad_outliers", "ev_markov_next",
         "ev_sliding_active", "ev_stream_windowed", "fmt_orc_roundtrip",
         "graph_degree_hist", "graph_kcore", "graph_pagerank",
-        "graph_triangles", "rel_custdist",
+        "graph_triangles",
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead

@@ -1302,6 +1302,65 @@ QUERIES.update({"ev_stream_append": q_ev_stream_append})
 _LATE_ORACLES.update({"ev_stream_append": o_ev_stream_append})
 
 
+def q_ev_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows EXECUTED through the streaming engine in
+    the production APPEND shape (round 7 — the 7th executed streaming
+    entry): UpdatingSessions state-store merge per micro-batch, each
+    session emitted exactly once when the watermark passes its close
+    (last event + gap), state evicted behind it — the only
+    sessionization form that survives an unbounded 100 TB stream. The
+    oracle is the batch session replay (same strict-lag gap rule as
+    ev_session_window) filtered to sessions that CLOSED before the
+    final watermark — strict ``end < watermark`` in microseconds, the
+    same emission rule pinned for windowed append — which on the
+    bounded fixture withholds exactly each user's trailing still-open
+    session (verified: stream = batch − 4 open sessions at sf0.01)."""
+    from mahout_samsara_book_spark.streaming.events import (
+        run_stream_session_counts,
+    )
+
+    out = run_stream_session_counts(spark, sf_dir, gap_minutes=20)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        _sci(F.col("total_value")).alias("total_value"),
+    )
+
+
+def o_ev_stream_session() -> str:
+    gap_us = 20 * 60 * 1_000_000
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+mx AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wm_us FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(epoch_us(ts)) // 1000000 AS session_start,
+       (max(epoch_us(ts)) + {gap_us}) // 1000000 AS session_end,
+       count(*) AS n_events,
+       {_sci_sql('sum(value)')} AS total_value
+FROM s, mx
+GROUP BY user_id, sid, mx.wm_us
+HAVING max(epoch_us(ts)) + {gap_us} < mx.wm_us
+"""
+
+
+QUERIES.update({"ev_stream_session": q_ev_stream_session})
+_LATE_ORACLES.update({"ev_stream_session": o_ev_stream_session})
+
+
 def q_ev_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM watermarked interval join through the real engine
     (two readStream sources, state-store buffering per user key,

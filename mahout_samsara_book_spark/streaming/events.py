@@ -551,6 +551,37 @@ def run_stream_windowed_append(
     )
 
 
+def run_stream_session_counts(
+    spark,
+    sf_dir: str,
+    gap_minutes: int = 20,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Execute :func:`stream_session_counts` — native
+    ``session_window`` sessionization — through the real streaming
+    engine in the production APPEND shape: the stateful session-merge
+    (UpdatingSessionsExec + state store) runs per micro-batch, a
+    session row is emitted exactly once when the watermark passes its
+    close (last event + gap), and its state is evicted. The bounded
+    fixture is one parquet file, so availableNow delivers one data
+    micro-batch and the final no-data batch flushes every session that
+    closed before the final watermark; the only rows withheld are each
+    user's trailing still-open session — a closed-form condition the
+    batch oracle replays (see ``o_ev_stream_session``)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream_session_counts(
+        ev_stream, gap_minutes=gap_minutes, watermark=watermark
+    )
+    return _run_bounded_stream(
+        spark, out, "ev_stream_session", "append", BOUNDED_STATE_PARTITIONS
+    )
+
+
 def run_stream_click_error_join(
     spark,
     sf_dir: str,
