@@ -1851,7 +1851,10 @@ def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
 
     key = (id(spark.sparkContext), sf_dir)
     db = _Q5B_LAYOUTS.get(key)
-    if db is not None:
+    # re-verify through the catalog: an id() can be reused after a
+    # session restart in the same process, where the cached name would
+    # point at tables the fresh catalog no longer knows
+    if db is not None and spark.catalog.tableExists(f"{db}.lineitem_b"):
         return db
     _BKT_SEQ[0] += 1
     db = f"spark_graft_q5b_{os.getpid()}_{_BKT_SEQ[0]}"

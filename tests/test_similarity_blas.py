@@ -101,3 +101,32 @@ def test_pq_encode_blas_codes_and_exact_self_d2(spark, emb):
     # the 16 sampled codeword source rows self-encode at exactly 0
     zero_rows = [r for r in got if r.d2 == 0.0]
     assert len(zero_rows) >= 8  # at least one full sampled vector
+
+
+def test_blas_tie_contract_with_duplicate_centers(spark):
+    """Two bit-identical centers force EXACT distance ties for every
+    vector: both the assign and the probe list must break them to the
+    smallest cid (the oracle's ORDER BY d2, cid), independent of chunk
+    boundaries."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # centers: cid 0 and 1 identical, cid 2 far away
+    centers = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 1.0]), (2, [1e6, 1e6])],
+        "cid long, center array<double>",
+    )
+    assign = ivf_assign(vecs, centers).collect()
+    assert all(r.cid == 0 for r in assign)  # tie -> smallest cid
+    probes = ivf_probes(vecs, centers, nprobe=2).collect()
+    per_q = {}
+    for r in probes:
+        per_q.setdefault(r.q_id, []).append(r.cid)
+    # (d2, cid) order: the duplicate pair first, cid-ascending
+    assert all(cids == [0, 1] for cids in per_q.values())

@@ -891,6 +891,35 @@ def main() -> int:
         )
     )
 
+    import entry_m5 as _em7
+
+    p36 = plan_of(_em7.q_dedup_exact_substr(spark, sf_dir))
+    checks.append(
+        (
+            "dedup_exact_substr (token-window span dedup)",
+            p36,
+            [
+                (
+                    "documents scan pruned to (doc_id, text) only",
+                    "lang" not in p36.split("ReadSchema")[-1].split("\n")[0],
+                ),
+                (
+                    "window hashing is codegen'd JVM expressions — no "
+                    "Python in the hot path",
+                    "ArrowEvalPython" not in p36
+                    and "MapInPandas" not in p36
+                    and "BatchEvalPython" not in p36,
+                ),
+                (
+                    "pair generation is an equi-join on the window hash "
+                    "(no nested-loop/cartesian anywhere)",
+                    "CartesianProduct" not in p36
+                    and "BroadcastNestedLoopJoin" not in p36,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
