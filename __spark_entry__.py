@@ -608,45 +608,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-7 window (VERDICT r6 item 1): (1) the
-    # 10 queries with no driver row ever — the 8 late round-6 additions
-    # plus the two new round-7 entries (bucketed Q5 chain, PNG codec);
-    # (2) ann_ivfpq_topk, whose OUTPUT changed this round (ground-truth
-    # query side capped to a 1024-vector hash-chosen subset), so its
-    # old green row no longer describes the current query; (3) the 39
-    # oldest driver rows (last graded round ≤ 4) refreshed. After this
-    # window every registry query has a driver row and the stalest
-    # remaining row is round 5.
-    rotation_r7 = [
-        # -- (1) never driver-graded
-        "multimodal_png", "text_shingle_neighbors",
-        "sel_decontaminate_emb", "ev_stream_stateful",
-        "fmt_partitioned_prune", "fmt_csv_roundtrip",
-        "fmt_jsonl_roundtrip", "fmt_schema_merge", "ev_stream_dedup",
-        "rel_revenue_by_nation_bucketed", "dedup_exact_substr",
-        "text_pii_redact", "ev_stream_session",
-        # -- (2) output changed this round (query-side cap)
-        "ann_ivfpq_topk",
-        # -- (3) oldest driver rows (round ≤ 4) refreshed
-        "rel_grouping_sets", "rel_pivot", "rel_pricing_summary",
-        "rel_revenue_by_nation", "rel_running_totals",
-        "rel_sales_rollup", "rel_semi_anti", "rel_topk_customers",
-        "sim_cosine_topk", "sim_lsh_buckets", "text_argmax",
-        "text_df_counts", "text_dictionary", "text_fingerprint",
-        "text_langid", "text_quality", "text_tfidf",
-        "text_token_stats", "text_tokenize_counts", "twcnb_train",
-        "bloom_join_prune", "emb_pca_power", "emb_quantize_int8",
-        "ev_anomalies", "ev_attribution", "ev_gapfill",
-        "ev_hourly_profile", "ev_mad_outliers", "ev_markov_next",
-        "ev_sliding_active", "ev_stream_windowed", "fmt_orc_roundtrip",
-        "graph_degree_hist", "graph_kcore", "graph_pagerank",
-        "graph_triangles",
+    # after ~50 queries.  Round-8 window (VERDICT r7 item 1): (1) any
+    # query added or output-changed in round 8; (2) the 34 rows whose
+    # last driver grade is round ≤ 4 — the full stale set VERDICT r7
+    # enumerates; (3) fill the remaining slots with the alphabetically
+    # first round-5 rows.  After this window the stalest remaining
+    # driver row is round 5.
+    rotation_r8 = [
+        # -- (1) new in round 8 / implementation changed in round 8
+        "graph_triangles",            # packed-key post-shuffle pair agg
+        "dedup_clusters",             # big-graph branch routed via LSLS
+        "text_minhash_dedup_pairs",   # new: doc-level MinHash verify pass
+        "sel_dedup_survivors",        # new: canonical-survivor join
+        "text_zipf_tail",             # new: vocabulary Zipf tail mass
+        "rel_decile_revenue",         # new: ntile decile revenue profile
+        "ev_burst_windows",           # new: per-type burst detection
+        # -- (2) stale rows, last graded round ≤ 4
+        "rel_custdist", "rel_disjunctive_revenue", "rel_forecast_revenue",
+        "rel_fuzzy_join", "rel_heavy_shippers", "rel_histogram",
+        "rel_idle_customers", "rel_local_volume", "rel_market_share",
+        "rel_order_priority", "rel_promo_share", "rel_returned_items",
+        "rel_salted_join", "rel_share_of_total", "rel_skyline",
+        "rel_small_qty_revenue", "rel_stats_agg", "rel_supplier_counts",
+        "rel_table_checksum", "rel_top_quarter_supplier",
+        "rel_top_suppliers", "rel_volume_shipping",
+        "rel_waiting_suppliers", "rel_yearly_growth", "sel_canonical",
+        "sel_priority_sample", "sel_universe_sample", "sketch_cms",
+        "sketch_hll", "sketch_hll_sliding", "sketch_sample_quantiles",
+        "text_bigram_lm", "text_inverted_index", "text_pmi_pairs",
+        # -- (3) fill to ~50 with the oldest (round-5) rows
+        "ann_ivfpq_probe", "bloom_build", "bloom_probe",
+        "dedup_containment", "dedup_incremental", "dedup_ngram_jaccard",
+        "docs_funnel", "docs_pipeline", "emb_centroids",
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead
-    missing = set(rotation_r7) - full.keys()
+    missing = set(rotation_r8) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    head = {n: full[n] for n in rotation_r7}
+    head = {n: full[n] for n in rotation_r8}
     return {**head, **full}
 
 

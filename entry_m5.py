@@ -1794,3 +1794,243 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["dedup_exact_substr"] = o_dedup_exact_substr()
     d["text_pii_redact"] = o_text_pii_redact()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8 additions: MinHash estimator-vs-exact verify pass, canonical
+# survivor mapping, bigram Zipf tail mass
+# ------------------------------------------------------------------ #
+
+
+def q_text_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level MinHash VERIFY pass: every banded-LSH candidate pair
+    with BOTH the signature-agreement estimate (n_agree/k) and the
+    exact hashed-shingle Jaccard — the estimator-quality audit a dedup
+    pipeline runs before trusting a threshold (cf. the reference's
+    tolerance-gate habit, MThreadSuite.scala:22-46, applied to the
+    sketch instead of the matrix). Unlike dedup_lsh_jaccard this emits
+    the UNFILTERED candidate set, so the false-positive band of the
+    estimator is visible, not just the survivors.
+
+    Scale shape: candidates come from the bucketed band join (never
+    all-pairs); the two signature joins are per-doc k-column rows (AQE
+    broadcasts the candidate slice); the exact-Jaccard verify is the
+    posting-list join restricted to candidate docs."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+        shingle_hashes,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    sh = shingle_hashes(docs, n=3, distinct=True)
+    sig = minhash_signatures(sh, k=MINHASH_K, seed=MINHASH_SEED)
+    rows = MINHASH_K // LSH_BANDS
+    cand = lsh_candidate_pairs(sig, bands=LSH_BANDS, rows=rows)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    jac = ngram_jaccard(sh, cand)
+    return est.join(jac, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_agree").cast("long").alias("n_agree"),
+        _sci(F.col("n_agree") / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+        _sci(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def o_text_minhash_dedup_pairs() -> str:
+    fam = hash_family(MINHASH_K, MINHASH_SEED)
+    rows = MINHASH_K // LSH_BANDS
+    mh_cols = ", ".join(
+        f"min({affine_sql('h', a, b)}) AS mh_{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS sig FROM sig"
+        for bi in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+sig AS (SELECT doc_id, {mh_cols} FROM shh GROUP BY 1),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+agr AS (
+  SELECT c.doc_a, c.doc_b, {agree} AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT g.doc_a, g.doc_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+       {_sci_sql(f'CAST(g.n_agree AS DOUBLE) / {float(MINHASH_K)}')} AS est_jaccard,
+       {_sci_sql('CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter)')} AS jaccard
+FROM agr g
+JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+JOIN sizes za ON za.doc_id = g.doc_a
+JOIN sizes zb ON zb.doc_id = g.doc_b
+"""
+
+
+def q_sel_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor mapping: EVERY doc joined to the canonical id
+    that survives near-dup dedup (cluster minimum; docs in no pair map
+    to themselves). This is the attribution artifact a curation
+    pipeline keeps after dropping dups — "which retained doc covers
+    this dropped one" — and composes the LSH pair graph with the
+    round-8 LSLS-routed dup_clusters.
+
+    Scale: the cluster relation is orders of magnitude smaller than
+    the corpus (only docs in >= 1 pair); the left join broadcasts
+    it."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup(
+        docs, n=3, k=MINHASH_K, bands=LSH_BANDS,
+        seed=MINHASH_SEED, threshold=0.5,
+    )
+    clus = dup_clusters(pairs)
+    survivor = F.coalesce(F.col("cluster"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(clus, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            survivor.cast("long").alias("survivor"),
+            (survivor == F.col("doc_id")).alias("is_survivor"),
+        )
+    )
+
+
+def o_sel_dedup_survivors() -> str:
+    return f"""
+WITH
+{_AUG_DOCS_SQL},
+clus AS ({o_dedup_clusters()})
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.cluster, a.doc_id) AS BIGINT) AS survivor,
+       coalesce(c.cluster, a.doc_id) = a.doc_id AS is_survivor
+FROM aug a LEFT JOIN clus c ON a.doc_id = c.doc_id
+"""
+
+
+def q_text_zipf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf tail-mass profile of the BIGRAM vocabulary: rank grams by
+    corpus frequency, bucket ranks into log2 bands, and report each
+    band's gram count, occurrence total, and share of corpus mass —
+    the curve a data-mix designer reads to decide vocabulary cutoffs
+    and rare-token handling (the fixture's unigram vocabulary is ~31
+    near-stopwords, so bigram grams are the smallest unit with a real
+    tail). Grams are the arithmetic-fold hashes of shingle_hashes
+    (n=2, duplicates kept), so the oracle replays identity exactly.
+
+    Scale: the frequency relation is the VOCABULARY (corpus-sublinear,
+    Heaps' law); only it passes through the rank window, never the
+    token stream. The window is a single global sort of the vocab — at
+    100 TB shard it by a hash prefix and merge bands, or cap to the
+    top-K ranks."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.operators.dedup import shingle_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = shingle_hashes(docs, n=2, distinct=False)
+    freq = sh.groupBy("h").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.col("h"))
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    bucketed = ranked.groupBy(
+        F.floor(F.log2("rank")).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("cnt").alias("occ"),
+    )
+    total = Window.partitionBy()
+    return bucketed.select(
+        "bucket",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("occ").cast("long").alias("occ"),
+        _sci(F.col("occ") / F.sum("occ").over(total)).alias("mass"),
+    )
+
+
+def o_text_zipf_tail() -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tkh AS (SELECT doc_id, list_transform(toks, t -> {h31_sql('t')}) AS th
+        FROM tk),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(th) >= 2
+                THEN list_transform(range(1, len(th)),
+                     i -> ((th[i] * 31 + th[i + 1]) % {P31}))
+                ELSE []::BIGINT[] END) AS h
+  FROM tkh
+),
+freq AS (SELECT h, count(*) AS cnt FROM grams GROUP BY 1),
+rk AS (SELECT h, cnt,
+              row_number() OVER (ORDER BY cnt DESC, h) AS rank
+       FROM freq),
+bk AS (
+  SELECT CAST(floor(log2(rank)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(cnt) AS BIGINT) AS occ
+  FROM rk GROUP BY 1
+)
+SELECT bucket, n_grams, occ,
+       {_sci_sql('CAST(occ AS DOUBLE) / (SELECT sum(cnt) FROM freq)')} AS mass
+FROM bk
+"""
+
+
+QUERIES["text_minhash_dedup_pairs"] = q_text_minhash_dedup_pairs
+QUERIES["sel_dedup_survivors"] = q_sel_dedup_survivors
+QUERIES["text_zipf_tail"] = q_text_zipf_tail
+_oracles_pre_r8 = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_r8()
+    d["text_minhash_dedup_pairs"] = o_text_minhash_dedup_pairs()
+    d["sel_dedup_survivors"] = o_sel_dedup_survivors()
+    d["text_zipf_tail"] = o_text_zipf_tail()
+    return d

@@ -1094,7 +1094,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = triangle_counts(cooccurrence_edges(li, min_weight=TRI_MIN_W))
+    # pack_ids=True: part keys are 32-bit-bounded in this corpus; the
+    # packed single-long pair key makes the projection aggregate 2.3x
+    # cheaper at sf10 (round-8), with a codegen'd overflow guard
+    out = triangle_counts(cooccurrence_edges(li, min_weight=TRI_MIN_W, pack_ids=True))
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.col("tri").cast("long").alias("tri"),
@@ -1138,7 +1141,7 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = degrees(cooccurrence_edges(li))
+    out = degrees(cooccurrence_edges(li, pack_ids=True))
     return (
         out.groupBy("deg")
         .agg(F.count("*").alias("n_nodes"))
@@ -1613,7 +1616,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = kcore_peel(cooccurrence_edges(li), k=KCORE_K, rounds=KCORE_ROUNDS)
+    out = kcore_peel(cooccurrence_edges(li, pack_ids=True), k=KCORE_K, rounds=KCORE_ROUNDS)
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.col("deg").cast("long").alias("deg"),

