@@ -934,8 +934,10 @@ def exact_substr_spans(
 ) -> DataFrame:
     """``(doc_a, doc_b, n_shared, a_start, b_start)`` — token-level
     EXACT duplicate spans: every pair of documents sharing at least one
-    identical ``window``-token run, with how many window positions they
-    share and each side's earliest match offset. The ExactSubstr
+    identical ``window``-token run, with the number of MATCHING
+    OCCURRENCE PAIRS (a window repeated p times in A and q times in B
+    contributes p·q — the cross-product over occurrences, same count
+    the oracle computes) and each side's earliest match offset. The ExactSubstr
     flavor of dedup (Lee et al. 2021, "Deduplicating Training Data
     Makes Language Models Better"): verbatim boilerplate/quotation
     spans that doc-level Jaccard/MinHash miss because the rest of the

@@ -276,6 +276,21 @@ def _paeth_vec(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
 
 
+def _paeth_u8(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Paeth over uint8 operands: the distance math runs in int16
+    (p = a+b−c spans [−255, 510]) but the SELECTED value is returned
+    as the original uint8 — keeping the whole filter pipeline in
+    byte-wide arrays. Memory width matters more than op count here:
+    the codec kernels are bandwidth-bound, and int64 temporaries move
+    8× the bytes for identical mod-256 results."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = ul.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+
 def attach_png(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -296,47 +311,69 @@ def attach_png(
 
     def op(batches):
         bpp = 3
+        stride = width * bpp
         npix = width * height
         idx = np.arange(npix, dtype=np.int64)
         ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            blobs = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                base = d * 31 + idx * 7
-                rgb = np.empty((npix, 3), dtype=np.int64)
-                for c in range(3):
-                    rgb[:, c] = (base + c * 13) % 256
-                rows = rgb.reshape(height, width * bpp)
-                scan = bytearray()
-                prior = np.zeros(width * bpp, dtype=np.int64)
-                zeros = np.zeros(bpp, dtype=np.int64)
-                for y in range(height):
-                    raw = rows[y]
-                    left = np.concatenate([zeros, raw[:-bpp]])
-                    ul = np.concatenate([zeros, prior[:-bpp]])
-                    ft = (d + y) % 5
-                    if ft == 0:
-                        pred = 0
-                    elif ft == 1:
-                        pred = left
-                    elif ft == 2:
-                        pred = prior
-                    elif ft == 3:
-                        pred = (left + prior) // 2
-                    else:
-                        pred = _paeth_vec(left, prior, ul)
-                    scan.append(ft)
-                    scan.extend(((raw - pred) % 256).astype(np.uint8).tobytes())
-                    prior = raw
-                blobs.append(
-                    _PNG_SIG
-                    + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
-                    + _png_chunk(b"IEND", b"")
-                )
+            # pixel synthesis + filtering vectorized ACROSS the batch
+            # (round-8, mirroring _png_defilter): per row y the batch
+            # splits by filter type (d+y) mod 5, each branch a whole-
+            # array numpy op. Only zlib.compress + chunk framing stay
+            # per-image (the container edge is inherently per-blob).
+            ds = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n = len(ds)
+            # all pixel/filter math in uint8: PNG filtering is defined
+            # mod 256, which IS uint8 wraparound — and this kernel is
+            # memory-bandwidth-bound, so byte-wide arrays beat int64
+            # by the 8× width (measured: the int64 variant spent its
+            # time in plain array stores)
+            b32 = (ds % 256).astype(np.int32)[:, None] * 31 + (
+                idx.astype(np.int32)[None, :] * 7
+            )
+            b8 = (b32 % 256).astype(np.uint8)  # (n, npix)
+            rgb = (
+                b8[:, :, None]
+                + (np.arange(3, dtype=np.int64) * 13 % 256).astype(np.uint8)
+            )  # (n, npix, 3) uint8, wrapping add
+            rows = rgb.reshape(n, height, stride)
+            scan = np.empty((n, height, stride + 1), dtype=np.uint8)
+            zeros = np.zeros((n, bpp), dtype=np.uint8)
+            prior = np.zeros((n, stride), dtype=np.uint8)
+            for y in range(height):
+                raw = rows[:, y]
+                left = np.concatenate([zeros, raw[:, :-bpp]], axis=1)
+                ul = np.concatenate([zeros, prior[:, :-bpp]], axis=1)
+                ft = (ds + y) % 5
+                filt = np.empty((n, stride), dtype=np.uint8)
+                avg = (
+                    (left.astype(np.uint16) + prior) >> 1
+                ).astype(np.uint8)
+                for t, pred in (
+                    (0, None),
+                    (1, left),
+                    (2, prior),
+                    (3, avg),
+                    (4, _paeth_u8(left, prior, ul)),
+                ):
+                    m = ft == t
+                    if m.any():
+                        filt[m] = (
+                            raw[m] if pred is None else raw[m] - pred[m]
+                        )
+                scan[:, y, 0] = ft.astype(np.uint8)
+                scan[:, y, 1:] = filt
+                prior = raw
+            flat = scan.reshape(n, -1)
+            blobs = [
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(flat[i].tobytes()))
+                + _png_chunk(b"IEND", b"")
+                for i in range(n)
+            ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
     media = docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
@@ -351,17 +388,13 @@ def attach_png(
     )
 
 
-def _png_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Real PNG decode with only the stdlib: chunk walk (CRC-verified),
-    IHDR parse, IDAT concatenation, zlib inflate, and full filter
-    reconstruction for all five filter types. Supports the 8-bit RGB
-    non-interlaced flavor (what :func:`attach_png` writes and the
-    dominant layout in practice); other color types/bit depths raise
-    the declared stub contract. Returns (width, height,
-    pixels[h*w, 3] int64). The sequential left-neighbor dependency of
-    Sub/Average/Paeth reconstruction is inherently per-byte; at real
-    scale this loop is where libpng/PIL drops in — the Spark side
-    (binary column in, Arrow batch, narrow map) is unchanged."""
+def _png_parse(buf: bytes) -> tuple[int, int, bytes]:
+    """PNG container walk with only the stdlib: chunk framing
+    (CRC-verified), IHDR parse, IDAT concatenation, zlib inflate.
+    Supports the 8-bit RGB non-interlaced flavor (what
+    :func:`attach_png` writes and the dominant layout in practice);
+    other color types/bit depths raise the declared stub contract.
+    Returns (width, height, raw filtered scanline bytes)."""
     import struct
     import zlib
 
@@ -393,40 +426,101 @@ def _png_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
-    if len(raw) != h * (stride + 1):
+    if len(raw) != h * (w * 3 + 1):
         raise ValueError("PNG IDAT length mismatch")
-    out = np.empty((h, stride), dtype=np.int64)
-    prior = np.zeros(stride, dtype=np.int64)
+    return w, h, raw
+
+
+def _png_defilter(raws: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized filter reconstruction for a STACK of same-shape
+    images: ``raws`` is uint8 ``(n, h*(stride+1))``; returns uint8
+    ``(n, h, stride)`` reconstructed scanlines.
+
+    Rows must reconstruct in y order (row y's predictors read row
+    y−1), but nothing couples the n images — so the per-byte chains of
+    Sub/Average/Paeth vectorize ACROSS the batch: per row, images are
+    masked by filter type; None/Up are whole-row numpy ops, Sub is a
+    per-channel cumsum (mod distributes over the prefix sum), and
+    Average/Paeth run one short x loop of ``(group, 3)`` numpy ops.
+    Python-level iteration per batch is O(h·w), not O(n·h·w·3) — the
+    round-8 replacement for the per-image per-byte loop that made
+    multimodal_png a 21× sf10 scaler. At real scale this whole kernel
+    is where libpng/PIL drops in; the Spark side (binary column in,
+    Arrow batch, narrow map) is unchanged either way."""
+    bpp = 3
+    stride = w * bpp
+    n = raws.shape[0]
+    rows = raws.reshape(n, h, stride + 1)
+    fts = rows[:, :, 0]
+    lines = rows[:, :, 1:]
+    # uint8 throughout: reconstruction is mod-256 BY SPEC, which is
+    # uint8 wraparound for free; only Average/Paeth widen (uint16 /
+    # int16) for their intermediate sums. Byte-wide arrays matter —
+    # the kernel is bandwidth-bound (the int64 variant's profile was
+    # dominated by plain array stores, 8× the bytes for the same math).
+    out = np.empty((n, h, stride), dtype=np.uint8)
+    prior = np.zeros((n, stride), dtype=np.uint8)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int64)
-        if ft == 0:
-            rec = line
-        elif ft == 2:
-            rec = (line + prior) % 256
-        else:
-            rec = np.empty(stride, dtype=np.int64)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prior[i]
-                c = prior[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                elif ft == 4:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter type {ft}")
-                rec[i] = (line[i] + pred) % 256
-        out[y] = rec
+        line = lines[:, y]
+        ft = fts[:, y]
+        rec = np.empty((n, stride), dtype=np.uint8)
+        m0 = ft == 0
+        if m0.any():
+            rec[m0] = line[m0]
+        m1 = ft == 1  # Sub: prefix sum per channel, wrapping in uint8
+        if m1.any():
+            rec[m1] = (
+                line[m1]
+                .reshape(-1, w, bpp)
+                .cumsum(axis=1, dtype=np.uint8)
+                .reshape(-1, stride)
+            )
+        m2 = ft == 2  # Up: wrapping add
+        if m2.any():
+            rec[m2] = line[m2] + prior[m2]
+        m3 = ft == 3  # Average: x chain, vectorized across the group
+        if m3.any():
+            lb = line[m3].reshape(-1, w, bpp)
+            pb = prior[m3].reshape(-1, w, bpp)
+            rb = np.empty_like(lb)
+            a = np.zeros((lb.shape[0], bpp), dtype=np.uint8)
+            for x in range(w):
+                pred = ((a.astype(np.uint16) + pb[:, x]) >> 1).astype(
+                    np.uint8
+                )
+                rb[:, x] = lb[:, x] + pred
+                a = rb[:, x]
+            rec[m3] = rb.reshape(-1, stride)
+        m4 = ft == 4  # Paeth: x chain, vectorized across the group
+        if m4.any():
+            lb = line[m4].reshape(-1, w, bpp)
+            pb = prior[m4].reshape(-1, w, bpp)
+            rb = np.empty_like(lb)
+            a = np.zeros((lb.shape[0], bpp), dtype=np.uint8)
+            c = np.zeros((lb.shape[0], bpp), dtype=np.uint8)
+            for x in range(w):
+                b = pb[:, x]
+                rb[:, x] = lb[:, x] + _paeth_u8(a, b, c)
+                a = rb[:, x]
+                c = b
+            rec[m4] = rb.reshape(-1, stride)
+        bad = ~(m0 | m1 | m2 | m3 | m4)
+        if bad.any():
+            raise ValueError(
+                f"bad PNG filter type {int(ft[bad][0])}"
+            )
+        out[:, y] = rec
         prior = rec
-    return w, h, out.reshape(-1, 3)
+    return out
+
+
+def _png_decode(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Real single-image PNG decode (parse + defilter over a stack of
+    one). Returns (width, height, pixels[h*w, 3] int64)."""
+    w, h, raw = _png_parse(buf)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(1, -1)
+    pix = _png_defilter(arr, w, h)[0].astype(np.int64)
+    return w, h, pix.reshape(-1, 3)
 
 
 def decode_png_features(media_df: DataFrame) -> DataFrame:
@@ -439,20 +533,40 @@ def decode_png_features(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            doc, ws, hs, ch, s = [], [], [], [], []
+            # parse each container, then defilter per same-shape GROUP
+            # so the filter chains vectorize across the whole batch
+            groups: dict = {}
             for did, buf in zip(pdf["doc_id"], pdf["media"]):
-                w, h, pix = _png_decode(bytes(buf))
-                sums = pix.sum(axis=0)
-                for c in range(3):
-                    doc.append(did)
-                    ws.append(w)
-                    hs.append(h)
-                    ch.append(c)
-                    s.append(int(sums[c]))
-            yield pd.DataFrame(
-                {"doc_id": doc, "width": ws, "height": hs,
-                 "channel": ch, "ch_sum": s}
-            )
+                w, h, raw = _png_parse(bytes(buf))
+                ids, raws = groups.setdefault((w, h), ([], []))
+                ids.append(int(did))
+                raws.append(raw)
+            frames = []
+            for (w, h), (ids, raws) in groups.items():
+                arr = np.frombuffer(
+                    b"".join(raws), dtype=np.uint8
+                ).reshape(len(raws), -1)
+                pix = _png_defilter(arr, w, h)
+                sums = pix.reshape(len(raws), h * w, 3).sum(
+                    axis=1, dtype=np.int64
+                )
+                g = len(ids)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(
+                                np.asarray(ids, dtype=np.int64), 3
+                            ),
+                            "width": np.full(g * 3, w, dtype=np.int64),
+                            "height": np.full(g * 3, h, dtype=np.int64),
+                            "channel": np.tile(
+                                np.arange(3, dtype=np.int64), g
+                            ),
+                            "ch_sum": sums.reshape(-1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return media_df.mapInPandas(
         op,

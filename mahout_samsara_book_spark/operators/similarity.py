@@ -255,7 +255,12 @@ def _centers_matrix(centers, vec_col: str = "center"):
     Accepts an already-collected ``(cids, matrix)`` tuple and returns
     it untouched — composed operators (ivf_topk, ann_ivfpq_topk)
     collect once and hand the tuple to both the assign and probe
-    passes instead of paying two identical collection actions."""
+    passes instead of paying two identical collection actions.
+
+    EAGER AT CONSTRUCTION: passing a DataFrame runs the collect (a
+    Spark job) immediately — the matrix must exist before any consumer
+    serializes its mapInPandas closure. Plan-audit-style callers that
+    construct but never execute should pass the tuple form."""
     import numpy as np
 
     if isinstance(centers, tuple):
@@ -877,6 +882,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """``(vec_id, m, code, d2)`` — each vector's nearest codeword per
     subspace (ties by code asc): the PQ compression step. 64 doubles →
@@ -896,12 +902,21 @@ def pq_encode(
     codeword meets its own source row (the expanded form's
     cancellation residue would break the '0'-vs-'%.7e' output
     convention there), and within ~1e-16 relative of the oracle's
-    sequential fold everywhere else (absorbed by %.7e)."""
+    sequential fold everywhere else (absorbed by %.7e).
+
+    EAGER AT CONSTRUCTION: the codebook is collected to the driver and
+    broadcast when this function is CALLED (a hash-sample Spark job),
+    not when the returned DataFrame first executes — the broadcast
+    must exist before the mapInPandas closure serializes. Callers that
+    already hold the codebook relation (ann_ivfpq_topk's ADC LUT)
+    pass it via ``books`` so the sampling job runs once, mirroring the
+    ``_centers_matrix`` collect-once tuple pattern."""
     import numpy as np
     import pandas as pd
 
     sub_dim = dim // m
-    books = pq_codebooks(emb, m, k, seed, id_col, vec_col, dim)
+    if books is None:
+        books = pq_codebooks(emb, m, k, seed, id_col, vec_col, dim)
     bpdf = books.toPandas()
     kk = int(bpdf["code"].max()) + 1
     bmat = np.zeros((m, kk, sub_dim), dtype=np.float64)
@@ -1027,7 +1042,7 @@ def ann_ivfpq_topk(
     # pass (round-7; the previous window argmin over the corpus × M·K
     # scored relation shuffled 25.6M rows at sf10)
     codes = pq_encode(
-        emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim
+        emb, pq_m, pq_k, pq_seed, id_col, vec_col, dim, books=books
     ).select(
         F.col(id_col).alias("neighbor"),
         F.col("m").alias("cm"),

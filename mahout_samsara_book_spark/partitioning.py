@@ -25,6 +25,67 @@ def _parse_bytes(s: str) -> int:
     return int(s)
 
 
+def _trusted_leaf_estimate(jplan) -> int:
+    """Largest ``sizeInBytes`` over the leaves whose estimate the widen
+    guard can TRUST, i.e. excluding (round-8, ADVICE):
+
+    - leaves under the broadcast-hinted side of a join — the build side
+      never streams, so its size says nothing about scan parallelism of
+      the streamed stage;
+    - partition-prunable scans that sit under a Filter referencing one
+      of their partition columns — the logical leaf stat is the FULL
+      table size, but physical planning may prune the scan to a sliver
+      (partition pruning happens after the logical stats are struck).
+
+    Untrusted leaves simply don't contribute; when nothing trustworthy
+    is large, the caller falls through to the exact probe.
+    """
+    # pass 1: every column name referenced by any Filter condition
+    filter_refs: set[str] = set()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Filter":
+            refs = node.condition().references().toSeq()
+            for i in range(refs.size()):
+                filter_refs.add(refs.apply(i).name())
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    # pass 2: max over trusted leaves, tracking broadcast-side descent
+    best = 0
+    stack2 = [(jplan, False)]
+    while stack2:
+        node, under_bc = stack2.pop()
+        name = node.getClass().getSimpleName()
+        ch = node.children()
+        if ch.isEmpty():
+            if under_bc:
+                continue
+            part_cols: set[str] = set()
+            if name == "LogicalRelation":
+                try:
+                    part_cols = set(
+                        node.relation().partitionSchema().fieldNames()
+                    )
+                except Exception:  # noqa: BLE001 — non-file relation
+                    part_cols = set()
+            if part_cols & filter_refs:
+                continue  # prunable under a partition filter: distrust
+            best = max(best, int(node.stats().sizeInBytes()))
+            continue
+        if name == "Join":
+            h = node.hint()
+            lbc = "broadcast" in h.leftHint().toString().lower()
+            rbc = "broadcast" in h.rightHint().toString().lower()
+            stack2.append((node.left(), under_bc or lbc))
+            stack2.append((node.right(), under_bc or rbc))
+        else:
+            for i in range(ch.size()):
+                stack2.append((ch.apply(i), under_bc))
+    return best
+
+
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     """Small-file inputs arrive as one or two scan partitions (a whole
     fixture table fits one ``maxPartitionBytes`` split), and every stage
@@ -46,7 +107,11 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     one leaf alone spans ≥ target ``maxPartitionBytes`` splits, the
     streamed side of any join stack on top of it is at least that wide
     (shuffled stages get ``shuffle.partitions`` anyway), and the guard
-    returns without ever building a physical plan. Only plausibly-small
+    returns without ever building a physical plan. Round-8: only
+    TRUSTED leaves count — broadcast-hinted join sides and
+    partition-prunable scans under partition filters are excluded (see
+    :func:`_trusted_leaf_estimate`), so a pruned-to-a-sliver scan or a
+    big broadcast build side can no longer silently defeat the widen. Only plausibly-small
     inputs (fixtures, post-filter slivers, in-memory ranges whose stats
     underestimate their partitioning) fall through to the exact probe —
     measured at ~1-3 ms warm on such plans (SCALING.md round-6 note).
@@ -58,11 +123,7 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        est = max(
-            int(leaves.apply(i).stats().sizeInBytes())
-            for i in range(leaves.size())
-        )
+        est = _trusted_leaf_estimate(df._jdf.queryExecution().optimizedPlan())
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )

@@ -313,3 +313,42 @@ def test_ensure_min_partitions_contract(spark):
         spark.sparkContext.defaultParallelism + 8
     )
     assert ensure_min_partitions(wide) is wide
+
+
+def test_trusted_leaf_estimate_pruning_and_broadcast(spark, tmp_path):
+    """The widen guard's logical-stats short-circuit must DISTRUST
+    (round-8, ADVICE): a partition-prunable scan under a partition
+    filter (the leaf stat is full-table bytes but the physical scan may
+    be a sliver) and any leaf on the broadcast-hinted side of a join
+    (the build side never streams)."""
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.partitioning import (
+        _trusted_leaf_estimate,
+    )
+
+    def est(df):
+        return _trusted_leaf_estimate(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+
+    pt_path = str(tmp_path / "pt")
+    (
+        spark.range(0, 50000)
+        .withColumn("p", (F.col("id") % 10).cast("int"))
+        .write.partitionBy("p")
+        .parquet(pt_path)
+    )
+    pt = spark.read.parquet(pt_path)
+    full = est(pt)
+    assert full > 0
+    # partition-column filter → leaf untrusted → 0 (falls to exact probe)
+    assert est(pt.filter(F.col("p") == 3)) == 0
+    # non-partition filter → leaf stays trusted
+    assert est(pt.filter(F.col("id") > 5)) == full
+
+    big, small = spark.range(1000).toDF("k"), spark.range(10).toDF("k")
+    # broadcast-hinted BIG side must not count; the streamed small side does
+    assert est(F.broadcast(big).join(small, "k")) < est(
+        big.join(F.broadcast(small), "k")
+    )
