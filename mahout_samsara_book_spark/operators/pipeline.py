@@ -49,6 +49,18 @@ def select_training_docs(
     (the cluster minimum), subsuming exact dups that also collide in
     LSH while the explicit exact-keeper stage guarantees byte-identical
     dups dedup even when shingling misses them (short docs)."""
+    # Widen ONCE at the pipeline entry (round-8): the quality, exact-dup
+    # and LSH branches all derive from this same DataFrame, so they
+    # share a single repartition exchange (ReuseExchange dedupes the
+    # identical subtree) instead of each interior operator re-widening
+    # its own projection of the same small scan — the r7 A/B's ~1.4 s
+    # guard overhead was 3 stacked exchanges of one corpus. Interior
+    # ensure_min_partitions calls see the already-wide plan and no-op.
+    from mahout_samsara_book_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
     # Fused quality+language stage: ONE corpus scan, ONE tokenization
     # feeding both predicates (the standalone operators each tokenize;
     # composing them as separate semi-joins would scan and tokenize the
@@ -115,6 +127,13 @@ def canonical_by_quality(
     on both engines, with the id tiebreak pinning exact ties."""
     from pyspark.sql import Window
 
+    from mahout_samsara_book_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # one shared widen for the LSH and quality branches (see
+    # select_training_docs)
+    docs = ensure_min_partitions(docs)
     pairs = minhash_lsh_dedup(
         docs, n=n, k=k, bands=bands, seed=seed, threshold=threshold,
         id_col=id_col, text_col=text_col,
