@@ -623,6 +623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_tail",             # new: vocabulary Zipf tail mass
         "rel_decile_revenue",         # new: ntile decile revenue profile
         "ev_burst_windows",           # new: per-type burst detection
+        "text_bm25_topk",             # new: BM25 top-k retrieval
+        "sel_weighted_sample",        # new: Efraimidis–Spirakis sample
+        "multimodal_png",             # r8: uint8 vectorized codec kernels
+        "docs_pipeline",              # r8: entry-widen consolidation
+        "sel_canonical",              # r8: entry-widen consolidation
         # -- (2) stale rows, last graded round ≤ 4
         "rel_custdist", "rel_disjunctive_revenue", "rel_forecast_revenue",
         "rel_fuzzy_join", "rel_heavy_shippers", "rel_histogram",
@@ -632,14 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_small_qty_revenue", "rel_stats_agg", "rel_supplier_counts",
         "rel_table_checksum", "rel_top_quarter_supplier",
         "rel_top_suppliers", "rel_volume_shipping",
-        "rel_waiting_suppliers", "rel_yearly_growth", "sel_canonical",
+        "rel_waiting_suppliers", "rel_yearly_growth",
         "sel_priority_sample", "sel_universe_sample", "sketch_cms",
         "sketch_hll", "sketch_hll_sliding", "sketch_sample_quantiles",
         "text_bigram_lm", "text_inverted_index", "text_pmi_pairs",
         # -- (3) fill to ~50 with the oldest (round-5) rows
         "ann_ivfpq_probe", "bloom_build", "bloom_probe",
         "dedup_containment", "dedup_incremental", "dedup_ngram_jaccard",
-        "docs_funnel", "docs_pipeline", "emb_centroids",
+        "docs_funnel", "emb_centroids",
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead

@@ -2034,3 +2034,182 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["sel_dedup_survivors"] = o_sel_dedup_survivors()
     d["text_zipf_tail"] = o_text_zipf_tail()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8 late additions: BM25 retrieval, weighted sampling
+# ------------------------------------------------------------------ #
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# literal query sets over the synthetic vocabulary — the bounded-Q
+# production shape (queries broadcast; only matched postings stream)
+BM25_QUERIES = [
+    ("q_spark", ["spark", "hash"]),
+    ("q_window", ["window", "scan", "filter"]),
+    ("q_merge", ["merge", "vector"]),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Lucene scoring) for a literal
+    query set: per-(query, doc) scores fold in fixed term order and
+    ranking rounds to 9 decimals on both engines (the r7 ulp
+    discipline), so ln/division drift can't flip the tiebreak."""
+    from mahout_samsara_book_spark.functions.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(
+        docs, BM25_QUERIES, topk=BM25_TOPK, k1=BM25_K1, b=BM25_B
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _sci(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_text_bm25_topk() -> str:
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    k1, b = BM25_K1, BM25_B
+    arms = []
+    for qid, terms in BM25_QUERIES:
+        fold = " + ".join(
+            f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0)"
+            for t in terms
+        )
+        tl = ", ".join(f"'{t}'" for t in terms)
+        arms.append(
+            f"SELECT '{qid}' AS query_id, doc_id, {fold} AS score\n"
+            f"  FROM s WHERE term IN ({tl}) GROUP BY doc_id"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM tk),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({in_list}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+s AS (
+  SELECT tc.doc_id, tc.term,
+         ln(1 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tc.tf * ({k1} + 1.0))
+         / (tc.tf + {k1} * (1.0 - {b} + {b} * lens.dl / st.avgdl)) AS s
+  FROM tc JOIN dfs USING (term) JOIN lens USING (doc_id), st
+),
+scored AS (
+{union}
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score, 9) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       {{SCI}} AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {BM25_TOPK}
+""".replace("{SCI}", _sci_sql("score"))
+
+
+# Efraimidis–Spirakis weighted sampling without replacement:
+# key = -ln(u)/w with u a doc-keyed hash uniform; the m smallest keys
+# are an exact weighted sample. Deterministic (hash-seeded u) so the
+# oracle replays it byte-for-byte.
+WS_SEED = 17
+WS_M = 200
+
+
+def q_sel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of WS_M docs with weight = token count (longer
+    docs proportionally likelier): the importance-sampling primitive
+    data-mixing pipelines use for domain reweighting. One narrow pass
+    computes the exponential key; the global top-m runs as
+    ``orderBy(...).limit(m)`` — planned as TakeOrderedAndProject
+    (per-partition heap of m, merge of partition heads; no global
+    sort, no single-partition window) — and only the m SELECTED rows
+    see the rank window. Weights and u are both integer-derived so
+    only the final -ln(u)/w division is float."""
+    from mahout_samsara_book_spark.functions.text import tokenize
+    from mahout_samsara_book_spark.operators.hashing import h60
+    from mahout_samsara_book_spark.partitioning import (
+        ensure_min_partitions,
+    )
+    from pyspark.sql import Window
+
+    docs = ensure_min_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("w"),
+        h60(
+            F.concat_ws(
+                ":", F.lit(f"ws{WS_SEED}"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        "w",
+        (
+            -F.log((F.col("h").cast("double") + 1.0) / F.lit(float(1 << 60)))
+            / F.col("w")
+        ).alias("key"),
+    )
+    top = scored.orderBy(
+        F.round(F.col("key"), 12).asc(), F.col("doc_id").asc()
+    ).limit(WS_M)
+    rw = Window.orderBy(F.round(F.col("key"), 12).asc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(rw))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("w").cast("long").alias("w"),
+            _sci(F.col("key")).alias("key"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def o_sel_weighted_sample() -> str:
+    h = h60_sql("concat('ws" + str(WS_SEED) + ":', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, len({TOKS_SQL}) AS w FROM documents
+),
+keyed AS (
+  SELECT doc_id, w,
+         -ln(({h} + 1.0) / {float(1 << 60)}) / w AS key
+  FROM tk
+),
+r AS (
+  SELECT doc_id, w, key,
+         row_number() OVER (ORDER BY round(key, 12) ASC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w,
+       {{SCI}} AS key, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {WS_M}
+""".replace("{SCI}", _sci_sql("key"))
+
+
+QUERIES["text_bm25_topk"] = q_text_bm25_topk
+QUERIES["sel_weighted_sample"] = q_sel_weighted_sample
+_oracles_pre_r8b = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_r8b()
+    d["text_bm25_topk"] = o_text_bm25_topk()
+    d["sel_weighted_sample"] = o_sel_weighted_sample()
+    return d

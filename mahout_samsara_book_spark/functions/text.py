@@ -248,3 +248,105 @@ def tfidf_neighbors(
         .filter(F.col("rank") <= F.lit(int(k)))
         .select("doc_id", "neighbor", "cosine", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(query_id, doc_id, score, rank)`` — BM25 top-k retrieval for a
+    literal query set (the Robertson/Lucene scoring every search stack
+    runs over an inverted index):
+
+        score(q, d) = Σ_t∈q  ln(1 + (N − df + ½)/(df + ½))
+                             · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Scale shape: the query-term list is a literal (broadcast by
+    construction); only the MATCHED postings stream — the corpus-wide
+    work is the one term_counts aggregation every index build pays, and
+    everything after is proportional to the postings of the queried
+    terms, not the corpus. N/avgdl are two scalars collected once
+    (one tiny aggregate job). Per-(query, doc) scores fold in FIXED
+    term order (one conditional sum per literal term, chained — the
+    ``_ordered_m_sum`` discipline), and ranking rounds the score to 9
+    decimals on both engines so a last-ulp ln/division drift can't
+    flip the row_number tiebreak."""
+    from pyspark.sql import Window
+
+    from mahout_samsara_book_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs.select(id_col, text_col))
+    toked = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    lens = toked.select(F.col(id_col), F.size("_toks").alias("dl"))
+    n_docs, avgdl = lens.agg(
+        F.count("*"), F.avg("dl")
+    ).first()
+    counts = (
+        toked.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    matched = counts.filter(F.col("term").isin(all_terms))
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    per_term = (
+        matched.join(F.broadcast(dfs), "term")
+        .join(lens, id_col)
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    outs = []
+    for qid, terms in queries:
+        acc = None
+        for t in terms:  # fixed-order fold: one addend per literal term
+            # coalesce to 0 so a doc matching SOME of the query's terms
+            # still scores (x + NULL would null the whole fold)
+            term_sum = F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            )
+            acc = term_sum if acc is None else acc + term_sum
+        scored = (
+            per_term.filter(F.col("term").isin(list(terms)))
+            .groupBy(id_col)
+            .agg(acc.alias("score"))
+            .withColumn("query_id", F.lit(qid))
+        )
+        outs.append(scored.select("query_id", id_col, "score"))
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col(id_col).asc()
+    )
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1,0 +1,71 @@
+"""BM25 retrieval: hand-computed scores on a tiny corpus, and the
+scale-shape contracts (bounded candidate stream, TakeOrdered top-m for
+the weighted sample)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.functions.text import bm25_topk
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(spark):
+    rows = [
+        (1, "spark spark hash join"),
+        (2, "hash table scan"),
+        (3, "window filter scan scan"),
+        (4, "merge sort run"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(
+        docs, [("q1", ["spark", "hash"])], topk=4
+    ).collect()
+    n, avgdl = 4, (4 + 3 + 4 + 3) / 4
+    exp = {
+        1: _bm25(2, 1, n, 4, avgdl) + _bm25(1, 2, n, 4, avgdl),
+        2: _bm25(1, 2, n, 3, avgdl),
+    }
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == set(exp)  # docs 3/4 match no term
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[1] == 1 and ranks[2] == 2  # doc 1 double-matches
+
+
+def test_bm25_partial_match_scores_not_null(spark):
+    # a doc matching only ONE of a query's terms must still score
+    # (the fixed-order fold coalesces missing terms to 0, it doesn't
+    # NULL the whole sum)
+    docs = spark.createDataFrame(
+        [(1, "spark only here"), (2, "hash alone")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [("q", ["spark", "hash"])], topk=5).collect()
+    assert len(out) == 2
+    assert all(r.score is not None for r in out)
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The global top-m must plan as TakeOrderedAndProject (bounded
+    per-partition heaps), never a single-partition sort window."""
+    import __spark_entry__
+    import entry_m5
+
+    __spark_entry__.queries()  # wires entry_m5's sci helpers
+    df = entry_m5.q_sel_weighted_sample(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    rows = df.collect()
+    assert len(rows) == min(entry_m5.WS_M, n_docs)
+    # ranks are 1..m and keys ascend with rank
+    ks = [float(r.key) for r in sorted(rows, key=lambda r: r.rank)]
+    assert ks == sorted(ks)
