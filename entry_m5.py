@@ -2075,12 +2075,14 @@ def o_text_bm25_topk() -> str:
     all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     in_list = ", ".join(f"'{t}'" for t in all_terms)
     k1, b = BM25_K1, BM25_B
+    # superset fold in sorted-term order, mirroring the engine's single
+    # (query, doc) aggregate: non-member terms coalesce to an exact 0
+    fold = " + ".join(
+        f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0)"
+        for t in all_terms
+    )
     arms = []
     for qid, terms in BM25_QUERIES:
-        fold = " + ".join(
-            f"coalesce(sum(CASE WHEN term = '{t}' THEN s END), 0)"
-            for t in terms
-        )
         tl = ", ".join(f"'{t}'" for t in terms)
         arms.append(
             f"SELECT '{qid}' AS query_id, doc_id, {fold} AS score\n"

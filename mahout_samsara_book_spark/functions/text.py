@@ -271,11 +271,15 @@ def bm25_topk(
     work is the one term_counts aggregation every index build pays, and
     everything after is proportional to the postings of the queried
     terms, not the corpus. N/avgdl are two scalars collected once
-    (one tiny aggregate job). Per-(query, doc) scores fold in FIXED
-    term order (one conditional sum per literal term, chained — the
-    ``_ordered_m_sum`` discipline), and ranking rounds the score to 9
-    decimals on both engines so a last-ulp ln/division drift can't
-    flip the row_number tiebreak."""
+    (one tiny aggregate job). The matched postings join a broadcast
+    (term → query) literal map and aggregate ONCE on (query, doc) —
+    not one aggregate per query — with the per-(query, doc) score
+    folding in FIXED sorted-term order (one coalesced conditional sum
+    per literal term, chained — the ``_ordered_m_sum`` discipline;
+    adding exact 0.0 for a query's non-member terms is a float no-op,
+    so one superset fold serves every query). Ranking rounds the score
+    to 9 decimals on both engines so a last-ulp ln/division drift
+    can't flip the row_number tiebreak."""
     from pyspark.sql import Window
 
     from mahout_samsara_book_spark.partitioning import (
@@ -322,31 +326,34 @@ def bm25_topk(
             ).alias("s"),
         )
     )
-    outs = []
-    for qid, terms in queries:
-        acc = None
-        for t in terms:  # fixed-order fold: one addend per literal term
-            # coalesce to 0 so a doc matching SOME of the query's terms
-            # still scores (x + NULL would null the whole fold)
-            term_sum = F.coalesce(
-                F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
-            )
-            acc = term_sum if acc is None else acc + term_sum
-        scored = (
-            per_term.filter(F.col("term").isin(list(terms)))
-            .groupBy(id_col)
-            .agg(acc.alias("score"))
-            .withColumn("query_id", F.lit(qid))
+    # (term → query) membership map: a literal, broadcast by size; a
+    # term in two queries fans its postings to both (query, doc) keys
+    spark = docs.sparkSession
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, ts in queries for t in ts],
+            "query_id string, term string",
         )
-        outs.append(scored.select("query_id", id_col, "score"))
-    union = outs[0]
-    for o in outs[1:]:
-        union = union.unionByName(o)
+    )
+    # one aggregate on (query, doc): superset fold in sorted-term order
+    # — a query's non-member terms contribute an exact 0.0 (coalesced
+    # empty sum), which never perturbs the float fold
+    acc = None
+    for t in all_terms:
+        term_sum = F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        )
+        acc = term_sum if acc is None else acc + term_sum
+    scored = (
+        per_term.join(qmap, "term")
+        .groupBy("query_id", id_col)
+        .agg(acc.alias("score"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col(id_col).asc()
     )
     return (
-        union.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", id_col, "score", "rank")
     )
