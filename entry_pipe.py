@@ -1888,3 +1888,77 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_profile()
     d["rel_profile"] = o_rel_profile()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8: theta-style KMV intersection estimates
+# ------------------------------------------------------------------ #
+
+KMV_I_K = 256  # larger sketch: pairwise intersections amplify KMV error
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types (the
+    theta-sketch intersection KMV union can't express): per event-type
+    pair, the estimated number of users active in BOTH. All sketch math
+    is integer md5 hashes; see kmv_intersect_distinct's scale notes
+    (pair join over k-row sketches, never the raw user sets)."""
+    from mahout_samsara_book_spark.operators.sketches import (
+        kmv_intersect_distinct,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = kmv_intersect_distinct(ev, "event_type", "user_id", k=KMV_I_K)
+    return out.select(
+        "grp_a",
+        "grp_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        _sci(F.col("inter_est")).alias("inter_est"),
+    )
+
+
+def o_kmv_intersect() -> str:
+    k = KMV_I_K
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         {h60_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+      FROM hashed),
+entries AS (SELECT grp, h FROM r WHERE r <= {k}),
+thetas AS (
+  SELECT grp,
+         CASE WHEN count(*) < {k} THEN {int(_H60_SPAN_F)}
+              ELSE max(h) END AS theta
+  FROM entries GROUP BY grp
+),
+common AS (
+  SELECT ea.grp AS grp_a, eb.grp AS grp_b,
+         count(*) AS n_common,
+         min(least(ta.theta, tb.theta)) AS th
+  FROM entries ea
+  JOIN entries eb ON ea.h = eb.h AND ea.grp < eb.grp
+  JOIN thetas ta ON ta.grp = ea.grp
+  JOIN thetas tb ON tb.grp = eb.grp
+  WHERE ea.h <= least(ta.theta, tb.theta)
+  GROUP BY 1, 2
+)
+SELECT grp_a, grp_b, CAST(n_common AS BIGINT) AS n_common,
+       {{SCI}} AS inter_est
+FROM common
+""".replace(
+        "{SCI}",
+        _sci_sql(f"CAST(n_common AS DOUBLE) * {_H60_SPAN_F} / CAST(th AS DOUBLE)"),
+    )
+
+
+QUERIES["sketch_kmv_intersect"] = q_kmv_intersect
+_oracles_pre_kmvi = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_kmvi()
+    d["sketch_kmv_intersect"] = o_kmv_intersect()
+    return d

@@ -64,6 +64,79 @@ def kmv_distinct(
     )
 
 
+def kmv_intersect_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """``(grp_a, grp_b, n_common, inter_est)`` — theta-sketch-style
+    INTERSECTION cardinality estimate for every pair of groups: the set
+    operation KMV union can't express (union keeps the k smallest of a
+    merged set; intersection needs the common survivors below a shared
+    threshold — the theta-sketch trick).
+
+    Per group, the bottom-k distinct hashes form the sketch and the
+    k-th smallest is its threshold θ (an exhausted group — fewer than k
+    distinct values — keeps θ at the full hash span, making its sketch
+    the exact set). For a pair, θ_ab = min(θ_a, θ_b); the estimator is
+    |{h ∈ S_a ∩ S_b : h ≤ θ_ab}| · span/θ_ab — which degrades to the
+    EXACT intersection count when both sides are exhausted. All sketch
+    math is integer md5 hashes (oracle-replayable bit-for-bit); only
+    the final scale-up divides floats.
+
+    Scale shape: one distinct + per-group bottom-k window builds every
+    sketch in one pass; the pair join runs over k-row sketches (≤ k·G
+    rows total), never the raw sets — G groups cost G²/2 joins of
+    k-row relations, independent of corpus size."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        h60(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    entries = hashed.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    thetas = entries.groupBy("grp").agg(
+        F.max("h").alias("rk"), F.count("*").alias("n_seen")
+    ).select(
+        "grp",
+        F.when(F.col("n_seen") < k, F.lit(int(_H60_SPAN_F)))
+        .otherwise(F.col("rk"))
+        .alias("theta"),
+    )
+    ea = entries.select(F.col("grp").alias("grp_a"), "h")
+    eb = entries.select(F.col("grp").alias("grp_b"), "h")
+    ta = thetas.select(
+        F.col("grp").alias("grp_a"), F.col("theta").alias("th_a")
+    )
+    tb = thetas.select(
+        F.col("grp").alias("grp_b"), F.col("theta").alias("th_b")
+    )
+    common = (
+        ea.join(eb, "h")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .join(F.broadcast(ta), "grp_a")
+        .join(F.broadcast(tb), "grp_b")
+        .filter(F.col("h") <= F.least("th_a", "th_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first(F.least("th_a", "th_b")).alias("th"),
+        )
+    )
+    return common.select(
+        "grp_a",
+        "grp_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            * F.lit(_H60_SPAN_F)
+            / F.col("th").cast("double")
+        ).alias("inter_est"),
+    )
+
+
 def kmv_union_distinct(
     df: DataFrame,
     group_col: str,

@@ -155,3 +155,60 @@ def test_sample_quantiles_bounded_sample(spark):
     assert 0.0 <= r["est"] <= 999.0
     # median of a uniform sample of 16 from U[0,1000): loose 3-sigma band
     assert 150.0 <= r["est"] <= 850.0
+
+
+def test_kmv_intersect_exact_when_exhausted_and_close_otherwise(spark):
+    """Theta-style intersection: when both groups hold fewer than k
+    distinct values the sketch IS the set and the estimate must be the
+    exact intersection count; with k below the distinct counts the
+    estimate must land within the KMV error band of truth."""
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.operators.sketches import (
+        kmv_intersect_distinct,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .alias("a")
+        .join(
+            ev.select("event_type", "user_id").distinct().alias("b"),
+            ["user_id"],
+        )
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("grp_a"),
+            F.col("b.event_type").alias("grp_b"),
+        )
+        .count()
+        .collect()
+    )
+    truth = {(r.grp_a, r.grp_b): r["count"] for r in exact}
+
+    # exhausted regime: k far above every distinct count → exact
+    big = {
+        (r.grp_a, r.grp_b): (r.n_common, r.inter_est)
+        for r in kmv_intersect_distinct(
+            ev, "event_type", "user_id", k=1_000_000
+        ).collect()
+    }
+    assert set(big) == set(truth)
+    for pair, (n_common, est) in big.items():
+        assert n_common == truth[pair]
+        assert abs(est - truth[pair]) < 1e-6
+
+    # sketch regime: k=256 → within ~3/sqrt(k) relative of truth
+    sk = {
+        (r.grp_a, r.grp_b): r.inter_est
+        for r in kmv_intersect_distinct(
+            ev, "event_type", "user_id", k=256
+        ).collect()
+    }
+    for pair, t in truth.items():
+        assert abs(sk[pair] - t) / t < 3.0 / (256 ** 0.5) + 0.05, (
+            pair,
+            sk[pair],
+            t,
+        )
