@@ -626,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk",             # new: BM25 top-k retrieval
         "sel_weighted_sample",        # new: Efraimidis–Spirakis sample
         "sketch_kmv_intersect",       # new: theta-style intersection estimate
+        "ev_ewma_smooth",             # new: ordered-recursive EWMA fold
         "multimodal_png",             # r8: uint8 vectorized codec kernels
         "docs_pipeline",              # r8: entry-widen consolidation
         "sel_canonical",              # r8: entry-widen consolidation

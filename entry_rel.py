@@ -2427,3 +2427,50 @@ _LATE_ORACLES.update(
         "ev_burst_windows": o_ev_burst_windows,
     }
 )
+
+
+# ------------------------------------------------------------------ #
+# round-8: EWMA smoothing (ordered sequential fold)
+# ------------------------------------------------------------------ #
+
+EWMA_ALPHA = 0.3
+
+
+def q_ev_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly EWMA — the ordered-recursive fold shape; the
+    oracle replays the identical float sequence as a recursive CTE."""
+    out = R.event_hourly_ewma(spark, sf_dir, alpha=EWMA_ALPHA)
+    return out.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        _sci(F.col("v")).alias("v"),
+        _sci(F.col("ewma")).alias("ewma"),
+    )
+
+
+def o_ev_ewma_smooth() -> str:
+    a = EWMA_ALPHA
+    oma = 1.0 - EWMA_ALPHA
+    return f"""
+WITH RECURSIVE
+h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, value
+      FROM events),
+c AS (SELECT event_type, hour, sum(value) AS v FROM h GROUP BY 1, 2),
+rn AS (SELECT event_type, hour, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                AS rn
+       FROM c),
+e AS (
+  SELECT event_type, hour, v, rn, v AS ewma FROM rn WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.hour, r.v, r.rn, {a} * r.v + {oma} * e.ewma
+  FROM rn r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1
+)
+SELECT event_type, CAST(hour AS BIGINT) AS hour,
+       {{V}} AS v, {{E}} AS ewma
+FROM e
+""".replace("{V}", _sci_sql("v")).replace("{E}", _sci_sql("ewma"))
+
+
+QUERIES.update({"ev_ewma_smooth": q_ev_ewma_smooth})
+_LATE_ORACLES.update({"ev_ewma_smooth": o_ev_ewma_smooth})

@@ -1352,3 +1352,64 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+def event_hourly_ewma(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Per-type hourly EWMA smoothing (``s_0 = x_0``, ``s_t = α·x_t +
+    (1−α)·s_{t−1}``) — the exponential-smoothing primitive of every
+    monitoring/forecast stack, and the registry's template for ORDERED
+    SEQUENTIAL folds the relational algebra can't express: the chain is
+    inherently recursive, so it runs as one ``aggregate`` HOF over the
+    per-key time series.
+
+    Scale: the fact table is touched once (map-side-combined hourly
+    rollup); the fold then operates per KEY on hours-not-events — a
+    bounded array that grows with the time span, never data volume.
+    Fold order is pinned (array_sort by hour, sequential left fold), so
+    the oracle's recursive CTE adds the identical float sequence."""
+    from mahout_samsara_book_spark.sources.tables import ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            (ts_us(ev) / F.lit(3600000000)).cast("long").alias("hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("value").alias("v"))
+    )
+    pts = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "v"))).alias("pts")
+    )
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<hour:bigint, v:double, ewma:double>>)"
+    )
+    a, oma = float(alpha), 1.0 - float(alpha)
+    folded = pts.select(
+        "event_type",
+        F.aggregate(
+            "pts",
+            acc0,
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["hour"].alias("hour"),
+                        x["v"].alias("v"),
+                        F.when(F.size(acc) == 0, x["v"])
+                        .otherwise(
+                            F.lit(a) * x["v"]
+                            + F.lit(oma) * F.element_at(acc, -1)["ewma"]
+                        )
+                        .alias("ewma"),
+                    )
+                ),
+            ),
+        ).alias("es"),
+    )
+    return folded.select(
+        "event_type", F.explode("es").alias("e")
+    ).select("event_type", "e.hour", "e.v", "e.ewma")
