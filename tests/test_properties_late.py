@@ -221,3 +221,85 @@ def test_tfidf_neighbors_bruteforce_parity(spark):
         gcos, grank = got[key]
         assert grank == rank, (key, grank, rank)
         assert gcos == pytest.approx(cos, rel=1e-12), (key, gcos, cos)
+
+
+# ------------------------------------------------------------------ #
+# round-8: PNG codec property — random pixels, shapes, filter rows
+# ------------------------------------------------------------------ #
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_png_defilter_random_roundtrip(data):
+    """Encode random pixel stacks through every filter type and decode
+    with the batch kernel: reconstruction must be bit-exact for any
+    (w, h, filter assignment) — the uint8 wraparound math is the spec's
+    mod-256, not an approximation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mahout_samsara_book_spark.operators.multimodal import (
+        _paeth_u8,
+        _png_defilter,
+        _png_parse,
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    w = data.draw(st.integers(min_value=1, max_value=9))
+    h = data.draw(st.integers(min_value=1, max_value=7))
+    n = data.draw(st.integers(min_value=1, max_value=5))
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    bpp, stride = 3, w * 3
+    pixels = rng.randint(0, 256, size=(n, h, stride), dtype=np.int64)
+    fts = rng.randint(0, 5, size=(n, h))
+
+    # reference scalar ENCODER (independent of the library's)
+    raws = []
+    for i in range(n):
+        out = bytearray()
+        prior = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            raw = pixels[i, y]
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+            ft = int(fts[i, y])
+            if ft == 0:
+                pred = np.zeros(stride, dtype=np.int64)
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = prior
+            elif ft == 3:
+                pred = (left + prior) // 2
+            else:
+                pred = _paeth_u8(
+                    left.astype(np.uint8),
+                    prior.astype(np.uint8),
+                    ul.astype(np.uint8),
+                ).astype(np.int64)
+            out.append(ft)
+            out.extend(((raw - pred) % 256).astype(np.uint8).tobytes())
+            prior = raw
+        raws.append(bytes(out))
+
+    arr = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(n, -1)
+    rec = _png_defilter(arr, w, h)
+    assert np.array_equal(rec.astype(np.int64), pixels)
+
+    # container round trip for one image: parse(chunked(raw)) == raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raws[0]))
+        + _png_chunk(b"IEND", b"")
+    )
+    pw, ph, praw = _png_parse(blob)
+    assert (pw, ph) == (w, h) and praw == raws[0]
