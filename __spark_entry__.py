@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_weighted_sample",        # new: Efraimidis–Spirakis sample
         "sketch_kmv_intersect",       # new: theta-style intersection estimate
         "ev_ewma_smooth",             # new: ordered-recursive EWMA fold
+        "fmt_orc_roundtrip",          # r8: write-once layout (read path)
         "multimodal_png",             # r8: uint8 vectorized codec kernels
         "docs_pipeline",              # r8: entry-widen consolidation
         "sel_canonical",              # r8: entry-widen consolidation
