@@ -2,7 +2,6 @@
 and converge to the batch aggregate."""
 
 import pyarrow.parquet as pq
-import pytest
 from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.streaming.stateful import start_running_totals
