@@ -2160,6 +2160,10 @@ def q_sel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ":", F.lit(f"ws{WS_SEED}"), F.col("doc_id").cast("string")
             )
         ).alias("h"),
+    ).filter(
+        # zero-weight (empty-token) docs can't be sampled — and double
+        # division by zero is a cross-engine portability hazard
+        F.col("w") >= 1
     ).select(
         "doc_id",
         "w",
@@ -2192,7 +2196,7 @@ WITH tk AS (
 keyed AS (
   SELECT doc_id, w,
          -ln(({h} + 1.0) / {float(1 << 60)}) / w AS key
-  FROM tk
+  FROM tk WHERE w >= 1
 ),
 r AS (
   SELECT doc_id, w, key,
