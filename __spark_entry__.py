@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_intersect",       # new: theta-style intersection estimate
         "ev_ewma_smooth",             # new: ordered-recursive EWMA fold
         "fmt_orc_roundtrip",          # r8: write-once layout (read path)
+        "rel_dq_expectations",        # new: data-contract validation report
         "multimodal_png",             # r8: uint8 vectorized codec kernels
         "docs_pipeline",              # r8: entry-widen consolidation
         "sel_canonical",              # r8: entry-widen consolidation

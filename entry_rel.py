@@ -2474,3 +2474,53 @@ FROM e
 
 QUERIES.update({"ev_ewma_smooth": q_ev_ewma_smooth})
 _LATE_ORACLES.update({"ev_ewma_smooth": o_ev_ewma_smooth})
+
+
+# ------------------------------------------------------------------ #
+# round-8: data-quality expectations report
+# ------------------------------------------------------------------ #
+
+
+def q_rel_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation over lineitem: per rule,
+    violators counted NULL-as-violation (the three-valued-logic trap);
+    one scan for the whole rule set. See relational.py:dq_expectations."""
+    from mahout_samsara_book_spark.functions.relational import (
+        DQ_DEFAULT_RULES,
+        dq_expectations,
+    )
+    from mahout_samsara_book_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = dq_expectations(li, DQ_DEFAULT_RULES)
+    return out.select("rule", "n_violations", "n_rows", "violation_ppm")
+
+
+def o_rel_dq_expectations() -> str:
+    from mahout_samsara_book_spark.functions.relational import (
+        DQ_DEFAULT_RULES,
+    )
+
+    arms = []
+    for name, pred in DQ_DEFAULT_RULES:
+        arms.append(
+            f"SELECT '{name}' AS rule,\n"
+            f"  CAST(sum(CASE WHEN ({pred}) IS NULL OR NOT ({pred})"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,\n"
+            f"  CAST(count(*) AS BIGINT) AS n_rows\n"
+            f"FROM lineitem"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH r AS (
+{union}
+)
+SELECT rule, n_violations, n_rows,
+       CAST((n_violations * CAST(1000000 AS BIGINT)) // n_rows AS BIGINT)
+         AS violation_ppm
+FROM r
+"""
+
+
+QUERIES.update({"rel_dq_expectations": q_rel_dq_expectations})
+_LATE_ORACLES.update({"rel_dq_expectations": o_rel_dq_expectations})

@@ -1413,3 +1413,64 @@ def event_hourly_ewma(
     return folded.select(
         "event_type", F.explode("es").alias("e")
     ).select("event_type", "e.hour", "e.v", "e.ewma")
+
+
+DQ_DEFAULT_RULES: list[tuple[str, str]] = [
+    # (rule name, SQL predicate that VALID rows satisfy) — the dialect
+    # is the ANSI intersection both engines parse identically
+    ("qty_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_band", "l_discount >= 0.0 AND l_discount <= 0.1"),
+    ("tax_band", "l_tax >= 0.0 AND l_tax <= 0.08"),
+    ("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("ship_not_null", "l_shipdate IS NOT NULL"),
+]
+
+
+def dq_expectations(
+    df: DataFrame, rules: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """``(rule, n_violations, n_rows, violation_ppm)`` — declarative
+    data-quality expectations over a relation: each rule is a SQL
+    predicate valid rows satisfy; the report counts violators per rule
+    (NULL predicate = violation, the three-valued-logic trap every
+    hand-rolled filter gets wrong).
+
+    The contract-validation gate every ingestion pipeline runs before
+    training data ships. ONE scan regardless of rule count: every rule
+    compiles to a conditional count in the same aggregate (map-side
+    combined), so 50 expectations over 100 TB cost one pass, not 50.
+    ppm is integer-exact (no float division on the grading path)."""
+    rules = rules if rules is not None else DQ_DEFAULT_RULES
+    aggs = []
+    for name, pred in rules:
+        ok = F.expr(pred)
+        aggs.append(
+            F.sum(
+                F.when(ok.isNull() | ~ok, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v_{name}")
+        )
+    counted = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{name}").cast("long").alias("n_violations"),
+            )
+            for name, _ in rules
+        ]
+    )
+    return (
+        counted.select(F.explode(pairs).alias("p"), F.col("_n"))
+        .select(
+            F.col("p.rule").alias("rule"),
+            F.col("p.n_violations").alias("n_violations"),
+            F.col("_n").cast("long").alias("n_rows"),
+            # integer DIV on both engines (Spark `div`, DuckDB `//`):
+            # a double-then-cast would round on one engine and
+            # truncate on the other
+            F.expr("(p.n_violations * CAST(1000000 AS BIGINT)) div _n")
+            .cast("long")
+            .alias("violation_ppm"),
+        )
+    )
