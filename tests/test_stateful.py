@@ -114,3 +114,63 @@ def test_spend_tracker_across_batches(spark, tmp_path_factory):
     assert (cmp.n == cmp.n_b).all()
     assert abs(cmp.total_value - cmp.total_value_b).max() < 1e-6
     assert (latest.crossed == (latest.total_value // 50.0).astype(int)).all()
+
+
+def test_state_survives_query_restart(spark, tmp_path_factory):
+    """Checkpoint recovery — the durability contract production
+    streaming runs on: a stateful query STOPS after consuming part of
+    the source, a SECOND query object restarts from the same
+    checkpoint, and the recovered state continues accumulating (final
+    totals equal the batch aggregate; the post-restart epoch is a
+    strict superset of the pre-restart one, proving the state store
+    was recovered, not recomputed)."""
+    src = str(tmp_path_factory.mktemp("restart_src"))
+    table = pq.read_table(f"{SF_DIR}/events.parquet")
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), f"{src}/part1.parquet")
+
+    docs_schema = spark.read.parquet(src).schema
+    out = str(tmp_path_factory.mktemp("restart_out"))
+    ckpt = str(tmp_path_factory.mktemp("restart_ckpt"))
+
+    # phase 1: consume only the first file, then terminate
+    s1 = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q1 = start_running_totals(s1, out, ckpt)
+    q1.awaitTermination(120)
+    assert not q1.isActive
+    got1 = spark.read.parquet(out).toPandas()
+    n_phase1 = got1.groupby("event_type").n.max()
+
+    # phase 2: new data lands, a NEW query restarts from the checkpoint
+    pq.write_table(table.slice(half), f"{src}/part2.parquet")
+    s2 = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = start_running_totals(s2, out, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = spark.read.parquet(out).toPandas()
+    latest = got2.sort_values("epoch").groupby("event_type").last()
+
+    full = spark.read.parquet(src)
+    batch = (
+        full.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    cmp = latest.join(batch, rsuffix="_b")
+    assert (cmp.n == cmp.n_b).all()  # recovered state + new rows == batch
+    assert abs(cmp.total_value - cmp.total_value_b).max() < 1e-6
+    # accumulation really CROSSED the restart: phase-2 counts strictly
+    # exceed phase-1's for at least one key (file 2 added rows)
+    joined = latest.join(n_phase1.rename("n1"), how="inner")
+    assert (joined.n > joined.n1).any()
+    # and phase 1's half was NOT re-read after recovery: equality with
+    # the batch aggregate above already rules out any double count
