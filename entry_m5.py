@@ -2219,3 +2219,60 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["text_bm25_topk"] = o_text_bm25_topk()
     d["sel_weighted_sample"] = o_sel_weighted_sample()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8: persisted IVF index lifecycle
+# ------------------------------------------------------------------ #
+
+# build-once IVF index per (session, sf_dir) — the production index
+# lifecycle: the serving path reloads the inverted lists from parquet
+# and never re-clusters/re-assigns (mirrors the ORC/Q5 layout caches)
+_IVF_IDX: dict[tuple[int, str], str] = {}
+_IVF_IDX_SEQ = [0]
+
+
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk over a PERSISTED index: centers + inverted lists are
+    parquet tables written once per (session, sf_dir) and reloaded at
+    query time — result identical to the in-session build (the index
+    content is deterministic), so the plain ivf_topk oracle grades it:
+    a hash-match certifies the index round-trips through storage."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_persist,
+        ivf_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = (id(spark.sparkContext), sf_dir)
+    path = _IVF_IDX.get(key)
+    if path is None or not os.path.exists(path + "/assign/_SUCCESS"):
+        _IVF_IDX_SEQ[0] += 1
+        path = (
+            tempfile.gettempdir()
+            + f"/spark_graft_ivfidx_{os.getpid()}_{_IVF_IDX_SEQ[0]}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        ivf_persist(emb, path, n_centers="auto", seed=IVF_SEED)
+        _IVF_IDX[key] = path
+    out = ivf_topk_persisted(emb, path, k=3, nprobe=IVF_NPROBE)
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+QUERIES["ann_ivf_persisted"] = q_ann_ivf_persisted
+_oracles_pre_ivfp = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ivfp()
+    d["ann_ivf_persisted"] = d["ivf_topk"]
+    return d

@@ -1193,3 +1193,56 @@ def kmeans_lloyd(
         "cid", F.posexplode(F.col("center")).alias("pos", "c")
     )
     return final_coo.join(sizes, "cid")
+
+
+def ivf_persist(
+    emb: DataFrame,
+    path: str,
+    n_centers: int | str = "auto",
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AS TABLES — ``<path>/centers``
+    (cid, center) and ``<path>/assign`` (id, cid) parquet — the
+    Spark-native answer to a FAISS index file: the inverted lists are
+    a relation any session can reload, the build cost (one assignment
+    pass over the corpus) is paid once, and incremental corpora append
+    new assignment rows without touching the centers."""
+    if n_centers == "auto":
+        n_centers = auto_n_centers(emb)
+    centers_df = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    centers_df.write.mode("overwrite").parquet(path + "/centers")
+    cm = _centers_matrix(centers_df)
+    ivf_assign(emb, cm, id_col, vec_col).select(id_col, "cid").write.mode(
+        "overwrite"
+    ).parquet(path + "/assign")
+
+
+def ivf_topk_persisted(
+    emb: DataFrame,
+    path: str,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Query a PERSISTED IVF index (see :func:`ivf_persist`): reload
+    centers + inverted lists from parquet, probe, and verify — the
+    serving path never re-clusters or re-assigns the corpus. Result is
+    identical to :func:`ivf_topk` built with the same parameters (the
+    index content is deterministic), so it shares that oracle."""
+    spark = emb.sparkSession
+    cm = _centers_matrix(spark.read.parquet(path + "/centers"))
+    members = spark.read.parquet(path + "/assign").select(
+        F.col(id_col).alias("neighbor"), "cid"
+    )
+    probes = ivf_probes(emb, cm, nprobe, id_col, vec_col)
+    cand = (
+        probes.join(members, "cid")
+        .filter(F.col("q_id") != F.col("neighbor"))
+        .select(F.col("q_id").alias("vec_id"), "neighbor")
+    )
+    base = _normed(emb, id_col, vec_col)
+    return _verify_topk(base, cand, k, id_col, strategy)
