@@ -123,12 +123,26 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     try:
-        est = _trusted_leaf_estimate(df._jdf.queryExecution().optimizedPlan())
+        plan = df._jdf.queryExecution().optimizedPlan()
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        if est >= target * max_split:
-            return df
+        # two-stage: the UNFILTERED max-leaf check is one py4j call and
+        # decides the common cases — below threshold means we fall to
+        # the exact probe regardless of trust, so the (py4j-per-node)
+        # trust walk only runs when it can actually change the outcome,
+        # i.e. when a naive read would SKIP the widen
+        leaves = plan.collectLeaves()
+        naive = max(
+            (
+                int(leaves.apply(i).stats().sizeInBytes())
+                for i in range(leaves.size())
+            ),
+            default=0,
+        )
+        if naive >= target * max_split:
+            if _trusted_leaf_estimate(plan) >= target * max_split:
+                return df
     except Exception:  # noqa: BLE001 — stats are advisory; fall through
         pass
     if df.rdd.getNumPartitions() < target:
