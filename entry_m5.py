@@ -2276,3 +2276,125 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ivfp()
     d["ann_ivf_persisted"] = d["ivf_topk"]
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8: incremental IVF — append new vectors to a built index
+# ------------------------------------------------------------------ #
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest ANN shape: the index (centers) is built from the
+    CORPUS only; a held-out batch (every 50th vector) is assigned
+    against those frozen centers and appended to the inverted lists —
+    no re-clustering, the append-only property ivf_persist's layout
+    exists for. The batch vectors then query the grown index: top-3
+    exact-cosine within their probed cells over corpus ∪ batch."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        _centers_matrix,
+        _normed,
+        _verify_topk,
+        auto_n_centers,
+        ivf_assign,
+        ivf_centers,
+        ivf_probes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 17)
+    batch = emb.filter(F.col("vec_id") % 50 == 17)
+    n_centers = auto_n_centers(corpus)
+    cm = _centers_matrix(
+        ivf_centers(corpus, n_centers, IVF_SEED, "vec_id", "embedding")
+    )
+    members = (
+        ivf_assign(corpus, cm, "vec_id", "embedding")
+        .unionByName(ivf_assign(batch, cm, "vec_id", "embedding"))
+        .select(F.col("vec_id").alias("neighbor"), "cid")
+    )
+    probes = ivf_probes(batch, cm, IVF_NPROBE, "vec_id", "embedding")
+    cand = (
+        probes.join(members, "cid")
+        .filter(F.col("q_id") != F.col("neighbor"))
+        .select(F.col("q_id").alias("vec_id"), "neighbor")
+    )
+    base = _normed(emb, "vec_id", "embedding")
+    out = _verify_topk(base, cand, 3, "vec_id")
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_ann_ivf_incremental() -> str:
+    return f"""
+WITH
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM e WHERE vec_id % 50 <> 17),
+batch AS (SELECT * FROM e WHERE vec_id % 50 = 17),
+hashed AS (
+  SELECT vec_id, v,
+         ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':{IVF_SEED}'), 1, 15))::BIGINT AS h
+  FROM corpus
+),
+centers AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         v AS center
+  FROM (SELECT * FROM hashed ORDER BY h, vec_id
+        LIMIT (SELECT GREATEST({IVF_CENTERS},
+                       CAST(FLOOR(SQRT(count(*) // 2)) AS BIGINT))
+               FROM corpus))
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM e CROSS JOIN centers c
+),
+ranked_c AS MATERIALIZED (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM scored
+),
+assign AS MATERIALIZED (SELECT vec_id, cid FROM ranked_c WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid FROM ranked_c
+  WHERE rn <= {IVF_NPROBE} AND vec_id % 50 = 17
+),
+cand AS (
+  SELECT DISTINCT p.q_id AS vec_id, a.vec_id AS neighbor
+  FROM probes p JOIN assign a ON p.cid = a.cid AND p.q_id <> a.vec_id
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sims AS (
+  SELECT c.vec_id, c.neighbor,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM cand c
+  JOIN n l ON l.vec_id = c.vec_id
+  JOIN n r ON r.vec_id = c.neighbor
+),
+rk AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM sims
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(neighbor AS BIGINT) AS neighbor,
+       {{C}} AS cosine, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+""".replace("{C}", _sci_sql("cosine"))
+
+
+QUERIES["ann_ivf_incremental"] = q_ann_ivf_incremental
+_oracles_pre_ivfi = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ivfi()
+    d["ann_ivf_incremental"] = o_ann_ivf_incremental()
+    return d
