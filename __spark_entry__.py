@@ -647,10 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_priority_sample", "sel_universe_sample", "sketch_cms",
         "sketch_hll", "sketch_hll_sliding", "sketch_sample_quantiles",
         "text_bigram_lm", "text_inverted_index", "text_pmi_pairs",
-        # -- (3) fill to ~50 with the oldest (round-5) rows
-        "ann_ivfpq_probe", "bloom_build", "bloom_probe",
-        "dedup_containment", "dedup_incremental", "dedup_ngram_jaccard",
-        "docs_funnel", "emb_centroids",
+        # (the round-5 fill section was dropped this round: the r8
+        # new/changed head grew to 20 entries and the driver truncates
+        # at ~50 — the 33 stale rows above take priority; r5 rows
+        # rotate next round)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead
