@@ -278,3 +278,42 @@ def test_skyline_semantics(spark):
         assert keys == {5, 2, 3}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dq_expectations_null_is_violation(spark):
+    """Three-valued logic: a NULL predicate is a VIOLATION, not a pass —
+    `NOT (x > 0)` is NULL for NULL x, so a naive filter count silently
+    passes every NULL row."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mahout_samsara_book_spark.functions.relational import (
+        dq_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,), (None,), (3.0,)], "x double"
+    )
+    out = {
+        r.rule: (r.n_violations, r.n_rows, r.violation_ppm)
+        for r in dq_expectations(
+            df, [("x_positive", "x > 0"), ("x_not_null", "x IS NOT NULL")]
+        ).collect()
+    }
+    # x > 0: -2.0 violates, both NULLs violate -> 3 of 5
+    assert out["x_positive"] == (3, 5, 600000)
+    assert out["x_not_null"] == (2, 5, 400000)
+
+
+def test_dq_expectations_single_scan(spark):
+    """The whole rule set must compile into ONE aggregate over one scan
+    — no per-rule re-scan of the relation."""
+    from mahout_samsara_book_spark.functions.relational import (
+        DQ_DEFAULT_RULES,
+        dq_expectations,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = dq_expectations(
+        li, DQ_DEFAULT_RULES
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
