@@ -69,3 +69,24 @@ def test_weighted_sample_is_take_ordered(spark):
     # ranks are 1..m and keys ascend with rank
     ks = [float(r.key) for r in sorted(rows, key=lambda r: r.rank)]
     assert ks == sorted(ks)
+
+
+def test_bm25_term_shared_across_queries(spark):
+    """The broadcast (term → query) map fans one term's postings to
+    every query containing it — a doc matching 'spark' must score in
+    BOTH queries, with equal scores where the query folds see the same
+    matched set."""
+    docs = spark.createDataFrame(
+        [(1, "spark runs fast"), (2, "hash table"), (3, "sort merge")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(
+        docs, [("qa", ["spark"]), ("qb", ["spark", "hash"])], topk=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = r.score
+    assert set(by_q["qa"]) == {1}
+    assert set(by_q["qb"]) == {1, 2}
+    # doc 1 matches only 'spark' in both queries -> identical score
+    assert abs(by_q["qa"][1] - by_q["qb"][1]) < 1e-15
