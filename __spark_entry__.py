@@ -631,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dq_expectations",        # new: data-contract validation report
         "ann_ivf_persisted",          # new: persisted IVF index round-trip
         "ann_ivf_incremental",        # new: append-to-index ingest shape
+        "text_bpe_merges",            # new: k-round BPE merge trainer
         "multimodal_png",             # r8: uint8 vectorized codec kernels
         "docs_pipeline",              # r8: entry-widen consolidation
         "sel_canonical",              # r8: entry-widen consolidation

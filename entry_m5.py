@@ -2398,3 +2398,71 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ivfi()
     d["ann_ivf_incremental"] = o_ann_ivf_incremental()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-8: BPE merge training (k unrolled rounds)
+# ------------------------------------------------------------------ #
+
+BPE_K = 6
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_K word-level BPE merge rules from the corpus — the
+    tokenizer-training primitive; see functions/text.py:bpe_merges for
+    the cross-engine merge-semantics contract. Integer/string output
+    only: the cleanest possible hash gate for an iterative trainer."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_merges(docs, k=BPE_K)
+    return out.select(
+        "merge_rank", "tok_a", "tok_b", "merged",
+        F.col("n_pair").cast("long").alias("n_pair"),
+    )
+
+
+def o_text_bpe_merges() -> str:
+    # unrolled k-stage replay (the kmeans_lloyd oracle discipline): each
+    # stage counts adjacent pairs of the CURRENT corpus state, takes the
+    # (n DESC, a, b) argmax, and rewrites via the same separator-
+    # consuming literal replace the engine applies
+    stages = [
+        f"d0 AS MATERIALIZED (SELECT doc_id, ' ' ||"
+        f" array_to_string({TOKS_SQL}, ' ') || ' ' AS s FROM documents)"
+    ]
+    for i in range(BPE_K):
+        stages.append(f"""p{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS n FROM (
+    SELECT l[j] AS a, l[j + 1] AS b
+    FROM (SELECT string_split(trim(s), ' ') AS l FROM d{i}) q,
+         LATERAL unnest(range(1, len(l))) AS t(j)
+  ) GROUP BY 1, 2
+)""")
+        stages.append(
+            f"t{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        stages.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s,
+                 ' ' || (SELECT a FROM t{i}) || ' ' || (SELECT b FROM t{i}) || ' ',
+                 ' ' || (SELECT a FROM t{i}) || (SELECT b FROM t{i}) || ' ') AS s
+  FROM d{i}
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS tok_a,"
+        f" b AS tok_b, a || b AS merged, CAST(n AS BIGINT) AS n_pair"
+        f" FROM t{i}"
+        for i in range(BPE_K)
+    )
+    return "WITH\n" + ",\n".join(stages) + "\n" + arms
+
+
+QUERIES["text_bpe_merges"] = q_text_bpe_merges
+_oracles_pre_bpe = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_bpe()
+    d["text_bpe_merges"] = o_text_bpe_merges()
+    return d

@@ -357,3 +357,90 @@ def bm25_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(merge_rank, tok_a, tok_b, merged, n_pair)`` — the first ``k``
+    BPE merge rules learned from the corpus: per round, count adjacent
+    token pairs corpus-wide, merge the most frequent (ties → lexical
+    (a, b)), rewrite, repeat. The tokenizer-training primitive of every
+    LLM data stack, here at word level over the engine tokenizer.
+
+    Distributed shape: each round is ONE map-side-combined pair count
+    over the corpus plus a 1-row driver collect (the argmax rule); the
+    rewrite is a narrow string pass. k rounds = k corpus scans — BPE
+    training's inherent cost (production trainers subsample; the shape
+    is identical).
+
+    Merge semantics contract (cross-engine-exact): the corpus state is
+    the space-joined token string with sentinel spaces, and a merge
+    applies leftmost-first non-overlapping via literal replace of
+    ``' a b '`` with ``' ab '`` — BOTH engines' replace-all continue
+    scanning after the inserted text, so an immediately repeated pair
+    (``a b a b``) merges its odd occurrences this round and the rest
+    on a later round if the pair is selected again. That differs from
+    canonical BPE only on immediate self-repeats and is replayed
+    bit-for-bit by the oracle's unrolled stages.
+
+    Each round's rewritten state is PERSISTED (and the previous round
+    dropped once superseded): without it, round i's pair count
+    re-evaluates i stacked replaces over the raw corpus — O(k²) scans
+    instead of O(k) (measured 17 s → ~6 s at sf0.1 with k=6)."""
+    from mahout_samsara_book_spark.cache import track
+
+    spark = docs.sparkSession
+    state = docs.select(
+        F.col(id_col),
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", tokenize(F.col(text_col))),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    rules = []
+    prev = None
+    for i in range(k):
+        state = track(state)
+        # adjacent pairs = zip(arr, arr[1:]) on a PRE-PROJECTED array
+        # column: a transform/element_at lambda re-inlines the split
+        # per element (measured 6× slower); two slices of one column
+        # evaluate the split once
+        toked_state = state.select(
+            F.col(id_col), F.split(F.trim(F.col("s")), " ").alias("arr")
+        )
+        pz = F.arrays_zip(
+            F.slice(F.col("arr"), 1, F.size("arr") - 1).alias("a"),
+            F.slice(F.col("arr"), 2, F.size("arr") - 1).alias("b"),
+        )
+        top = (
+            toked_state.filter(F.size("arr") >= 2)
+            .select(F.explode(pz).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted below k merges
+            break
+        if prev is not None:  # superseded state: the count above
+            prev.unpersist()  # materialized the current one
+        prev = state
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        rules.append((i + 1, a, b, a + b, n))
+        state = state.select(
+            F.col(id_col),
+            F.replace(
+                F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        )
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, tok_a string, tok_b string, "
+        "merged string, n_pair long",
+    )
