@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted",          # new: persisted IVF index round-trip
         "ann_ivf_incremental",        # new: append-to-index ingest shape
         "text_bpe_merges",            # new: k-round BPE merge trainer
+        "text_bpe_encode",            # new: apply merges, compression audit
         "multimodal_png",             # r8: uint8 vectorized codec kernels
         "docs_pipeline",              # r8: entry-widen consolidation
         "sel_canonical",              # r8: entry-widen consolidation

@@ -2422,11 +2422,12 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def o_text_bpe_merges() -> str:
-    # unrolled k-stage replay (the kmeans_lloyd oracle discipline): each
-    # stage counts adjacent pairs of the CURRENT corpus state, takes the
-    # (n DESC, a, b) argmax, and rewrites via the same separator-
-    # consuming literal replace the engine applies
+def _bpe_stages_sql() -> str:
+    """The unrolled k-stage trainer replay (the kmeans_lloyd oracle
+    discipline): each stage counts adjacent pairs of the CURRENT corpus
+    state, takes the (n DESC, a, b) argmax, and rewrites via the same
+    separator-consuming literal replace the engine applies. Returns the
+    full WITH clause; both BPE oracles compose their SELECT onto it."""
     stages = [
         f"d0 AS MATERIALIZED (SELECT doc_id, ' ' ||"
         f" array_to_string({TOKS_SQL}, ' ') || ' ' AS s FROM documents)"
@@ -2449,13 +2450,17 @@ def o_text_bpe_merges() -> str:
                  ' ' || (SELECT a FROM t{i}) || (SELECT b FROM t{i}) || ' ') AS s
   FROM d{i}
 )""")
+    return "WITH\n" + ",\n".join(stages)
+
+
+def o_text_bpe_merges() -> str:
     arms = "\nUNION ALL\n".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS tok_a,"
         f" b AS tok_b, a || b AS merged, CAST(n AS BIGINT) AS n_pair"
         f" FROM t{i}"
         for i in range(BPE_K)
     )
-    return "WITH\n" + ",\n".join(stages) + "\n" + arms
+    return _bpe_stages_sql() + "\n" + arms
 
 
 QUERIES["text_bpe_merges"] = q_text_bpe_merges
@@ -2465,4 +2470,55 @@ _oracles_pre_bpe = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_bpe()
     d["text_bpe_merges"] = o_text_bpe_merges()
+    return d
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the BPE trainer: apply the learned BPE_K
+    merge rules in rank order to every document (k narrow chained
+    replaces — zero shuffle once the rules exist) and report per-doc
+    token counts before/after: the compression-ratio audit a tokenizer
+    rollout publishes."""
+    from mahout_samsara_book_spark.functions.text import (
+        bpe_merges,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = bpe_merges(docs, k=BPE_K).collect()
+    s0 = F.concat(
+        F.lit(" "), F.concat_ws(" ", tokenize(F.col("text"))), F.lit(" ")
+    )
+    enc = s0
+    for r in sorted(rules, key=lambda r: r.merge_rank):
+        enc = F.replace(
+            enc,
+            F.lit(f" {r.tok_a} {r.tok_b} "),
+            F.lit(f" {r.merged} "),
+        )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(s0), " ")).cast("long").alias("n_before"),
+        F.size(F.split(F.trim(enc), " ")).cast("long").alias("n_after"),
+    )
+
+
+def o_text_bpe_encode() -> str:
+    # the trainer oracle's final corpus state d{BPE_K} IS the encoded
+    # corpus; compose onto the same stage chain
+    return f"""{_bpe_stages_sql()}
+SELECT CAST(d0.doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(trim(d0.s), ' ')) AS BIGINT) AS n_before,
+       CAST(len(string_split(trim(dk.s), ' ')) AS BIGINT) AS n_after
+FROM d0 JOIN d{BPE_K} dk ON d0.doc_id = dk.doc_id
+"""
+
+
+QUERIES["text_bpe_encode"] = q_text_bpe_encode
+_oracles_pre_bpee = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_bpee()
+    d["text_bpe_encode"] = o_text_bpe_encode()
     return d
