@@ -90,3 +90,62 @@ def test_bm25_term_shared_across_queries(spark):
     assert set(by_q["qb"]) == {1, 2}
     # doc 1 matches only 'spark' in both queries -> identical score
     assert abs(by_q["qa"][1] - by_q["qb"][1]) < 1e-15
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Tiny corpus with a known merge sequence: 'b c' dominates round 1
+    (3 occurrences vs 2 for 'a b'), then 'a bc' (the merged token
+    re-pairs) wins round 2."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "x b c y")],
+        "doc_id long, text string",
+    )
+    rules = {
+        r.merge_rank: (r.tok_a, r.tok_b, r.merged, r.n_pair)
+        for r in bpe_merges(docs, k=2).collect()
+    }
+    assert rules[1] == ("b", "c", "bc", 3)
+    # after merging: 'a bc d' / 'a bc' / 'x bc y' -> 'a bc' appears twice
+    assert rules[2] == ("a", "bc", "abc", 2)
+
+
+def test_bpe_merges_self_repeat_contract(spark):
+    """The documented separator-consuming semantics, pinned exactly:
+    in 'a a a a' the ('a','a') replace consumes the middle separator,
+    so the rewritten state is 'aa a a' (NOT 'aa aa') — and round 2's
+    (n DESC, a, b) argmax over {(aa,a): 1, (a,a): 1} is the lexical
+    winner ('a','a'). The oracle replays the identical sequence."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    rules = [
+        (r.tok_a, r.tok_b, r.n_pair)
+        for r in bpe_merges(docs, k=2).collect()
+    ]
+    assert rules[0] == ("a", "a", 3)  # counted BEFORE merging
+    assert rules[1] == ("a", "a", 1)  # 'aa a a': lexical tie-winner
+
+
+def test_ivf_persisted_matches_in_session(spark, tmp_path):
+    """The persisted index must reproduce the in-session build exactly:
+    same centers, same inverted lists, same top-k."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_persist,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfidx")
+    ivf_persist(emb, path, n_centers="auto", seed=9)
+    a = {
+        (r.vec_id, r.rank): r.neighbor
+        for r in ivf_topk_persisted(emb, path, k=3, nprobe=2).collect()
+    }
+    b = {
+        (r.vec_id, r.rank): r.neighbor
+        for r in ivf_topk(emb, k=3, n_centers="auto", nprobe=2, seed=9).collect()
+    }
+    assert a == b and len(a) > 0
