@@ -633,9 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_incremental",        # new: append-to-index ingest shape
         "text_bpe_merges",            # new: k-round BPE merge trainer
         "text_bpe_encode",            # new: apply merges, compression audit
-        "multimodal_png",             # r8: uint8 vectorized codec kernels
-        "docs_pipeline",              # r8: entry-widen consolidation
-        "sel_canonical",              # r8: entry-widen consolidation
+        # (multimodal_png / docs_pipeline / sel_canonical changed plans
+        # in r8 but not outputs, and were driver-graded green in r7 —
+        # left out so the head stays at ~50 with the full stale set in;
+        # the in-session full oracle covered them at sf0.01 and sf1)
         # -- (2) stale rows, last graded round ≤ 4
         "rel_custdist", "rel_disjunctive_revenue", "rel_forecast_revenue",
         "rel_fuzzy_join", "rel_heavy_shippers", "rel_histogram",
