@@ -258,6 +258,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    literal_fold_max_terms: int = 64,
 ) -> DataFrame:
     """``(query_id, doc_id, score, rank)`` — BM25 top-k retrieval for a
     literal query set (the Robertson/Lucene scoring every search stack
@@ -279,13 +280,42 @@ def bm25_topk(
     adding exact 0.0 for a query's non-member terms is a float no-op,
     so one superset fold serves every query). Ranking rounds the score
     to 9 decimals on both engines so a last-ulp ln/division drift
-    can't flip the row_number tiebreak."""
+    can't flip the row_number tiebreak.
+
+    Two bit-identical score folds, dispatched on vocabulary size: the
+    literal superset fold grows the expression tree by one conditional
+    sum per distinct term — ideal at a handful of queries, expression
+    bloat at hundreds — so above ``literal_fold_max_terms`` the
+    aggregate instead collects the matched ``(term, s)`` pairs per
+    (query, doc), sorts them, and folds with the ``aggregate`` HOF.
+    Both paths sum the same present-term values in the same sorted-term
+    order (the literal fold's extra +0.0 for absent terms is a float
+    no-op), so the dispatch can never change a hash."""
     from pyspark.sql import Window
 
     from mahout_samsara_book_spark.partitioning import (
         ensure_min_partitions,
     )
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = docs.sparkSession
+    out_schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+            StructField("rank", IntegerType(), False),
+        ]
+    )
+    if not queries or all(not ts for _, ts in queries):
+        return spark.createDataFrame([], out_schema)
     docs = ensure_min_partitions(docs.select(id_col, text_col))
     toked = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
@@ -294,6 +324,8 @@ def bm25_topk(
     n_docs, avgdl = lens.agg(
         F.count("*"), F.avg("dl")
     ).first()
+    if not n_docs:  # empty corpus: avgdl is NULL, nothing can match
+        return spark.createDataFrame([], out_schema)
     counts = (
         toked.select(id_col, F.explode("_toks").alias("term"))
         .groupBy(id_col, "term")
@@ -335,20 +367,42 @@ def bm25_topk(
             "query_id string, term string",
         )
     )
-    # one aggregate on (query, doc): superset fold in sorted-term order
-    # — a query's non-member terms contribute an exact 0.0 (coalesced
-    # empty sum), which never perturbs the float fold
-    acc = None
-    for t in all_terms:
-        term_sum = F.coalesce(
-            F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+    # one aggregate on (query, doc), two bit-identical fold shapes
+    joined = per_term.join(qmap, "term")
+    if len(all_terms) <= literal_fold_max_terms:
+        # superset fold in sorted-term order — a query's non-member
+        # terms contribute an exact 0.0 (coalesced empty sum), which
+        # never perturbs the float fold
+        acc = None
+        for t in all_terms:
+            term_sum = F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("s"))),
+                F.lit(0.0),
+            )
+            acc = term_sum if acc is None else acc + term_sum
+        scored = joined.groupBy("query_id", id_col).agg(
+            acc.alias("score")
         )
-        acc = term_sum if acc is None else acc + term_sum
-    scored = (
-        per_term.join(qmap, "term")
-        .groupBy("query_id", id_col)
-        .agg(acc.alias("score"))
-    )
+    else:
+        # large query sets: collect the matched (term, s) pairs per
+        # (query, doc), sort by term, fold with the aggregate HOF —
+        # the same present-term values in the same sorted order as the
+        # literal fold, with O(1) expression-tree size
+        scored = (
+            joined.groupBy("query_id", id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "s"))
+                ).alias("_ts")
+            )
+            .select(
+                "query_id",
+                id_col,
+                F.aggregate(
+                    "_ts", F.lit(0.0), lambda a, x: a + x["s"]
+                ).alias("score"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col(id_col).asc()
     )

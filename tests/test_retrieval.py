@@ -149,3 +149,45 @@ def test_ivf_persisted_matches_in_session(spark, tmp_path):
         for r in ivf_topk(emb, k=3, n_centers="auto", nprobe=2, seed=9).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bm25_empty_queries_and_empty_corpus(spark):
+    """Edge guards: an empty query set or an empty corpus returns an
+    empty (query_id, doc_id, score, rank) frame instead of raising
+    (avgdl would be NULL, isin([]) would break the postings filter)."""
+    docs = spark.createDataFrame(
+        [(1, "spark hash")], "doc_id long, text string"
+    )
+    for out in (
+        bm25_topk(docs, []),
+        bm25_topk(docs, [("q", [])]),
+        bm25_topk(docs.limit(0), [("q", ["spark"])]),
+    ):
+        assert out.columns == ["query_id", "doc_id", "score", "rank"]
+        assert out.count() == 0
+
+
+def test_bm25_relational_fold_parity_200_terms(spark):
+    """A 200-term query set dispatches to the relational HOF fold
+    (expression-tree size O(1) in vocabulary); its scores must be
+    bit-identical to the literal superset fold on the same corpus —
+    both sum the same present-term values in sorted-term order."""
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j * 3) % 220}" for j in range(30)))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = [f"t{i}" for i in range(200)]
+    queries = [
+        (f"q{i}", terms[i * 40 : (i + 1) * 40]) for i in range(5)
+    ]
+    kw = dict(topk=7)
+    rel = bm25_topk(docs, queries, literal_fold_max_terms=64, **kw)
+    lit = bm25_topk(docs, queries, literal_fold_max_terms=10**9, **kw)
+    # the default dispatch threshold really routes 200 terms to the
+    # HOF path: the literal fold would carry one conditional sum per
+    # term in the aggregate expressions
+    assert "aggregate(" in rel._jdf.queryExecution().analyzed().toString().lower()
+    a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in rel.collect()}
+    b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in lit.collect()}
+    assert a == b and len(a) == 5 * 7
