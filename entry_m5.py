@@ -2422,22 +2422,37 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_stages_sql() -> str:
+def _bpe_stages_sql(level: str = "word", k: int = BPE_K) -> str:
     """The unrolled k-stage trainer replay (the kmeans_lloyd oracle
     discipline): each stage counts adjacent pairs of the CURRENT corpus
     state, takes the (n DESC, a, b) argmax, and rewrites via the same
     separator-consuming literal replace the engine applies. Returns the
-    full WITH clause; both BPE oracles compose their SELECT onto it."""
+    full WITH clause; both BPE oracles compose their SELECT onto it.
+    ``level='char'`` replays the canonical char-level mode: words
+    pre-split to characters with the '</w>' sentinel on the last one,
+    '|' barriers between words, and barrier pairs excluded from the
+    count (the engine's exact state builder and filter)."""
+    if level == "char":
+        d0_body = (
+            f"array_to_string(list_transform({TOKS_SQL}, "
+            "w -> array_to_string(string_split(w, ''), ' ') || '</w>'"
+            "), ' | ')"
+        )
+        pair_where = "WHERE l[j] <> '|' AND l[j + 1] <> '|'"
+    else:
+        d0_body = f"array_to_string({TOKS_SQL}, ' ')"
+        pair_where = ""
     stages = [
         f"d0 AS MATERIALIZED (SELECT doc_id, ' ' ||"
-        f" array_to_string({TOKS_SQL}, ' ') || ' ' AS s FROM documents)"
+        f" {d0_body} || ' ' AS s FROM documents)"
     ]
-    for i in range(BPE_K):
+    for i in range(k):
         stages.append(f"""p{i} AS MATERIALIZED (
   SELECT a, b, count(*) AS n FROM (
     SELECT l[j] AS a, l[j + 1] AS b
     FROM (SELECT string_split(trim(s), ' ') AS l FROM d{i}) q,
          LATERAL unnest(range(1, len(l))) AS t(j)
+    {pair_where}
   ) GROUP BY 1, 2
 )""")
         stages.append(
@@ -2521,4 +2536,48 @@ _oracles_pre_bpee = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_bpee()
     d["text_bpe_encode"] = o_text_bpe_encode()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-9: char-level BPE (canonical LLM tokenizer training)
+# ------------------------------------------------------------------ #
+
+BPE_CHARS_K = 6
+
+
+def q_text_bpe_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_CHARS_K CHAR-level BPE merges — the canonical
+    Sennrich-style tokenizer trainer: words pre-split to character
+    sequences with the '</w>' end-of-word sentinel on the last char
+    and '|' barriers so no merge crosses a word boundary. Same k-round
+    map-side-combined pair count + 1-row argmax shape as the
+    word-level trainer; see functions/text.py:bpe_merges."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_merges(docs, k=BPE_CHARS_K, level="char")
+    return out.select(
+        "merge_rank", "tok_a", "tok_b", "merged",
+        F.col("n_pair").cast("long").alias("n_pair"),
+    )
+
+
+def o_text_bpe_chars() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS tok_a,"
+        f" b AS tok_b, a || b AS merged, CAST(n AS BIGINT) AS n_pair"
+        f" FROM t{i}"
+        for i in range(BPE_CHARS_K)
+    )
+    return _bpe_stages_sql(level="char", k=BPE_CHARS_K) + "\n" + arms
+
+
+QUERIES["text_bpe_chars"] = q_text_bpe_chars
+_oracles_pre_bpec = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_bpec()
+    d["text_bpe_chars"] = o_text_bpe_chars()
     return d

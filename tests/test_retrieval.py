@@ -191,3 +191,42 @@ def test_bm25_relational_fold_parity_200_terms(spark):
     a = {(r.query_id, r.doc_id): (r.score, r.rank) for r in rel.collect()}
     b = {(r.query_id, r.doc_id): (r.score, r.rank) for r in lit.collect()}
     assert a == b and len(a) == 5 * 7
+
+
+def test_bpe_chars_hand_computed(spark):
+    """Char-level mode on a corpus with a known merge sequence.
+    'the the ten' pre-splits to ' t h e</w> | t h e</w> | t e n</w> '.
+    Round 1 pairs: (t,h):2 (h,e</w>):2 (t,e):1 (e,n</w>):1 — tie on 2
+    breaks lexically to (h, e</w>). State: ' t he</w> | t he</w> |
+    t e n</w> '. Round 2: (t,he</w>):2 wins. Barrier pairs must never
+    be counted, and no merge may cross a word boundary."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the the ten")], "doc_id long, text string"
+    )
+    rules = {
+        r.merge_rank: (r.tok_a, r.tok_b, r.merged, r.n_pair)
+        for r in bpe_merges(docs, k=2, level="char").collect()
+    }
+    assert rules[1] == ("h", "e</w>", "he</w>", 2)
+    assert rules[2] == ("t", "he</w>", "the</w>", 2)
+
+
+def test_bpe_chars_barrier_never_merges(spark):
+    """A corpus engineered so the most frequent RAW adjacency is the
+    cross-word pair: 'a b a b a b' has (a</w>, |) / (|, b</w>) etc.
+    dominating — all barrier pairs. The trainer must pick a within-word
+    pair or stop; every learned rule's tokens exclude the barrier."""
+    from mahout_samsara_book_spark.functions.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab xy"), (2, "ab xy")], "doc_id long, text string"
+    )
+    rules = bpe_merges(docs, k=3, level="char").collect()
+    assert len(rules) > 0
+    for r in rules:
+        assert "|" not in (r.tok_a, r.tok_b)
+    # (a, b</w>) appears 3 times — the clear round-1 winner
+    top = rules[0]
+    assert (top.tok_a, top.tok_b, top.n_pair) == ("a", "b</w>", 3)
