@@ -67,14 +67,14 @@ def main() -> None:
     control_set = ("rel_pricing_summary", "text_tokenize_counts", "drm_colsums")
     CONTROL_REF_SEC = 2.004  # sum of min-of-5, sf0.1, round 8 (load ~8)
 
-    def _run_control(registry) -> dict[str, float]:
+    def _run_control(registry, reps: int = 5) -> dict[str, float]:
         out: dict[str, float] = {}
         for cname in control_set:
             cfn = registry.get(cname)
             if cfn is None:
                 continue
             cbest = float("inf")
-            for _ in range(5):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 cbest = min(cbest, time.perf_counter() - t0)
@@ -107,7 +107,27 @@ def main() -> None:
     ordered = [
         (n, f) for n, f in registry.items() if n not in heavy_last
     ] + [(n, registry[n]) for n in heavy_last if n in registry]
-    for name, fn in ordered:
+    # Mid-run control probes (round-9, VERDICT r8 item 5): the start/end
+    # control pair cannot see mid-run co-tenant bursts — the r8 sf1
+    # table needed hand re-measurement of queries that ran during a
+    # 3-11x load spike.  Every CONTROL_EVERY queries the control trio
+    # re-runs (min-of-3 — cheaper than the min-of-5 bookends, still a
+    # one-sided noise floor) and the per-segment ratio vs
+    # CONTROL_REF_SEC is recorded, so any query's number can be
+    # normalized by the control ratio of ITS segment instead of the
+    # whole run's — no hand-adjudication of phantom drift.
+    CONTROL_EVERY = 30
+    control_mid: list[dict] = []
+    for qi, (name, fn) in enumerate(ordered):
+        if qi and qi % CONTROL_EVERY == 0:
+            seg = _run_control(registry, reps=3)
+            control_mid.append(
+                {
+                    "after_query": qi,
+                    "control": seg,
+                    "ratio": round(sum(seg.values()) / CONTROL_REF_SEC, 3),
+                }
+            )
         best = float("inf")
         spent = 0.0
         worst_rep = 0.0
@@ -153,9 +173,23 @@ def main() -> None:
         "sf": float(sf),
         "control_start": control_start,
         "control_end": control_end,
+        "control_mid": control_mid,
         "control_ref_sec": CONTROL_REF_SEC,
         "control_ratio": round(control_sec / CONTROL_REF_SEC, 3),
     }
+    # first-invocation ORC layout write time (round-9, ADVICE r8): the
+    # fmt_orc_roundtrip number above times the READ path on warm reps;
+    # surface the write edge's cost alongside so comparisons aren't
+    # apples-to-oranges
+    try:
+        import entry_rel
+
+        if entry_rel.ORC_WRITE_SECS:
+            out["fmt_orc_write_sec"] = round(
+                min(entry_rel.ORC_WRITE_SECS.values()), 3
+            )
+    except Exception:  # noqa: BLE001 — reporting only
+        pass
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -2225,30 +2225,26 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
 # round-8: persisted IVF index lifecycle
 # ------------------------------------------------------------------ #
 
-# build-once IVF index per (session, sf_dir) — the production index
-# lifecycle: the serving path reloads the inverted lists from parquet
-# and never re-clusters/re-assigns (mirrors the ORC/Q5 layout caches)
-_IVF_IDX: dict[tuple[int, str], str] = {}
+# build-once IVF index per (sf_dir, source fingerprint) — the
+# production index lifecycle: the serving path reloads the inverted
+# lists from parquet and never re-clusters/re-assigns (mirrors the
+# ORC/Q5 layout caches).  Round-9 (ADVICE r8): keyed by the embeddings
+# table's (bytes, mtime) fingerprint instead of id(sparkContext), so a
+# regenerated fixture or a CPython id reuse can't serve a stale index.
+_IVF_IDX: dict[tuple, str] = {}
 _IVF_IDX_SEQ = [0]
 
 
-def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ivf_topk over a PERSISTED index: centers + inverted lists are
-    parquet tables written once per (session, sf_dir) and reloaded at
-    query time — result identical to the in-session build (the index
-    content is deterministic), so the plain ivf_topk oracle grades it:
-    a hash-match certifies the index round-trips through storage."""
+def _ivf_index_path(spark: SparkSession, sf_dir: str, emb) -> str:
+    """Build-once persisted IVF index for ``sf_dir`` (see _IVF_IDX)."""
     import os
     import shutil
     import tempfile
 
-    from mahout_samsara_book_spark.operators.similarity import (
-        ivf_persist,
-        ivf_topk_persisted,
-    )
+    from mahout_samsara_book_spark.operators.similarity import ivf_persist
+    from mahout_samsara_book_spark.sources.tables import source_fingerprint
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    key = (id(spark.sparkContext), sf_dir)
+    key = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
     path = _IVF_IDX.get(key)
     if path is None or not os.path.exists(path + "/assign/_SUCCESS"):
         _IVF_IDX_SEQ[0] += 1
@@ -2259,6 +2255,23 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
         ivf_persist(emb, path, n_centers="auto", seed=IVF_SEED)
         _IVF_IDX[key] = path
+    return path
+
+
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk over a PERSISTED index: centers + inverted lists are
+    parquet tables written once per (sf_dir, source fingerprint) and
+    reloaded at query time — result identical to the in-session build
+    (the index content is deterministic), so the plain ivf_topk oracle
+    grades it: a hash-match certifies the index round-trips through
+    storage. NOTE: all-points-as-queries — the EVALUATION shape,
+    Θ(n^1.5); the bounded serving twin is ann_ivf_persisted_topk."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = _ivf_index_path(spark, sf_dir, emb)
     out = ivf_topk_persisted(emb, path, k=3, nprobe=IVF_NPROBE)
     return out.select(
         "vec_id",
@@ -2268,13 +2281,94 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFP_NQ = 1024
+IVFP_QSEED = 31
+
+
+def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index SERVING shape (round-9, VERDICT r8 item 2):
+    ≤1024 md5-chosen query vectors (seed 31, same discipline as
+    ann_ivfpq_topk) probe their nprobe cells against the FULL persisted
+    inverted lists — Θ(n + Q·√n), linear in the corpus, vs the
+    all-points-as-queries evaluation twin ann_ivf_persisted whose
+    uncapped sf10 attempt spilled past local disk (SCALING.md round-8
+    negative result). Per-query results are identical to the uncapped
+    call's rows for the same ids, so the oracle is ivf_topk's SQL with
+    a qsel probe filter."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        ivf_topk_persisted,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = _ivf_index_path(spark, sf_dir, emb)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("vec_id").cast("string"), F.lit(str(IVFP_QSEED))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    qids = emb.select("vec_id").orderBy(h, "vec_id").limit(IVFP_NQ)
+    out = ivf_topk_persisted(
+        emb, path, k=3, nprobe=IVF_NPROBE, query_ids=qids
+    )
+    return out.select(
+        "vec_id",
+        "neighbor",
+        _sci(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_ann_ivf_persisted_topk() -> str:
+    return f"""
+WITH {_IVF_CTES},
+qsel AS (SELECT vec_id FROM e
+         ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                   || ':{IVFP_QSEED}'), 1, 15))::BIGINT, vec_id
+         LIMIT {IVFP_NQ}),
+probes AS (SELECT vec_id AS q_id, cid FROM ranked_c
+           WHERE rn <= {IVF_NPROBE}
+             AND vec_id IN (SELECT vec_id FROM qsel)),
+cand AS (
+  SELECT DISTINCT p.q_id AS vec_id, a.vec_id AS neighbor
+  FROM probes p JOIN assign a ON p.cid = a.cid AND p.q_id <> a.vec_id
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sims AS (
+  SELECT c.vec_id, c.neighbor,
+         list_dot_product(l.v, r.v) / (l.nrm * r.nrm) AS cosine
+  FROM cand c
+  JOIN n l ON l.vec_id = c.vec_id
+  JOIN n r ON r.vec_id = c.neighbor
+),
+rk AS (
+  SELECT vec_id, neighbor, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM sims
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(neighbor AS BIGINT) AS neighbor,
+       {{sci}} AS cosine, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+""".replace("{sci}", _sci_sql("cosine"))
+
+
 QUERIES["ann_ivf_persisted"] = q_ann_ivf_persisted
+QUERIES["ann_ivf_persisted_topk"] = q_ann_ivf_persisted_topk
 _oracles_pre_ivfp = oracles
 
 
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ivfp()
     d["ann_ivf_persisted"] = d["ivf_topk"]
+    d["ann_ivf_persisted_topk"] = o_ann_ivf_persisted_topk()
     return d
 
 

@@ -1717,12 +1717,18 @@ _LATE_ORACLES.update({"rel_skyline": o_rel_skyline})
 
 
 _ORC_RT_SEQ = [0]
-# write-once ORC layout per (session, sf_dir) — round-8, VERDICT r7
-# item 8: re-invocations (bench reps, repeated driver calls) measure
-# the READ path; the write edge is still certified because the first
-# invocation in every process/session writes, and the oracle's
-# hash-match covers whichever invocation the driver graded.
-_ORC_LAYOUTS: dict[tuple[int, str], str] = {}
+# write-once ORC layout per (sf_dir, source fingerprint) — round-8,
+# VERDICT r7 item 8: re-invocations (bench reps, repeated driver calls)
+# measure the READ path; the write edge is still certified because the
+# first invocation in every process writes, and the oracle's hash-match
+# covers whichever invocation the driver graded.  Round-9 (ADVICE r8):
+# the key carries the SOURCE table's (bytes, mtime) fingerprint instead
+# of id(sparkContext) — a regenerated fixture at the same path, or a
+# CPython id reuse after the old context is collected, can no longer
+# serve a stale layout.  The write wall-seconds are recorded per key so
+# bench/SCALING can report the write edge alongside the warm read path.
+_ORC_LAYOUTS: dict[tuple, str] = {}
+ORC_WRITE_SECS: dict[tuple, float] = {}
 
 
 def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,23 +1736,30 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ fidelity) → read back → windowed aggregate; the
     oracle aggregates the ORIGINAL parquet, so a hash-match certifies
     the write/read edge lost nothing. The layout is written ONCE per
-    (session, sf_dir) — like ``_q5_bucketed_layout`` — so repeated
-    invocations time the read+aggregate, not a redundant re-write;
-    the path is pid-qualified so concurrent drivers never clobber
-    each other, and cached layouts are never overwritten so pending
-    lazy reads stay valid."""
+    (sf_dir, source fingerprint) — like ``_q5_bucketed_layout`` — so
+    repeated invocations time the READ+aggregate path, not a redundant
+    re-write (the write edge's wall-seconds are recorded in
+    ``ORC_WRITE_SECS`` and surfaced by bench.py as ``fmt_orc_write_sec``
+    so the two are never conflated — ADVICE r8); the path is
+    pid-qualified so concurrent drivers never clobber each other, and
+    cached layouts are never overwritten so pending lazy reads stay
+    valid."""
     import os
     import shutil
     import tempfile
+    import time
 
     from mahout_samsara_book_spark.sources.formats import (
         read_orc,
         write_orc,
     )
-    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
     from mahout_samsara_book_spark.streaming.events import windowed_counts
 
-    key = (id(spark.sparkContext), sf_dir)
+    key = (sf_dir, source_fingerprint(sf_dir, "events"))
     path = _ORC_LAYOUTS.get(key)
     if path is None or not os.path.exists(path + "/_SUCCESS"):
         _ORC_RT_SEQ[0] += 1
@@ -1756,7 +1769,9 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shutil.rmtree(path, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
+        t0 = time.perf_counter()
         write_orc(ev, path)
+        ORC_WRITE_SECS[key] = time.perf_counter() - t0
         _ORC_LAYOUTS[key] = path
     back = read_orc(spark, path)
     out = windowed_counts(back, "1 hour")
@@ -1850,10 +1865,13 @@ _LATE_ORACLES.update({"fmt_bucketed_join": o_fmt_bucketed_join})
 # write-once layout cache: a bucketed LAYOUT's semantic is write once,
 # query many — re-invocations of the Q5 chain in the same process (bench
 # reps, repeated driver calls) must measure the JOIN, not re-pay the
-# write. Keyed by (session JVM, sf_dir); the db name stays pid-qualified
-# so concurrent driver processes never clobber each other, and the
-# cached tables are never overwritten so pending lazy reads stay valid.
-_Q5B_LAYOUTS: dict[tuple[int, str], str] = {}
+# write. Keyed by (sf_dir, source fingerprints) — round-9 (ADVICE r8):
+# a regenerated fixture changes the fingerprint and forces a fresh
+# layout; session identity is covered by the catalog re-verification
+# below. The db name stays pid-qualified so concurrent driver processes
+# never clobber each other, and the cached tables are never overwritten
+# so pending lazy reads stay valid.
+_Q5B_LAYOUTS: dict[tuple, str] = {}
 
 
 def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -1862,9 +1880,17 @@ def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from mahout_samsara_book_spark.sources.bucketing import write_bucketed
-    from mahout_samsara_book_spark.sources.tables import load_table
+    from mahout_samsara_book_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
 
-    key = (id(spark.sparkContext), sf_dir)
+    key = (
+        sf_dir,
+        source_fingerprint(sf_dir, "lineitem"),
+        source_fingerprint(sf_dir, "orders"),
+        source_fingerprint(sf_dir, "customer"),
+    )
     db = _Q5B_LAYOUTS.get(key)
     # re-verify through the catalog: an id() can be reused after a
     # session restart in the same process, where the cached name would

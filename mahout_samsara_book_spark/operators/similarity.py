@@ -1227,18 +1227,33 @@ def ivf_topk_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "auto",
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query a PERSISTED IVF index (see :func:`ivf_persist`): reload
     centers + inverted lists from parquet, probe, and verify — the
     serving path never re-clusters or re-assigns the corpus. Result is
     identical to :func:`ivf_topk` built with the same parameters (the
-    index content is deterministic), so it shares that oracle."""
+    index content is deterministic), so it shares that oracle.
+
+    ``query_ids`` (a one-column relation of ``id_col`` values) bounds
+    the QUERY side — the production serving shape: Q bounded queries
+    probe nprobe cells each against the full persisted lists, Θ(Q·√n)
+    candidate work instead of the all-points-as-queries evaluation
+    shape's Θ(n^1.5). Results for the selected ids are identical to the
+    unbounded call's rows for those ids (per-query work is independent),
+    which is what lets the capped registry query share the topk oracle
+    with a qsel filter."""
     spark = emb.sparkSession
     cm = _centers_matrix(spark.read.parquet(path + "/centers"))
     members = spark.read.parquet(path + "/assign").select(
         F.col(id_col).alias("neighbor"), "cid"
     )
-    probes = ivf_probes(emb, cm, nprobe, id_col, vec_col)
+    qside = emb
+    if query_ids is not None:
+        qside = emb.join(
+            F.broadcast(query_ids.select(id_col)), id_col, "leftsemi"
+        )
+    probes = ivf_probes(qside, cm, nprobe, id_col, vec_col)
     cand = (
         probes.join(members, "cid")
         .filter(F.col("q_id") != F.col("neighbor"))

@@ -32,32 +32,34 @@ def _trusted_leaf_estimate(jplan) -> int:
     - leaves under the broadcast-hinted side of a join — the build side
       never streams, so its size says nothing about scan parallelism of
       the streamed stage;
-    - partition-prunable scans that sit under a Filter referencing one
-      of their partition columns — the logical leaf stat is the FULL
-      table size, but physical planning may prune the scan to a sliver
-      (partition pruning happens after the logical stats are struck).
+    - partition-prunable scans that sit under an ANCESTOR Filter
+      referencing one of their partition columns — the logical leaf
+      stat is the FULL table size, but physical planning may prune the
+      scan to a sliver (partition pruning happens after the logical
+      stats are struck).
+
+    Round-9 (ADVICE r8): the filter-reference check is scoped to the
+    leaf's own ancestor path, not a plan-global set — a Filter on a
+    same-named column of an UNRELATED table (the other side of a join)
+    no longer distrusts this leaf, which previously forced the exact
+    ``df.rdd`` probe on plans the stats short-circuit handles.
 
     Untrusted leaves simply don't contribute; when nothing trustworthy
     is large, the caller falls through to the exact probe.
     """
-    # pass 1: every column name referenced by any Filter condition
-    filter_refs: set[str] = set()
-    stack = [jplan]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "Filter":
-            refs = node.condition().references().toSeq()
-            for i in range(refs.size()):
-                filter_refs.add(refs.apply(i).name())
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-    # pass 2: max over trusted leaves, tracking broadcast-side descent
     best = 0
-    stack2 = [(jplan, False)]
-    while stack2:
-        node, under_bc = stack2.pop()
+    # single walk carrying (node, under-broadcast?, ancestor Filter refs
+    # on the path root→node); refs accumulate only while DESCENDING, so
+    # each leaf sees exactly the Filters that sit above it
+    stack = [(jplan, False, frozenset())]
+    while stack:
+        node, under_bc, path_refs = stack.pop()
         name = node.getClass().getSimpleName()
+        if name == "Filter":
+            refs = node.condition().references().toSeq()
+            path_refs = path_refs | {
+                refs.apply(i).name() for i in range(refs.size())
+            }
         ch = node.children()
         if ch.isEmpty():
             if under_bc:
@@ -70,7 +72,7 @@ def _trusted_leaf_estimate(jplan) -> int:
                     )
                 except Exception:  # noqa: BLE001 — non-file relation
                     part_cols = set()
-            if part_cols & filter_refs:
+            if part_cols & path_refs:
                 continue  # prunable under a partition filter: distrust
             best = max(best, int(node.stats().sizeInBytes()))
             continue
@@ -78,11 +80,11 @@ def _trusted_leaf_estimate(jplan) -> int:
             h = node.hint()
             lbc = "broadcast" in h.leftHint().toString().lower()
             rbc = "broadcast" in h.rightHint().toString().lower()
-            stack2.append((node.left(), under_bc or lbc))
-            stack2.append((node.right(), under_bc or rbc))
+            stack.append((node.left(), under_bc or lbc, path_refs))
+            stack.append((node.right(), under_bc or rbc, path_refs))
         else:
             for i in range(ch.size()):
-                stack2.append((ch.apply(i), under_bc))
+                stack.append((ch.apply(i), under_bc, path_refs))
     return best
 
 

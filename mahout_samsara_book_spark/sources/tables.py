@@ -73,6 +73,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def source_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap identity of a source parquet table for write-once layout
+    caches (round-9, ADVICE r8): (total bytes, max mtime_ns) over the
+    file or directory.  Cache keys built from ``id(sparkContext)`` can
+    collide after the old context is garbage-collected, and a
+    regenerated fixture at the same path would otherwise silently serve
+    a stale derived layout/index — the fingerprint changes in both
+    cases.  Pure ``os.stat``, no Spark involvement."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    total, mtime = 0, 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        total, mtime = st.st_size, st.st_mtime_ns
+    return (total, mtime)
+
+
 def lineitem_key() -> F.Column:
     """Stable int64 row key for lineitem: (orderkey, linenumber) packed.
     TPC-H linenumber ∈ 1..7, so *8 is collision-free. Deterministic across

@@ -352,3 +352,19 @@ def test_trusted_leaf_estimate_pruning_and_broadcast(spark, tmp_path):
     assert est(F.broadcast(big).join(small, "k")) < est(
         big.join(F.broadcast(small), "k")
     )
+
+    # round-9 (ADVICE r8): filter refs are scoped to the leaf's own
+    # ancestor path — a filter on a SAME-NAMED data column of an
+    # unrelated joined table must NOT distrust this leaf (previously a
+    # plan-global ref set forced the exact probe on such plans)
+    ot_path = str(tmp_path / "ot")
+    (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("k2"),
+            (F.col("id") % 7).cast("int").alias("p"),
+        )
+        .write.parquet(ot_path)
+    )
+    ot = spark.read.parquet(ot_path).filter(F.col("p") == 3)
+    assert est(pt.join(ot, pt["id"] == ot["k2"])) == full
