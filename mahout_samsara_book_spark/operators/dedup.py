@@ -699,6 +699,24 @@ def incremental_dedup(
     sh_b = shingle_hashes(batch, n, id_col, text_col)
     bkt_c = band_buckets(minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col)
     bkt_b = band_buckets(minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col)
+    return _incremental_match(
+        batch, bkt_c, bkt_b, sh_c, sh_b, threshold, id_col
+    )
+
+
+def _incremental_match(
+    batch: DataFrame,
+    bkt_c: DataFrame,
+    bkt_b: DataFrame,
+    sh_c: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared match core of :func:`incremental_dedup` /
+    :func:`incremental_dedup_persisted`: probe batch bucket keys against
+    corpus ∪ earlier-batch buckets, Jaccard-verify candidates, pick the
+    best match per batch doc."""
     newer = bkt_b.select(F.col(id_col).alias("doc_b"), "band", "sig")
     # corpus docs are ALWAYS the "existing" side regardless of id order;
     # batch-batch pairs defer to the earlier (smaller) id
@@ -736,6 +754,71 @@ def incremental_dedup(
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
         "jaccard",
+    )
+
+
+def dedup_index_persist(
+    corpus: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the dedup INDEX as tables — ``<path>/buckets``
+    (id, sig, partitioned by band) and ``<path>/shingles`` (id, h)
+    parquet — the crawl-pipeline answer to "don't re-minhash the corpus
+    on every ingest batch": :func:`incremental_dedup` recomputes corpus
+    shingles + signatures per invocation (one full corpus scan + k
+    min-aggregates), which at 100 TB dwarfs the batch-proportional probe
+    work the incremental shape exists for.  The index is written once;
+    each batch probes it relationally (:func:`incremental_dedup_persisted`)
+    and appends its own rows without re-clustering anything.  Buckets
+    are partitioned by ``band`` so a probe that touches a band subset
+    prunes whole partitions at the file level (PLANS.md 'incremental
+    dedup persisted-index probe')."""
+    rows = k // bands
+    sh_c = track(shingle_hashes(corpus, n, id_col, text_col))
+    sh_c.write.mode("overwrite").parquet(path + "/shingles")
+    bkt = band_buckets(
+        minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col
+    )
+    bkt.write.mode("overwrite").partitionBy("band").parquet(
+        path + "/buckets"
+    )
+
+
+def incremental_dedup_persisted(
+    batch: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_dedup` against a PERSISTED index (see
+    :func:`dedup_index_persist`): only the BATCH is shingled/minhashed;
+    the corpus side is two parquet probes (buckets for candidate
+    generation, shingles for Jaccard verification).  Result is
+    identical to the in-session build with the same parameters (the
+    index content is deterministic), so the two share an oracle."""
+    spark = batch.sparkSession
+    rows = k // bands
+    sh_b = shingle_hashes(batch, n, id_col, text_col)
+    bkt_b = band_buckets(
+        minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col
+    )
+    bkt_c = spark.read.parquet(path + "/buckets").select(
+        id_col, "band", "sig"
+    )
+    sh_c = spark.read.parquet(path + "/shingles").select(id_col, "h")
+    return _incremental_match(
+        batch, bkt_c, bkt_b, sh_c, sh_b, threshold, id_col
     )
 
 

@@ -46,6 +46,45 @@ def test_incremental_batch_batch_defers_to_earlier_id(spark):
     assert not out[201]["keep"] and out[201]["dup_of"] == 200
 
 
+def test_incremental_persisted_matches_in_session(spark, tmp_path):
+    """The persisted dedup index (buckets partitioned by band +
+    shingle sets) must reproduce incremental_dedup bit-for-bit — only
+    the BATCH is shingled/minhashed at probe time."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_persist,
+        incremental_dedup_persisted,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark and parquet files"),
+            (3, "a third corpus document mentioning streams and windows"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "a brand new document with entirely fresh content words"),
+            (102, "a brand new document with entirely fresh content words"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ddx")
+    dedup_index_persist(corpus, path)
+    got = sorted(
+        map(tuple, incremental_dedup_persisted(batch, path).collect())
+    )
+    want = sorted(map(tuple, incremental_dedup(corpus, batch).collect()))
+    assert got == want
+    # corpus dup flagged against the index; batch-batch pair defers to
+    # the earlier id — both behaviors must survive the round-trip
+    rows = {r[0]: r for r in got}
+    assert not rows[100][1] and rows[100][2] == 1
+    assert rows[101][1] and not rows[102][1] and rows[102][2] == 101
+
+
 def test_universe_sample_preserves_joins(spark):
     orders = spark.range(1000).select(F.col("id").alias("o_orderkey"))
     li = spark.range(3000).select((F.col("id") % 1000).alias("l_orderkey"))

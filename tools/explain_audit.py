@@ -920,6 +920,48 @@ def main() -> int:
         )
     )
 
+    import entry_m5 as _em9
+
+    p37 = plan_of(_em9.q_dedup_incremental_persisted(spark, sf_dir))
+    checks.append(
+        (
+            "incremental dedup persisted-index probe "
+            "(dedup_incremental_persisted)",
+            p37,
+            [
+                (
+                    "bucket-index probe is dynamically partition-pruned "
+                    "to the batch's bands (DPP subquery on the band "
+                    "partition column)",
+                    "dynamicpruningexpression(band" in p37,
+                ),
+                (
+                    "bucket-index scan is column-pruned to (doc_id, sig) "
+                    "— band comes from the partition directory, sigs "
+                    "filtered at the scan",
+                    "ReadSchema: struct<doc_id:bigint,sig:string>" in p37,
+                ),
+                (
+                    "shingle-index scan is column-pruned to (doc_id, h)",
+                    "ReadSchema: struct<doc_id:bigint,h:bigint>" in p37,
+                ),
+                (
+                    "corpus is NEVER re-shingled/re-minhashed: every "
+                    "documents scan is batch-side (doc_id % 50 = 17 / "
+                    "doc_id < 10), the corpus filter (!= 17) appears "
+                    "nowhere",
+                    "% 50) = 17" in p37 and "% 50) != 17" not in p37,
+                ),
+                (
+                    "candidate generation is an equi-join on (band, sig) "
+                    "(no nested-loop/cartesian anywhere)",
+                    "CartesianProduct" not in p37
+                    and "BroadcastNestedLoopJoin" not in p37,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
