@@ -130,3 +130,92 @@ def test_blas_tie_contract_with_duplicate_centers(spark):
         per_q.setdefault(r.q_id, []).append(r.cid)
     # (d2, cid) order: the duplicate pair first, cid-ascending
     assert all(cids == [0, 1] for cids in per_q.values())
+
+
+def test_unrolled_dot_bit_identical_to_fold(spark):
+    """The codegen'd unrolled dot must reproduce the HOF fold
+    BIT-FOR-BIT (same left-associated addition order), including null
+    propagation on ragged arrays (F.get past the end == zip_with's
+    null padding), so the join-path verify keeps its oracle hashes."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        _dot,
+        _dot_unrolled,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(17)],
+         [rng.uniform(-10, 10) for _ in range(17)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "i",
+        _dot(F.col("a"), F.col("b")).alias("fold"),
+        _dot_unrolled(F.col("a"), F.col("b"), 17).alias("unrolled"),
+    ).collect()
+    for r in got:
+        # bit-identical, not approximately equal
+        assert math.isclose(r.fold, r.unrolled, rel_tol=0.0, abs_tol=0.0)
+
+    # ragged pair: one array shorter than the unrolled dim -> null on
+    # both paths (fold: zip_with null padding poisons the sum; unrolled:
+    # F.get out of bounds yields null)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0], [3.0, 4.0, 5.0])],
+        "i long, a array<double>, b array<double>",
+    ).select(
+        _dot(F.col("a"), F.col("b")).alias("fold"),
+        _dot_unrolled(F.col("a"), F.col("b"), 3).alias("unrolled"),
+    ).first()
+    assert ragged.fold is None and ragged.unrolled is None
+
+
+def test_verify_topk_join_matches_broadcast(spark):
+    """The two verify strategies must agree row-for-row on the same
+    candidate stream — the join path is what runs past the broadcast
+    byte limit, so its scores/ranks must be indistinguishable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.operators.similarity import (
+        _normed,
+        _verify_topk,
+    )
+
+    rng = random.Random(29)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    base = _normed(emb, "vec_id", "embedding")
+    cand = (
+        emb.select(F.col("vec_id"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor")))
+        .filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != F.col("neighbor")))
+    )
+    fmt = lambda rows: sorted(  # noqa: E731
+        (r.vec_id, r.neighbor, f"{r.cosine:.7e}", r["rank"]) for r in rows
+    )
+    j = fmt(_verify_topk(base, cand, 3, "vec_id", strategy="join").collect())
+    b = fmt(
+        _verify_topk(base, cand, 3, "vec_id", strategy="broadcast").collect()
+    )
+    assert j == b and len(j) > 0
+    # bounded-query serving path: broadcast just the query vectors,
+    # score grouped-by-neighbor — must agree with both other strategies
+    qids = emb.select("vec_id").filter(F.col("vec_id") % 3 == 0)
+    q = fmt(
+        _verify_topk(
+            base, cand, 3, "vec_id", strategy="qbroadcast", query_ids=qids
+        ).collect()
+    )
+    assert q == b
