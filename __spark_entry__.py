@@ -608,58 +608,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-8 window (VERDICT r7 item 1): (1) any
-    # query added or output-changed in round 8; (2) the 34 rows whose
-    # last driver grade is round ≤ 4 — the full stale set VERDICT r7
-    # enumerates; (3) fill the remaining slots with the alphabetically
-    # first round-5 rows.  After this window the stalest remaining
-    # driver row is round 5.
-    rotation_r8 = [
-        # -- (1) new in round 8 / implementation changed in round 8
-        "graph_triangles",            # packed-key post-shuffle pair agg
-        "dedup_clusters",             # big-graph branch routed via LSLS
-        "text_minhash_dedup_pairs",   # new: doc-level MinHash verify pass
-        "sel_dedup_survivors",        # new: canonical-survivor join
-        "text_zipf_tail",             # new: vocabulary Zipf tail mass
-        "rel_decile_revenue",         # new: ntile decile revenue profile
-        "ev_burst_windows",           # new: per-type burst detection
-        "text_bm25_topk",             # new: BM25 top-k retrieval
-        "sel_weighted_sample",        # new: Efraimidis–Spirakis sample
-        "sketch_kmv_intersect",       # new: theta-style intersection estimate
-        "ev_ewma_smooth",             # new: ordered-recursive EWMA fold
-        "fmt_orc_roundtrip",          # r8: write-once layout (read path)
-        "rel_dq_expectations",        # new: data-contract validation report
-        "ann_ivf_persisted",          # new: persisted IVF index round-trip
-        "ann_ivf_incremental",        # new: append-to-index ingest shape
-        "text_bpe_merges",            # new: k-round BPE merge trainer
-        "text_bpe_encode",            # new: apply merges, compression audit
-        # (multimodal_png / docs_pipeline / sel_canonical changed plans
-        # in r8 but not outputs, and were driver-graded green in r7 —
-        # left out so the head stays at ~50 with the full stale set in;
-        # the in-session full oracle covered them at sf0.01 and sf1)
-        # -- (2) stale rows, last graded round ≤ 4
-        "rel_custdist", "rel_disjunctive_revenue", "rel_forecast_revenue",
-        "rel_fuzzy_join", "rel_heavy_shippers", "rel_histogram",
-        "rel_idle_customers", "rel_local_volume", "rel_market_share",
-        "rel_order_priority", "rel_promo_share", "rel_returned_items",
-        "rel_salted_join", "rel_share_of_total", "rel_skyline",
-        "rel_small_qty_revenue", "rel_stats_agg", "rel_supplier_counts",
-        "rel_table_checksum", "rel_top_quarter_supplier",
-        "rel_top_suppliers", "rel_volume_shipping",
-        "rel_waiting_suppliers", "rel_yearly_growth",
-        "sel_priority_sample", "sel_universe_sample", "sketch_cms",
-        "sketch_hll", "sketch_hll_sliding", "sketch_sample_quantiles",
-        "text_bigram_lm", "text_inverted_index", "text_pmi_pairs",
-        # (the round-5 fill section was dropped this round: the r8
-        # new/changed head grew to 20 entries and the driver truncates
-        # at ~50 — the 33 stale rows above take priority; r5 rows
-        # rotate next round)
+    # after ~50 queries.  Round-9 window (VERDICT r8 item 1 + ADVICE r8
+    # medium): (1) every query ADDED or IMPLEMENTATION-CHANGED in round
+    # 9, plus multimodal_png (kernels rewritten in r8 but rotated out of
+    # the r8 head — the ADVICE medium) and sel_canonical (the r4
+    # straggler that missed the r8 window); (2) 40 of the 48 rows whose
+    # last driver grade is round 5.  The 8 deferred r5 rows (named at
+    # the end) are the lowest-risk pure-SQL scalar/window queries and
+    # rotate in round 10, after which no row is older than r6.
+    rotation_r9 = [
+        # -- (1) new in round 9 / implementation changed in round 9
+        "text_bpe_chars",             # new: char-level BPE trainer
+        "ann_ivf_persisted_topk",     # new: capped-query persisted serving
+        "dedup_incremental_persisted",  # new: probe-only persisted index
+        "dedup_incremental",          # r9: match core refactored (shared)
+        "ann_ivf_persisted",          # r9: layout cache re-keyed (fingerprint)
+        "fmt_orc_roundtrip",          # r9: layout cache re-keyed + write timing
+        "rel_revenue_by_nation_bucketed",  # r9: layout cache re-keyed
+        "graph_kcore",                # r9: frontier-based delta peeling
+        "text_bm25_topk",             # r9: edge guards + relational-fold dispatch
+        "multimodal_png",             # r8 kernels rewritten; ADVICE r8 medium
+        "sel_canonical",              # last driver grade r4 — the straggler
+        # -- (2) stale rows, last graded round 5
+        "ann_ivfpq_probe", "bloom_build", "bloom_probe",
+        "dedup_containment", "dedup_ngram_jaccard", "docs_funnel",
+        "docs_pipeline", "emb_centroids", "emb_outliers", "ev_dedup",
+        "ev_enriched", "ev_funnel", "ev_retention", "ev_session_window",
+        "ev_stream_enriched", "fmt_bucketed_join",
+        "graph_components_lsls", "ivf_refine", "kmeans_lloyd",
+        "multimodal_frames", "multimodal_ppm", "multimodal_resize",
+        "multimodal_wav", "pq_encode", "pq_mse", "sel_chunk_docs",
+        "sel_decontaminate", "sel_domain_mix", "sel_pack_sequences",
+        "sel_shard_assign", "sel_split_assign", "sel_stratified_sample",
+        "sketch_heavy_hitters", "sketch_kmv_union", "text_js_divergence",
+        "text_langid_confusion", "text_repetition", "text_top_terms",
+        "zorder_stats",
+        # deferred to r10 (head budget ~50): rel_date_trunc,
+        # rel_json_extract, rel_large_orders, rel_rank_family,
+        # rel_shipping_priority, rel_string_funcs, rel_window_range,
+        # sketch_kmv_distinct — all codegen'd single-scan SQL with
+        # multiple green grades and unchanged code; kmv_distinct's
+        # kernel is exercised by kmv_union (in-head) and kmv_intersect
+        # (graded r8)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead
-    missing = set(rotation_r8) - full.keys()
+    missing = set(rotation_r9) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    head = {n: full[n] for n in rotation_r8}
+    head = {n: full[n] for n in rotation_r9}
     return {**head, **full}
 
 

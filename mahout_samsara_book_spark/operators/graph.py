@@ -348,6 +348,11 @@ def top_transitions(edges: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# frontier size at or below which the per-round peel joins broadcast the
+# removed-node set instead of shuffling the edge relation twice
+KCORE_FRONTIER_BCAST_LIMIT = 5_000_000
+
+
 def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     """``(node, deg)`` — the graph after ``rounds`` synchronous peel
     steps toward the k-core: each step removes every node whose current
@@ -383,8 +388,16 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     deg = degrees(e).localCheckpoint(eager=True)
     for _ in range(rounds):
         removed = deg.filter(F.col("deg") < F.lit(int(k))).select("node")
-        if removed.count() == 0:
+        n_removed = removed.count()
+        if n_removed == 0:
             break
+        if n_removed <= KCORE_FRONTIER_BCAST_LIMIT:
+            # one broadcast of the frontier replaces TWO full shuffles
+            # of the edge relation (join by a, then by b) with map-side
+            # lookups; the count is already in hand from the early-exit
+            # check, so the dispatch is free. A frontier past the limit
+            # (~40 MB of longs) keeps the shuffle join.
+            removed = F.broadcast(removed)
         ra = removed.select(
             F.col("node").alias("a"), F.lit(True).alias("_ra")
         )
