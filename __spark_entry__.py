@@ -629,15 +629,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk",             # r9: edge guards + relational-fold dispatch
         "multimodal_png",             # r8 kernels rewritten; ADVICE r8 medium
         "sel_canonical",              # last driver grade r4 — the straggler
+        "ev_asof_click",              # new: as-of join (union-merge, no range blowup)
+        "sel_epoch_shuffle",          # new: deterministic per-epoch shuffle
+        "sel_leakage_split",          # new: dup-cluster-aware split
+        "emb_int8_quant",             # new: int8 quantization audit
         # -- (2) stale rows, last graded round 5
         "ann_ivfpq_probe", "bloom_build", "bloom_probe",
         "dedup_containment", "dedup_ngram_jaccard", "docs_funnel",
-        "docs_pipeline", "emb_centroids", "emb_outliers", "ev_dedup",
-        "ev_enriched", "ev_funnel", "ev_retention", "ev_session_window",
+        "docs_pipeline", "emb_outliers", "ev_dedup",
+        "ev_funnel", "ev_retention", "ev_session_window",
         "ev_stream_enriched", "fmt_bucketed_join",
         "graph_components_lsls", "ivf_refine", "kmeans_lloyd",
         "multimodal_frames", "multimodal_ppm", "multimodal_resize",
-        "multimodal_wav", "pq_encode", "pq_mse", "sel_chunk_docs",
+        "multimodal_wav", "sel_chunk_docs",
         "sel_decontaminate", "sel_domain_mix", "sel_pack_sequences",
         "sel_shard_assign", "sel_split_assign", "sel_stratified_sample",
         "sketch_heavy_hitters", "sketch_kmv_union", "text_js_divergence",
@@ -647,9 +651,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel_json_extract, rel_large_orders, rel_rank_family,
         # rel_shipping_priority, rel_string_funcs, rel_window_range,
         # sketch_kmv_distinct — all codegen'd single-scan SQL with
-        # multiple green grades and unchanged code; kmv_distinct's
-        # kernel is exercised by kmv_union (in-head) and kmv_intersect
-        # (graded r8)
+        # multiple green grades and unchanged code (kmv_distinct's
+        # kernel is exercised by kmv_union, in-head, and kmv_intersect,
+        # graded r8) — plus, displaced by the four NEW r9 queries above
+        # (new code needs the driver grade more than 6×-green rows):
+        # pq_encode, pq_mse (ann_ivfpq_topk graded r8 + ann_ivfpq_probe
+        # in-head exercise the same PQ kernel end-to-end), ev_enriched
+        # (ev_stream_enriched, its streaming twin on the same join,
+        # stays in-head), emb_centroids (emb_outliers, same grouped
+        # centroid aggregate + a distance pass, stays in-head)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead

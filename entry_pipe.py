@@ -1962,3 +1962,197 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_kmvi()
     d["sketch_kmv_intersect"] = o_kmv_intersect()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-9: training-pipeline additions — epoch shuffle, leakage-safe
+# split, int8 embedding quantization, and the as-of join
+# ------------------------------------------------------------------ #
+
+EPOCH = 3
+EPOCH_SHARDS = 8
+
+
+def q_sel_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle of the corpus (see
+    operators/selection.py:epoch_shuffle): shard by the epoch-seeded
+    hash, position = rank within the shard — reproducible training
+    order with no global total sort."""
+    from mahout_samsara_book_spark.operators.selection import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shuffle(docs, epoch=EPOCH, n_shards=EPOCH_SHARDS)
+
+
+def o_sel_epoch_shuffle() -> str:
+    h = h60_sql(f"concat('ep{EPOCH}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (SELECT doc_id, {h} AS key FROM documents),
+s AS (SELECT doc_id, CAST(key % {EPOCH_SHARDS} AS INT) AS shard, key
+      FROM keyed)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+LSPLIT_SEED = 42
+LSPLIT_BUCKETS = 1000
+
+
+def q_sel_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup-cluster-aware train/val/test split (see
+    operators/selection.py:leakage_safe_split): every copy of the same
+    content inherits the canonical doc's split, so duplicates never
+    straddle a split boundary."""
+    from mahout_samsara_book_spark.operators.selection import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(docs, seed=LSPLIT_SEED, buckets=LSPLIT_BUCKETS)
+
+
+def o_sel_leakage_split() -> str:
+    h = h60_sql(f"concat('s{LSPLIT_SEED}:', CAST(keeper AS VARCHAR))")
+    return f"""
+WITH ch AS (SELECT doc_id, md5(text) AS chash FROM documents),
+keepers AS (SELECT chash, min(doc_id) AS keeper FROM ch GROUP BY chash),
+assigned AS (
+  SELECT keeper,
+         CASE WHEN {h} % {LSPLIT_BUCKETS} < 800 THEN 'train'
+              WHEN {h} % {LSPLIT_BUCKETS} < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keepers
+)
+SELECT c.doc_id, k.keeper, a.split
+FROM ch c JOIN keepers k USING (chash) JOIN assigned a USING (keeper)
+"""
+
+
+def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit (see
+    operators/similarity.py:quantize_int8): the 4-8x embedding-column
+    compression recipe with its reconstruction error measured."""
+    from mahout_samsara_book_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        _sci(F.col("scale")).alias("scale"),
+        F.col("n_sat").cast("long").alias("n_sat"),
+        _sci(F.col("mse")).alias("mse"),
+    )
+
+
+def o_emb_int8_quant() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> round(x / scale)) END AS code
+  FROM s
+)
+SELECT vec_id,
+       {_sci_sql('scale')} AS scale,
+       CAST(len(list_filter(code, x -> abs(x) = 127.0)) AS BIGINT) AS n_sat,
+       {_sci_sql('list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - code[i] * scale) * (v[i] - code[i] * scale))) / len(v)')} AS mse
+FROM c
+"""
+
+
+def q_ev_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive AS-OF join (functions/relational.py:asof_join
+    — kdb aj / pandas merge_asof / DuckDB ASOF JOIN): each purchase
+    event picks up the user's most recent click at-or-before it, via
+    the union-merge formulation (one shuffle, no range-join pair
+    explosion). Ties at the same microsecond resolve to the greatest
+    click event_id; purchases with no prior click keep null
+    click/gap (left-join semantics)."""
+    from mahout_samsara_book_spark.functions.relational import asof_join
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_us(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "t_us",
+        F.col("event_id").alias("click_id"),
+        F.col("t_us").alias("ct_us"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["click_id", "ct_us"],
+        right_order="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        _sci(
+            (F.col("t_us") - F.col("ct_us")) / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    )
+
+
+def o_ev_asof_click() -> str:
+    return f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+            FROM events),
+p AS (SELECT event_id, user_id, t_us FROM ev
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, t_us FROM ev
+      WHERE event_type = 'click'),
+u AS (
+  SELECT user_id AS k, t_us AS t, 1 AS side, NULL::BIGINT AS ro,
+         event_id, t_us,
+         NULL::STRUCT(click_id BIGINT, ct_us BIGINT) AS p
+  FROM p
+  UNION ALL
+  SELECT user_id, t_us, 0, click_id, NULL, NULL,
+         {{'click_id': click_id, 'ct_us': t_us}}
+  FROM c
+),
+w AS (
+  SELECT *,
+         last_value(p IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t, side, ro NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM u
+)
+SELECT event_id, k AS user_id, cp.click_id AS click_id,
+       {_sci_sql("(t_us - cp.ct_us) / 1000000.0")} AS gap_s
+FROM w WHERE side = 1
+"""
+
+
+QUERIES["sel_epoch_shuffle"] = q_sel_epoch_shuffle
+QUERIES["sel_leakage_split"] = q_sel_leakage_split
+QUERIES["emb_int8_quant"] = q_emb_int8_quant
+QUERIES["ev_asof_click"] = q_ev_asof_click
+_oracles_pre_r9p = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_r9p()
+    d["sel_epoch_shuffle"] = o_sel_epoch_shuffle()
+    d["sel_leakage_split"] = o_sel_leakage_split()
+    d["emb_int8_quant"] = o_emb_int8_quant()
+    d["ev_asof_click"] = o_ev_asof_click()
+    return d

@@ -1474,3 +1474,74 @@ def dq_expectations(
             .alias("violation_ppm"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    right_order: str,
+) -> DataFrame:
+    """Backward-inclusive AS-OF join — for every left row, the single
+    most recent right row with ``right_time <= left_time`` in the same
+    ``on`` group (the time-series enrichment operator Spark SQL lacks;
+    kdb's aj, Pandas merge_asof, DuckDB ASOF JOIN).
+
+    Scale shape — union-merge, NOT a range join: a naive
+    ``left.join(right, key AND r.t <= l.t)`` explodes to every
+    (left, earlier-right) pair before a per-left argmax prunes it —
+    quadratic per key.  Here both inputs are tagged and unioned, ONE
+    shuffle sorts each key group by time, and a running
+    ``last(payload struct, ignorenulls)`` carries the newest right
+    payload forward for left rows to read — |L|+|R| rows, sort+scan
+    per key, no pair stream at any point.
+
+    Determinism: equal-time right rows resolve to the greatest
+    ``right_order`` (a unique right key); a right row exactly at a left
+    row's time wins over earlier rows (inclusive).  The whole payload
+    travels as ONE struct, so a right row whose payload contains nulls
+    is still 'the most recent row' — ignorenulls skips absent rows,
+    never individual columns.  Left rows with no prior right row get a
+    null payload (left-join semantics)."""
+    lcols = [c for c in left.columns if c != on]
+    pstruct = F.struct(*[F.col(p).alias(p) for p in payload])
+    null_payload = F.lit(None).cast(
+        "struct<"
+        + ",".join(f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload)
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_order].dataType).alias("_ro"),
+        *[F.col(c) for c in lcols],
+        null_payload.alias("_p"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_order).alias("_ro"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType.simpleString()).alias(c)
+            for c in lcols
+        ],
+        pstruct.alias("_p"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_ro").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "_c", F.last("_p", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in lcols],
+        *[F.col("_c").getField(p).alias(p) for p in payload],
+    )

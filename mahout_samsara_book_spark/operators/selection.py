@@ -483,3 +483,73 @@ def universe_sample(
         F.concat(F.lit(f"u{seed}:"), F.col(key_col).cast("string"))
     ) % 100
     return df.filter(draw < pct)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, shard, pos)`` — a deterministic global shuffle of the
+    corpus for one training epoch: shard = h60('ep{epoch}:' || id) %
+    n_shards, pos = the row's rank within its shard under the same
+    hash order.  Changing ``epoch`` reshuffles everything; re-running
+    the same epoch reproduces the exact order (resumable training).
+
+    Scale shape: NO global total order — a terasort-style global
+    row_number serializes on a single range boundary computation and
+    funnels the tail through few partitions; per-shard ranking is one
+    hash shuffle on the shard key and an independent sort per shard,
+    so readers (one per shard) stream their shard in order without any
+    cross-shard coordination."""
+    key = h60(F.concat(F.lit(f"ep{epoch}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("key"))
+        .withColumn("shard", (F.col("key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+    buckets: int = 1000,
+) -> DataFrame:
+    """``(id, keeper, split)`` — train/val/test assignment where every
+    member of an exact-duplicate cluster inherits the split of the
+    cluster's canonical doc (min id per content hash), so no two copies
+    of the same content ever straddle a split boundary — the leakage
+    :func:`split_assign`'s doc-level hash cannot prevent on its own.
+
+    One content-hash aggregate (map-side combinable) + one equi-join
+    back on the content hash — both shuffles on md5(text), no pair
+    stream.  Near-dup clusters compose the same way: feed
+    ``dup_clusters``' (doc_id, cluster) through the identical
+    keeper-hash rule instead of the md5 group."""
+    ch = F.md5(F.col(text_col)).alias("chash")
+    keepers = (
+        df.select(ch, F.col(id_col))
+        .groupBy("chash")
+        .agg(F.min(id_col).alias("keeper"))
+    )
+    assigned = split_assign(
+        keepers.select(F.col("keeper").alias(id_col)),
+        id_col=id_col,
+        weights=weights,
+        names=names,
+        seed=seed,
+        buckets=buckets,
+    ).select(F.col(id_col).alias("keeper"), "split")
+    return (
+        df.select(F.col(id_col), ch)
+        .join(keepers, "chash")
+        .join(assigned, "keeper")
+        .select(id_col, "keeper", "split")
+    )

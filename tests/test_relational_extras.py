@@ -317,3 +317,83 @@ def test_dq_expectations_single_scan(spark):
         li, DQ_DEFAULT_RULES
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: exact-time right rows match; equal-time
+    right duplicates resolve to the greatest right_order; left rows
+    before any right row get null payload; groups never mix."""
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (1, 9, 102), (2, 5, 200)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, 0.5), (1, 20, 8, 0.7), (1, 20, 9, 0.9), (2, 6, 10, 1.1)],
+        "k long, t long, rid long, val double",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, "k", "t", "t", ["rid", "val"], "rid"
+        ).collect()
+    }
+    assert out[100]["rid"] == 7  # inclusive: right at t=10 matches
+    assert out[101]["rid"] == 9  # tie at t=20 -> greatest rid
+    assert out[101]["val"] == 0.9  # payload travels as one row
+    assert out[102]["rid"] is None  # t=9 precedes every right row
+    assert out[200]["rid"] is None  # group 2's right row is later (t=6>5)
+
+    # a right row whose payload column is null is still "the most
+    # recent row" — ignorenulls skips absent rows, never columns
+    right2 = spark.createDataFrame(
+        [(1, 10, 7, 0.5), (1, 20, 8, None)],
+        "k long, t long, rid long, val double",
+    )
+    r = asof_join(
+        left.filter(F.col("lid") == 101),
+        right2, "k", "t", "t", ["rid", "val"], "rid",
+    ).first()
+    assert r["rid"] == 8 and r["val"] is None
+
+
+def test_epoch_shuffle_deterministic_and_dense(spark):
+    from mahout_samsara_book_spark.operators.selection import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, epoch_shuffle(docs, epoch=1, n_shards=4).collect()))
+    b = sorted(map(tuple, epoch_shuffle(docs, epoch=1, n_shards=4).collect()))
+    assert a == b  # same epoch -> identical order
+    c = sorted(map(tuple, epoch_shuffle(docs, epoch=2, n_shards=4).collect()))
+    assert a != c  # different epoch -> different order
+    # positions are dense 1..n within each shard
+    per_shard = {}
+    for _doc, shard, pos in a:
+        per_shard.setdefault(shard, []).append(pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from mahout_samsara_book_spark.operators.selection import (
+        leakage_safe_split,
+    )
+
+    # 300 docs, 60 distinct contents -> 5 copies each
+    docs = spark.createDataFrame(
+        [(i, f"content {i % 60}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    rows = leakage_safe_split(docs).collect()
+    assert len(rows) == 300
+    by_keeper = {}
+    for r in rows:
+        by_keeper.setdefault(r["keeper"], set()).add(r["split"])
+    # every cluster lands in exactly one split
+    assert all(len(s) == 1 for s in by_keeper.values())
+    assert len(by_keeper) == 60

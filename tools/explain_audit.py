@@ -962,6 +962,35 @@ def main() -> int:
         )
     )
 
+    import entry_pipe as _ep9
+
+    p38 = plan_of(_ep9.q_ev_asof_click(spark, sf_dir))
+    checks.append(
+        (
+            "as-of join (ev_asof_click) — union-merge, not a range join",
+            p38,
+            [
+                (
+                    "NO join operator anywhere: the as-of is a union + "
+                    "running window, so the per-key pair explosion a "
+                    "range join would create never exists",
+                    "Join" not in p38
+                    and "CartesianProduct" not in p38
+                    and "BroadcastNestedLoopJoin" not in p38,
+                ),
+                (
+                    "exactly one shuffle (the per-user window partition)",
+                    n_shuffles(p38) == 1,
+                ),
+                (
+                    "event_type filters push to the parquet scans",
+                    "EqualTo(event_type,purchase)" in p38
+                    and "EqualTo(event_type,click)" in p38,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
