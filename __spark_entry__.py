@@ -632,11 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_click",              # new: as-of join (union-merge, no range blowup)
         "sel_epoch_shuffle",          # new: deterministic per-epoch shuffle
         "sel_leakage_split",          # new: dup-cluster-aware split
-        "emb_int8_quant",             # new: int8 quantization audit
         # -- (2) stale rows, last graded round 5
         "ann_ivfpq_probe", "bloom_build", "bloom_probe",
         "dedup_containment", "dedup_ngram_jaccard", "docs_funnel",
-        "docs_pipeline", "emb_outliers", "ev_dedup",
+        "docs_pipeline", "emb_centroids", "emb_outliers", "ev_dedup",
         "ev_funnel", "ev_retention", "ev_session_window",
         "ev_stream_enriched", "fmt_bucketed_join",
         "graph_components_lsls", "ivf_refine", "kmeans_lloyd",
@@ -658,8 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_encode, pq_mse (ann_ivfpq_topk graded r8 + ann_ivfpq_probe
         # in-head exercise the same PQ kernel end-to-end), ev_enriched
         # (ev_stream_enriched, its streaming twin on the same join,
-        # stays in-head), emb_centroids (emb_outliers, same grouped
-        # centroid aggregate + a distance pass, stays in-head)
+        # stays in-head)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead

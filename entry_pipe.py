@@ -1966,7 +1966,8 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
 
 # ------------------------------------------------------------------ #
 # round-9: training-pipeline additions — epoch shuffle, leakage-safe
-# split, int8 embedding quantization, and the as-of join
+# split, and the as-of join (int8 quantization already exists:
+# emb_quantize_int8 / operators/quantize.py, round 4)
 # ------------------------------------------------------------------ #
 
 EPOCH = 3
@@ -2029,46 +2030,6 @@ assigned AS (
 SELECT c.doc_id, k.keeper, a.split
 FROM ch c JOIN keepers k USING (chash) JOIN assigned a USING (keeper)
 """
-
-
-def q_emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization audit (see
-    operators/similarity.py:quantize_int8): the 4-8x embedding-column
-    compression recipe with its reconstruction error measured."""
-    from mahout_samsara_book_spark.operators.similarity import quantize_int8
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = quantize_int8(emb)
-    return out.select(
-        "vec_id",
-        _sci(F.col("scale")).alias("scale"),
-        F.col("n_sat").cast("long").alias("n_sat"),
-        _sci(F.col("mse")).alias("mse"),
-    )
-
-
-def o_emb_int8_quant() -> str:
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-  FROM e
-),
-c AS (
-  SELECT vec_id, v, scale,
-         CASE WHEN scale = 0
-              THEN list_transform(v, x -> 0.0)
-              ELSE list_transform(v, x -> round(x / scale)) END AS code
-  FROM s
-)
-SELECT vec_id,
-       {_sci_sql('scale')} AS scale,
-       CAST(len(list_filter(code, x -> abs(x) = 127.0)) AS BIGINT) AS n_sat,
-       {_sci_sql('list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - code[i] * scale) * (v[i] - code[i] * scale))) / len(v)')} AS mse
-FROM c
-"""
-
 
 def q_ev_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward-inclusive AS-OF join (functions/relational.py:asof_join
@@ -2144,7 +2105,6 @@ FROM w WHERE side = 1
 
 QUERIES["sel_epoch_shuffle"] = q_sel_epoch_shuffle
 QUERIES["sel_leakage_split"] = q_sel_leakage_split
-QUERIES["emb_int8_quant"] = q_emb_int8_quant
 QUERIES["ev_asof_click"] = q_ev_asof_click
 _oracles_pre_r9p = oracles
 
@@ -2153,6 +2113,5 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_r9p()
     d["sel_epoch_shuffle"] = o_sel_epoch_shuffle()
     d["sel_leakage_split"] = o_sel_leakage_split()
-    d["emb_int8_quant"] = o_emb_int8_quant()
     d["ev_asof_click"] = o_ev_asof_click()
     return d

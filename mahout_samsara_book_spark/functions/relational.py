@@ -1490,6 +1490,15 @@ def asof_join(
     ``on`` group (the time-series enrichment operator Spark SQL lacks;
     kdb's aj, Pandas merge_asof, DuckDB ASOF JOIN).
 
+    Relationship to :func:`asof_last_event_value` /
+    ``asof_with_tolerance`` (round 4): those are SINGLE-relation as-of
+    shapes — a self-asof over one table's interleaved timeline,
+    carrying one column exclusively (1 PRECEDING).  This is the general
+    TWO-relation operator: arbitrary left/right inputs, inclusive
+    semantics, a whole-ROW payload struct (never mixes columns from
+    different right rows), and an explicit equal-time tiebreak
+    contract.
+
     Scale shape — union-merge, NOT a range join: a naive
     ``left.join(right, key AND r.t <= l.t)`` explodes to every
     (left, earlier-right) pair before a per-left argmax prunes it —

@@ -1396,48 +1396,3 @@ def ivf_topk_persisted(
     )
     base = _normed(emb, id_col, vec_col)
     return _verify_topk(base, cand, k, id_col, strategy, query_ids=query_ids)
-
-
-def quantize_int8(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """``(id, scale, n_sat, mse)`` — per-vector symmetric int8
-    quantization audit: scale = max|x| / 127, codes = round(x / scale)
-    (never exceeding ±127 by construction; n_sat counts the dims that
-    land exactly on ±127), mse = mean((x − code·scale)²) — the storage
-    recipe that shrinks a float32/float64 embedding column 4–8× for
-    ANN serving, with the reconstruction error measured rather than
-    assumed.  A pure per-row projection over array HOFs: no shuffle,
-    no UDF, fully pipelined on the scan.  All-zero vectors quantize to
-    all-zero codes with scale 0 and mse 0 (no division by zero)."""
-    v = F.col(vec_col).cast("array<double>")
-    mx = F.array_max(F.transform(F.col("v"), F.abs))
-    code = F.when(
-        F.col("scale") == 0.0,
-        F.transform(F.col("v"), lambda _: F.lit(0.0)),
-    ).otherwise(F.transform(F.col("v"), lambda x: F.round(x / F.col("scale"))))
-    sq = F.zip_with(
-        F.col("v"),
-        F.col("code"),
-        lambda x, c: (x - c * F.col("scale")) * (x - c * F.col("scale")),
-    )
-    return (
-        emb.select(F.col(id_col), v.alias("v"))
-        .withColumn("scale", mx / F.lit(127.0))
-        .withColumn("code", code)
-        .select(
-            id_col,
-            "scale",
-            F.aggregate(
-                F.col("code"),
-                F.lit(0).cast("long"),
-                lambda s, c: s + F.when(F.abs(c) == 127.0, 1).otherwise(0),
-            ).alias("n_sat"),
-            (
-                F.aggregate(sq, F.lit(0.0), lambda s, x: s + x)
-                / F.size(F.col("v"))
-            ).alias("mse"),
-        )
-    )
