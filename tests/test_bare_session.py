@@ -22,6 +22,10 @@ EVENT_TIME_QUERIES = [
     "rel_range_join",
     "rel_asof_events",
     "rel_asof_tolerance",
+    # round-8/9 event-time additions
+    "ev_burst_windows",
+    "ev_ewma_smooth",
+    "ev_asof_click",
 ]
 
 

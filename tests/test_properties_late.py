@@ -303,3 +303,74 @@ def test_png_defilter_random_roundtrip(data):
     )
     pw, ph, praw = _png_parse(blob)
     assert (pw, ph) == (w, h) and praw == raws[0]
+
+
+def test_png_defilter_realistic_shape_roundtrip():
+    """ADVICE r8: the hypothesis property above bounds shapes at
+    9×7×5 to keep the example budget honest — this deterministic case
+    covers a REALISTIC image size (160×120 RGB, a 4-image batch,
+    ~230 KB of filtered bytes) through the same independent scalar
+    encoder, so the batch kernels' shape-grouped stacking and
+    uint8 wraparound are exercised at the row strides production
+    images actually have."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mahout_samsara_book_spark.operators.multimodal import (
+        _paeth_u8,
+        _png_defilter,
+        _png_parse,
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    w, h, n = 160, 120, 4
+    rng = np.random.RandomState(1337)
+    bpp, stride = 3, w * 3
+    pixels = rng.randint(0, 256, size=(n, h, stride), dtype=np.int64)
+    # cycle every filter type across rows so each appears ~h/5 times
+    fts = (np.arange(h)[None, :] + np.arange(n)[:, None]) % 5
+
+    raws = []
+    for i in range(n):
+        out = bytearray()
+        prior = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            raw = pixels[i, y]
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+            ft = int(fts[i, y])
+            if ft == 0:
+                pred = np.zeros(stride, dtype=np.int64)
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = prior
+            elif ft == 3:
+                pred = (left + prior) // 2
+            else:
+                pred = _paeth_u8(
+                    left.astype(np.uint8),
+                    prior.astype(np.uint8),
+                    ul.astype(np.uint8),
+                ).astype(np.int64)
+            out.append(ft)
+            out.extend(((raw - pred) % 256).astype(np.uint8).tobytes())
+            prior = raw
+        raws.append(bytes(out))
+
+    arr = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(n, -1)
+    rec = _png_defilter(arr, w, h)
+    assert np.array_equal(rec.astype(np.int64), pixels)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raws[0]))
+        + _png_chunk(b"IEND", b"")
+    )
+    pw, ph, praw = _png_parse(blob)
+    assert (pw, ph) == (w, h) and praw == raws[0]
