@@ -630,11 +630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png",             # r8 kernels rewritten; ADVICE r8 medium
         "sel_canonical",              # last driver grade r4 — the straggler
         "ev_asof_click",              # new: as-of join (union-merge, no range blowup)
+        "ev_stream_asof",             # new: streaming as-of (1-row-per-user state)
         "sel_epoch_shuffle",          # new: deterministic per-epoch shuffle
         "sel_leakage_split",          # new: dup-cluster-aware split
         # -- (2) stale rows, last graded round 5
         "ann_ivfpq_probe", "bloom_build", "bloom_probe",
-        "dedup_containment", "dedup_ngram_jaccard", "docs_funnel",
+        "dedup_containment", "dedup_ngram_jaccard",
         "docs_pipeline", "emb_centroids", "emb_outliers", "ev_dedup",
         "ev_funnel", "ev_retention", "ev_session_window",
         "ev_stream_enriched", "fmt_bucketed_join",
@@ -657,7 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_encode, pq_mse (ann_ivfpq_topk graded r8 + ann_ivfpq_probe
         # in-head exercise the same PQ kernel end-to-end), ev_enriched
         # (ev_stream_enriched, its streaming twin on the same join,
-        # stays in-head)
+        # stays in-head), docs_funnel (a per-stage count report over
+        # the SAME composed chain as docs_pipeline, which stays in-head)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead

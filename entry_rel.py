@@ -2550,3 +2550,36 @@ FROM r
 
 QUERIES.update({"rel_dq_expectations": q_rel_dq_expectations})
 _LATE_ORACLES.update({"rel_dq_expectations": o_rel_dq_expectations})
+
+
+def q_ev_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF enrichment through the real engine (round 9):
+    per-user applyInPandasWithState carries the most recent click —
+    ONE state row per user, no retained event buffer — and every
+    purchase is emitted once with its prior click attached. The
+    bounded availableNow run equals the batch as-of exactly, so
+    ev_asof_click's oracle grades this operator too (the same
+    batch-twin discipline as every other ev_stream_* entry)."""
+    from mahout_samsara_book_spark.streaming.stateful import (
+        run_stream_asof_click,
+    )
+
+    out = run_stream_asof_click(spark, sf_dir)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        _sci(
+            (F.col("t_us") - F.col("ct_us")) / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    )
+
+
+def _o_ev_stream_asof() -> str:
+    import entry_pipe
+
+    return entry_pipe.o_ev_asof_click()
+
+
+QUERIES.update({"ev_stream_asof": q_ev_stream_asof})
+_LATE_ORACLES.update({"ev_stream_asof": _o_ev_stream_asof})

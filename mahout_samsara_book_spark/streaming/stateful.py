@@ -317,3 +317,102 @@ def start_spend_tracking(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------------------ #
+# round-9: streaming AS-OF — per-user last-click state enriches
+# purchases as they arrive (the streaming twin of ev_asof_click)
+# ------------------------------------------------------------------ #
+
+ASOF_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, click_id long, ct_us long, t_us long"
+)
+ASOF_STATE_SCHEMA = "last_t long, last_id long"
+
+
+def _asof_update(key, pdf_iter, state: GroupState):
+    """Per-user as-of state machine: carry the most recent click's
+    (t_us, event_id) across micro-batches; each purchase emits the
+    carried click at its position in the (t_us, click-before-purchase,
+    event_id) order — EXACTLY asof_join's backward-inclusive semantics
+    with the greatest-id tiebreak, so the batch twin's oracle grades
+    this operator too.  Chunks for a key arrive unordered; they are
+    concatenated and sorted before the walk (state keeps cross-batch
+    order: a bounded availableNow run delivers everything in batch 0,
+    and the checkpoint-restart pytest covers the multi-batch cut)."""
+    import numpy as np
+
+    (uid,) = key
+    last_t, last_id = state.get if state.exists else (None, None)
+    pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    # clicks sort before purchases at the same microsecond (inclusive
+    # as-of); ascending event_id leaves the greatest id as the survivor
+    # among same-time clicks — asof_join's exact tie contract
+    pdf["_rank"] = np.where(pdf["event_type"].to_numpy() == "click", 0, 1)
+    pdf = pdf.sort_values(["t_us", "_rank", "event_id"], ignore_index=True)
+    out_e, out_c, out_ct, out_t = [], [], [], []
+    for t, rank, eid in zip(
+        pdf["t_us"].to_numpy(), pdf["_rank"].to_numpy(),
+        pdf["event_id"].to_numpy(),
+    ):
+        if rank == 0:
+            last_t, last_id = int(t), int(eid)
+        else:
+            out_e.append(int(eid))
+            out_c.append(last_id)
+            out_ct.append(last_t)
+            out_t.append(int(t))
+    if last_t is not None:
+        state.update((last_t, last_id))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array(out_e, dtype="Int64"),
+            "user_id": pd.array([int(uid)] * len(out_e), dtype="Int64"),
+            "click_id": pd.array(out_c, dtype="Int64"),
+            "ct_us": pd.array(out_ct, dtype="Int64"),
+            "t_us": pd.array(out_t, dtype="Int64"),
+        }
+    )
+
+
+def run_stream_asof_click(spark, sf_dir: str) -> DataFrame:
+    """Execute the streaming AS-OF enrichment through the real engine:
+    events stream in, per-user state carries the most recent click,
+    every purchase is emitted once with its prior click attached —
+    unbounded-deployable (state is ONE row per user, no retained event
+    buffer, unlike the interval join's two-sided state store).  The
+    bounded fixture arrives in micro-batch 0 under availableNow, so
+    the emitted rows equal the batch as-of exactly — ev_asof_click's
+    DuckDB oracle grades both."""
+    from mahout_samsara_book_spark.sources.tables import ts_us
+    from mahout_samsara_book_spark.streaming.events import (
+        _adaptive_state_partitions,
+        _run_bounded_stream,
+    )
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    src = (
+        ev_stream.filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn("t_us", ts_us(ev_stream))
+        .select("event_id", "user_id", "event_type", "t_us")
+    )
+    updated = src.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_bounded_stream(
+        spark,
+        updated,
+        "ev_stream_asof",
+        "append",
+        _adaptive_state_partitions(sf_dir),
+    )
