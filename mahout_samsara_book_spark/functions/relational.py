@@ -1484,11 +1484,24 @@ def asof_join(
     right_time: str,
     payload: list[str],
     right_order: str,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """Backward-inclusive AS-OF join — for every left row, the single
-    most recent right row with ``right_time <= left_time`` in the same
-    ``on`` group (the time-series enrichment operator Spark SQL lacks;
-    kdb's aj, Pandas merge_asof, DuckDB ASOF JOIN).
+    """AS-OF join — for every left row, ONE matching right row in the
+    same ``on`` group (the time-series enrichment operator Spark SQL
+    lacks; kdb's aj, Pandas merge_asof, DuckDB ASOF JOIN):
+
+    - ``direction='backward'`` (default): the most recent right row
+      with ``right_time <= left_time`` (inclusive); equal-time right
+      rows resolve to the GREATEST ``right_order``.
+    - ``direction='forward'``: the earliest right row with
+      ``right_time >= left_time`` (inclusive); equal-time right rows
+      resolve to the SMALLEST ``right_order`` (the mirror contract).
+    - ``direction='nearest'``: whichever of the two is closer in time;
+      exact distance ties go backward.
+    - ``tolerance``: maximum |left_time − right_time| (same units as
+      the time columns); a candidate past it is discarded, leaving the
+      null no-match payload — merge_asof's tolerance semantics.
 
     Relationship to :func:`asof_last_event_value` /
     ``asof_with_tolerance`` (round 4): those are SINGLE-relation as-of
@@ -1496,30 +1509,38 @@ def asof_join(
     carrying one column exclusively (1 PRECEDING).  This is the general
     TWO-relation operator: arbitrary left/right inputs, inclusive
     semantics, a whole-ROW payload struct (never mixes columns from
-    different right rows), and an explicit equal-time tiebreak
-    contract.
+    different right rows), and explicit tiebreak contracts.
 
     Scale shape — union-merge, NOT a range join: a naive
     ``left.join(right, key AND r.t <= l.t)`` explodes to every
     (left, earlier-right) pair before a per-left argmax prunes it —
     quadratic per key.  Here both inputs are tagged and unioned, ONE
-    shuffle sorts each key group by time, and a running
-    ``last(payload struct, ignorenulls)`` carries the newest right
-    payload forward for left rows to read — |L|+|R| rows, sort+scan
-    per key, no pair stream at any point.
+    shuffle sorts each key group, and a running
+    ``last(payload struct, ignorenulls)`` carries the adjacent right
+    payload for left rows to read — |L|+|R| rows, sort+scan per key,
+    no pair stream at any point ('nearest' adds a second sort order
+    over the SAME partitioning: no extra exchange).
 
-    Determinism: equal-time right rows resolve to the greatest
-    ``right_order`` (a unique right key); a right row exactly at a left
-    row's time wins over earlier rows (inclusive).  The whole payload
-    travels as ONE struct, so a right row whose payload contains nulls
-    is still 'the most recent row' — ignorenulls skips absent rows,
-    never individual columns.  Left rows with no prior right row get a
-    null payload (left-join semantics)."""
+    The whole payload travels as ONE struct (plus the matched right
+    time for tolerance/nearest arithmetic), so a right row whose
+    payload contains nulls is still 'the matched row' — ignorenulls
+    skips absent rows, never individual columns.  Left rows with no
+    in-direction (or in-tolerance) right row get a null payload
+    (left-join semantics)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lcols = [c for c in left.columns if c != on]
-    pstruct = F.struct(*[F.col(p).alias(p) for p in payload])
+    pstruct = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(p).alias(p) for p in payload],
+    )
     null_payload = F.lit(None).cast(
-        "struct<"
-        + ",".join(f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload)
+        "struct<_rt:"
+        + right.schema[right_time].dataType.simpleString()
+        + ","
+        + ",".join(
+            f"{p}:{right.schema[p].dataType.simpleString()}" for p in payload
+        )
         + ">"
     )
     l_tag = left.select(
@@ -1541,14 +1562,57 @@ def asof_join(
         ],
         pstruct.alias("_p"),
     )
-    w = (
+    # backward walk: time ascending, right rows before left at equal
+    # time (inclusive), greatest right_order processed last (wins);
+    # forward walk: the exact mirror
+    w_back = (
         Window.partitionBy("_k")
         .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_ro").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tag.unionByName(r_tag).withColumn(
-        "_c", F.last("_p", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_ro").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    def _within_tol(c, lt):
+        if tolerance is None:
+            return c
+        dist = F.abs(lt - c.getField("_rt"))
+        return F.when(c.isNotNull() & (dist <= F.lit(tolerance)), c)
+
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        carried = u.withColumn("_c", F.last("_p", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        carried = u.withColumn("_c", F.last("_p", ignorenulls=True).over(w_fwd))
+    else:
+        cb = _within_tol(
+            F.last("_p", ignorenulls=True).over(w_back), F.col("_t")
+        )
+        cf = _within_tol(
+            F.last("_p", ignorenulls=True).over(w_fwd), F.col("_t")
+        )
+        carried = (
+            u.withColumn("_cb", cb)
+            .withColumn("_cf", cf)
+            .withColumn(
+                "_c",
+                F.when(F.col("_cb").isNull(), F.col("_cf")).when(
+                    F.col("_cf").isNull()
+                    | (
+                        (F.col("_t") - F.col("_cb").getField("_rt"))
+                        <= (F.col("_cf").getField("_rt") - F.col("_t"))
+                    ),
+                    F.col("_cb"),
+                ).otherwise(F.col("_cf")),
+            )
+        )
+    if direction != "nearest":
+        carried = carried.withColumn(
+            "_c", _within_tol(F.col("_c"), F.col("_t"))
+        )
     return carried.filter(F.col("_side") == 1).select(
         F.col("_k").alias(on),
         *[F.col(c) for c in lcols],

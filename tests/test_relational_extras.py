@@ -397,3 +397,47 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # every cluster lands in exactly one split
     assert all(len(s) == 1 for s in by_keeper.values())
     assert len(by_keeper) == 60
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """merge_asof-parity contracts: forward matches the earliest
+    right >= t (smallest right_order on ties), nearest picks the
+    closer side (exact-distance ties go backward), tolerance nulls
+    out-of-range matches in every direction."""
+    from mahout_samsara_book_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 101), (1, 30, 102)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 7, 0.1), (1, 20, 8, 0.2), (1, 20, 9, 0.3)],
+        "k long, t long, rid long, val double",
+    )
+
+    def got(direction, tolerance=None):
+        return {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, "k", "t", "t", ["rid"], "rid",
+                direction=direction, tolerance=tolerance,
+            ).collect()
+        }
+
+    # backward: most recent <= t
+    assert got("backward") == {100: 7, 101: 7, 102: 9}
+    # forward: earliest >= t; tie at t=20 -> SMALLEST rid
+    assert got("forward") == {100: 8, 101: 8, 102: None}
+    # nearest: 10 is 2 from 8 and 10 from 20 -> back; 15 is 7 back vs
+    # 5 forward -> forward; 30 is 10 back -> back
+    assert got("nearest") == {100: 7, 101: 8, 102: 9}
+    # exact-distance tie goes backward
+    tie = asof_join(
+        spark.createDataFrame([(1, 14, 1)], "k long, t long, lid long"),
+        right, "k", "t", "t", ["rid"], "rid", direction="nearest",
+    ).first()
+    assert tie["rid"] == 7  # 6 back vs 6 forward -> backward
+    # tolerance prunes in every direction
+    assert got("backward", tolerance=1) == {100: None, 101: None, 102: None}
+    assert got("forward", tolerance=5) == {100: None, 101: 8, 102: None}
+    assert got("nearest", tolerance=2) == {100: 7, 101: None, 102: None}
