@@ -281,7 +281,9 @@ def asof_last_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent PRIOR event of any other type. Expressed with a union +
     window last_value over the interleaved timeline — the
     merge-asof-as-window formulation that scales as one shuffle on
-    (user_id), no range join explosion."""
+    (user_id), no range join explosion. (The general TWO-relation
+    operator with direction/tolerance/whole-row payload is
+    :func:`asof_join`, round 9.)"""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "value", "event_id"
     )
