@@ -374,3 +374,78 @@ def test_png_defilter_realistic_shape_roundtrip():
     )
     pw, ph, praw = _png_parse(blob)
     assert (pw, ph) == (w, h) and praw == raws[0]
+
+
+# ------------------------------------------------------------------ #
+# round-9: asof_join vs pandas merge_asof (the reference impl)
+# ------------------------------------------------------------------ #
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_asof_join_matches_merge_asof(data, spark):
+    """Every (direction, tolerance) contract of asof_join — inclusive
+    matches, equal-time tiebreaks (backward→greatest right id,
+    forward→smallest), nearest's backward-on-tie, tolerance pruning,
+    group isolation — agrees row-for-row with pandas merge_asof on
+    collision-rich random timelines (times drawn from a small range so
+    exact ties and equal distances actually occur).  merge_asof's tie
+    behavior comes from its stable scan over the right side pre-sorted
+    by (t, id), which IS this operator's documented contract."""
+    import numpy as np
+    import pandas as pd
+
+    from mahout_samsara_book_spark.functions.relational import asof_join
+
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    direction = data.draw(
+        st.sampled_from(["backward", "forward", "nearest"])
+    )
+    tolerance = data.draw(st.one_of(st.none(), st.integers(0, 5)))
+    n_l = data.draw(st.integers(1, 8))
+    n_r = data.draw(st.integers(0, 8))
+    lpd = pd.DataFrame(
+        {
+            "k": rng.randint(1, 4, n_l).astype("int64"),
+            "t": rng.randint(0, 21, n_l).astype("int64"),
+            "lid": np.arange(100, 100 + n_l, dtype="int64"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.randint(1, 4, n_r).astype("int64"),
+            "t": rng.randint(0, 21, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+            "val": rng.rand(n_r),
+        }
+    )
+    want = pd.merge_asof(
+        lpd.sort_values(["t", "lid"]).reset_index(drop=True),
+        rpd.sort_values(["t", "rid"]).reset_index(drop=True),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want.itertuples()
+    }
+    left = spark.createDataFrame(lpd)
+    right = (
+        spark.createDataFrame(rpd)
+        if n_r
+        else spark.createDataFrame([], "k long, t long, rid long, val double")
+    )
+    got = {
+        r["lid"]: (None if r["rid"] is None else int(r["rid"]))
+        for r in asof_join(
+            left, right, "k", "t", "t", ["rid", "val"], "rid",
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+    assert got == expect, (direction, tolerance, got, expect)
