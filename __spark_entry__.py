@@ -612,10 +612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # medium): (1) every query ADDED or IMPLEMENTATION-CHANGED in round
     # 9, plus multimodal_png (kernels rewritten in r8 but rotated out of
     # the r8 head — the ADVICE medium) and sel_canonical (the r4
-    # straggler that missed the r8 window); (2) 40 of the 48 rows whose
-    # last driver grade is round 5.  The 8 deferred r5 rows (named at
-    # the end) are the lowest-risk pure-SQL scalar/window queries and
-    # rotate in round 10, after which no row is older than r6.
+    # straggler that missed the r8 window); (2) of the 48 rows whose
+    # last driver grade is round 5, 36 are in this head (35 in the
+    # section below + dedup_incremental, which qualifies under (1));
+    # the 12 deferred r5 rows (named at the end) rotate in round 10,
+    # after which no row is older than r6.
     rotation_r9 = [
         # -- (1) new in round 9 / implementation changed in round 9
         "text_bpe_chars",             # new: char-level BPE trainer
@@ -647,24 +648,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters", "sketch_kmv_union", "text_js_divergence",
         "text_langid_confusion", "text_repetition", "text_top_terms",
         "zorder_stats",
-        # deferred to r10 (head budget ~50): rel_date_trunc,
-        # rel_json_extract, rel_large_orders, rel_rank_family,
-        # rel_shipping_priority, rel_string_funcs, rel_window_range,
-        # sketch_kmv_distinct — all codegen'd single-scan SQL with
-        # multiple green grades and unchanged code (kmv_distinct's
-        # kernel is exercised by kmv_union, in-head, and kmv_intersect,
-        # graded r8) — plus, displaced by the four NEW r9 queries above
-        # (new code needs the driver grade more than 6×-green rows):
-        # pq_encode, pq_mse (ann_ivfpq_topk graded r8 + ann_ivfpq_probe
-        # in-head exercise the same PQ kernel end-to-end), ev_enriched
-        # (ev_stream_enriched, its streaming twin on the same join,
-        # stays in-head), docs_funnel (a per-stage count report over
-        # the SAME composed chain as docs_pipeline, which stays in-head)
+        # the 12 deferred-to-r10 r5 rows (head budget is 50):
+        # rel_date_trunc, rel_json_extract, rel_large_orders,
+        # rel_rank_family, rel_shipping_priority, rel_string_funcs,
+        # rel_window_range, sketch_kmv_distinct — all codegen'd
+        # single-scan SQL with multiple green grades and unchanged code
+        # (kmv_distinct's kernel is exercised by kmv_union, in-head,
+        # and kmv_intersect, graded r8) — plus, displaced by the NEW r9
+        # queries above (new code needs the driver grade more than
+        # 6×-green rows): pq_encode, pq_mse (ann_ivfpq_topk graded r8 +
+        # ann_ivfpq_probe in-head exercise the same PQ kernel
+        # end-to-end), ev_enriched (ev_stream_enriched, its streaming
+        # twin on the same join, stays in-head), docs_funnel (a
+        # per-stage count report over the SAME composed chain as
+        # docs_pipeline, which stays in-head)
     ]
     # a misspelled/renamed rotation entry would silently waste one of
-    # the ~50 driver-gate slots (ADVICE r6) — fail fast instead
+    # the ~50 driver-gate slots (ADVICE r6) — fail fast instead; the
+    # head must also be EXACTLY the driver's truncation budget, or the
+    # tail of this list silently goes ungraded
     missing = set(rotation_r9) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
+    assert len(rotation_r9) == len(set(rotation_r9)) == 50, len(rotation_r9)
     head = {n: full[n] for n in rotation_r9}
     return {**head, **full}
 

@@ -113,9 +113,12 @@ def main() -> None:
     # 3-11x load spike.  Every CONTROL_EVERY queries the control trio
     # re-runs (min-of-3 — cheaper than the min-of-5 bookends, still a
     # one-sided noise floor) and the per-segment ratio vs
-    # CONTROL_REF_SEC is recorded, so any query's number can be
-    # normalized by the control ratio of ITS segment instead of the
-    # whole run's — no hand-adjudication of phantom drift.
+    # CONTROL_REF_SEC is recorded.  NOTE the reference is a min-of-5,
+    # so segment ratios carry a small systematic HIGH bias (min-of-3 ≥
+    # min-of-5 in expectation) — they adjudicate the 1.3x+ co-tenant
+    # swings that needed hand re-measurement, not percent-level drift;
+    # don't divide a query's time by its segment ratio and call the
+    # result a speedup.
     CONTROL_EVERY = 30
     control_mid: list[dict] = []
     for qi, (name, fn) in enumerate(ordered):

@@ -2018,7 +2018,7 @@ def q_sel_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_sel_leakage_split() -> str:
     h = h60_sql(f"concat('s{LSPLIT_SEED}:', CAST(keeper AS VARCHAR))")
     return f"""
-WITH ch AS (SELECT doc_id, md5(text) AS chash FROM documents),
+WITH ch AS (SELECT doc_id, md5(coalesce(text, '')) AS chash FROM documents),
 keepers AS (SELECT chash, min(doc_id) AS keeper FROM ch GROUP BY chash),
 assigned AS (
   SELECT keeper,

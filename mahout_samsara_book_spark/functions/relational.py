@@ -1531,6 +1531,11 @@ def asof_join(
     (left-join semantics)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    if not payload:
+        # an empty payload would render an invalid 'struct<_rt:t,>'
+        # cast; for a bare "does a prior row exist" probe, carry the
+        # right id or time explicitly
+        raise ValueError("payload must name at least one right column")
     lcols = [c for c in left.columns if c != on]
     pstruct = F.struct(
         F.col(right_time).alias("_rt"),

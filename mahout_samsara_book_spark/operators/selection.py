@@ -532,8 +532,13 @@ def leakage_safe_split(
     back on the content hash — both shuffles on md5(text), no pair
     stream.  Near-dup clusters compose the same way: feed
     ``dup_clusters``' (doc_id, cluster) through the identical
-    keeper-hash rule instead of the md5 group."""
-    ch = F.md5(F.col(text_col)).alias("chash")
+    keeper-hash rule instead of the md5 group.
+
+    Null text hashes as empty content (all null-text docs form one
+    cluster) — md5(NULL) is null and a null join key matches nothing,
+    which would silently DROP such docs from the assignment; the
+    operator's contract is total."""
+    ch = F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("chash")
     keepers = (
         df.select(ch, F.col(id_col))
         .groupBy("chash")

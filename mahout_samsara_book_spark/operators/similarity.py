@@ -41,7 +41,14 @@ def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     s: Column = F.lit(0.0)
     for i in range(dim):
         s = s + F.get(a, i) * F.get(b, i)
-    return s
+    # the probed dim comes from ONE row (_fixed_dim): a ragged relation
+    # would silently TRUNCATE longer vectors to the probe (plausible
+    # wrong cosines, and nondeterministic in which dim wins).  Guard:
+    # rows not matching the probe fall back to the exact fold — for a
+    # conforming (fixed-dim) relation the codegen'd branch is always
+    # taken and the two size checks are free
+    conforms = (F.size(a) == F.lit(dim)) & (F.size(b) == F.lit(dim))
+    return F.when(conforms, s).otherwise(_dot(a, b))
 
 
 def _fixed_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -727,7 +734,22 @@ def _grouped_topk_query_broadcast(
                 zip(b["neighbor"].to_numpy(), b["qlist"])
             ):
                 qe = np.asarray(qlist, dtype=np.int64)
-                cos = qm[np.searchsorted(ids, qe)] @ nu[row_i]
+                qi = np.searchsorted(ids, qe)
+                # membership guard: unlike the full-corpus broadcast
+                # path, this array covers only the query subset — a
+                # cand row whose vec_id is NOT in query_ids would
+                # otherwise score against whichever vector sits at the
+                # insertion index (silently wrong) or index past the
+                # end.  Fail loudly instead.
+                if len(ids) == 0 or qi.max(initial=-1) >= len(ids) or not (
+                    ids[np.minimum(qi, len(ids) - 1)] == qe
+                ).all():
+                    raise ValueError(
+                        "qbroadcast verify: candidate vec_id outside "
+                        "the bounded query set — cand must derive from "
+                        "the query-filtered probe side"
+                    )
+                cos = qm[qi] @ nu[row_i]
                 out_v.extend(qe)
                 out_n.extend([nbr] * len(qe))
                 out_c.extend(cos)

@@ -331,15 +331,21 @@ ASOF_STATE_SCHEMA = "last_t long, last_id long"
 
 
 def _asof_update(key, pdf_iter, state: GroupState):
-    """Per-user as-of state machine: carry the most recent click's
-    (t_us, event_id) across micro-batches; each purchase emits the
-    carried click at its position in the (t_us, click-before-purchase,
-    event_id) order — EXACTLY asof_join's backward-inclusive semantics
-    with the greatest-id tiebreak, so the batch twin's oracle grades
-    this operator too.  Chunks for a key arrive unordered; they are
-    concatenated and sorted before the walk (state keeps cross-batch
-    order: a bounded availableNow run delivers everything in batch 0,
-    and the checkpoint-restart pytest covers the multi-batch cut)."""
+    """Per-user as-of state machine: WITHIN a micro-batch, rows sort by
+    (t_us, click-before-purchase, event_id) and each purchase emits the
+    click carried at its position — exactly asof_join's
+    backward-inclusive semantics with the greatest-id tiebreak.  ACROSS
+    micro-batches the carried click is the latest by ARRIVAL: a
+    purchase in batch N+1 reads whatever click state batch N left, even
+    if that click's event time is later — i.e. the cross-batch contract
+    is event-time as-of ONLY under per-user in-order delivery (the
+    Kafka-keyed-topic assumption every streaming last-value enrichment
+    makes; a full event-time reorder buffer would need watermarked
+    retained state, which is ev_stream_join's shape, not this one).
+    The graded bounded run delivers everything in micro-batch 0, where
+    the two contracts coincide — that equivalence is what the batch
+    oracle certifies; the two-batch arrival-order behavior is pinned by
+    tests/test_stateful.py::test_asof_update_two_batch_arrival_order."""
     import numpy as np
 
     (uid,) = key

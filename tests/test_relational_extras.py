@@ -398,6 +398,15 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_keeper.values())
     assert len(by_keeper) == 60
 
+    # null text must not drop the doc (total assignment): nulls hash as
+    # empty content and cluster together
+    withnull = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(withnull).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["keeper"] == out[2]["keeper"] == 1  # null == '' cluster
+
 
 def test_asof_join_directions_and_tolerance(spark):
     """merge_asof-parity contracts: forward matches the earliest
@@ -441,3 +450,9 @@ def test_asof_join_directions_and_tolerance(spark):
     assert got("backward", tolerance=1) == {100: None, 101: None, 102: None}
     assert got("forward", tolerance=5) == {100: None, 101: 8, 102: None}
     assert got("nearest", tolerance=2) == {100: 7, 101: None, 102: None}
+
+    # an empty payload is a contract error, not an invalid struct cast
+    import pytest
+
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(left, right, "k", "t", "t", [], "rid")

