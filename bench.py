@@ -67,20 +67,33 @@ def main() -> None:
     control_set = ("rel_pricing_summary", "text_tokenize_counts", "drm_colsums")
     CONTROL_REF_SEC = 2.004  # sum of min-of-5, sf0.1, round 8 (load ~8)
 
-    def _run_control(registry, reps: int = 5) -> dict[str, float]:
+    def _run_control(
+        registry, reps: int = 5
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        """(min over all reps, min over the FIRST 3 reps) per control
+        query.  The second dict makes the 5-rep bookends directly
+        comparable to the 3-rep mid-run probes (ADVICE r9: min-of-3 has
+        a systematic high bias vs min-of-5, so the two ratio families
+        must not share a reference silently)."""
         out: dict[str, float] = {}
+        out3: dict[str, float] = {}
         for cname in control_set:
             cfn = registry.get(cname)
             if cfn is None:
                 continue
             cbest = float("inf")
-            for _ in range(reps):
+            cbest3 = float("inf")
+            for rep in range(reps):
                 t0 = time.perf_counter()
                 cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                cbest = min(cbest, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                cbest = min(cbest, dt)
+                if rep < 3:
+                    cbest3 = min(cbest3, dt)
             release_tracked()
             out[cname] = round(cbest, 4)
-        return out
+            out3[cname] = round(cbest3, 4)
+        return out, out3
 
     # Order-contamination guard (round-7): queries scheduled right after
     # a huge one read 8-15x inflated (GC debt + evicted code/page cache
@@ -103,7 +116,7 @@ def main() -> None:
         _t.sleep(1.0)
 
     registry = entry.queries()
-    control_start = _run_control(registry)
+    control_start, control_start3 = _run_control(registry)
     ordered = [
         (n, f) for n, f in registry.items() if n not in heavy_last
     ] + [(n, registry[n]) for n in heavy_last if n in registry]
@@ -123,12 +136,22 @@ def main() -> None:
     control_mid: list[dict] = []
     for qi, (name, fn) in enumerate(ordered):
         if qi and qi % CONTROL_EVERY == 0:
-            seg = _run_control(registry, reps=3)
+            seg, _ = _run_control(registry, reps=3)
             control_mid.append(
                 {
                     "after_query": qi,
                     "control": seg,
+                    "reps": 3,
                     "ratio": round(sum(seg.values()) / CONTROL_REF_SEC, 3),
+                    # min3-vs-min3 — the bias-free family (ADVICE r9):
+                    # this run's start bookend restricted to its first
+                    # 3 reps is the reference, so a mid-run spike reads
+                    # directly as ratio_vs_start3 > 1
+                    "ratio_vs_start3": round(
+                        sum(seg.values())
+                        / (sum(control_start3.values()) or 1.0),
+                        3,
+                    ),
                 }
             )
         best = float("inf")
@@ -163,7 +186,7 @@ def main() -> None:
             # fired on many-cheap-reps, which only wasted a barrier
             if worst_rep > settle_after_sec:
                 _settle(spark)
-    control_end = _run_control(registry)
+    control_end, control_end3 = _run_control(registry)
     control_sec = round(
         min(sum(control_start.values()), sum(control_end.values())) or 1.0, 4
     )
@@ -176,6 +199,8 @@ def main() -> None:
         "sf": float(sf),
         "control_start": control_start,
         "control_end": control_end,
+        "control_start_min3": control_start3,
+        "control_end_min3": control_end3,
         "control_mid": control_mid,
         "control_ref_sec": CONTROL_REF_SEC,
         "control_ratio": round(control_sec / CONTROL_REF_SEC, 3),
@@ -186,16 +211,34 @@ def main() -> None:
     # apples-to-oranges
     try:
         import entry_rel
+        from mahout_samsara_book_spark.sources.tables import (
+            source_fingerprint,
+        )
 
-        if entry_rel.ORC_WRITE_SECS:
+        # key the lookup by THIS run's sf_dir fingerprint (ADVICE r9):
+        # a global min() could report a write from a different scale
+        # factor if the process touched several sf_dirs
+        wkey = (sf_dir, source_fingerprint(sf_dir, "events"))
+        if wkey in entry_rel.ORC_WRITE_SECS:
             out["fmt_orc_write_sec"] = round(
-                min(entry_rel.ORC_WRITE_SECS.values()), 3
+                entry_rel.ORC_WRITE_SECS[wkey], 3
             )
     except Exception:  # noqa: BLE001 — reporting only
         pass
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # side-file discipline (VERDICT r9 item 6): the driver's recorded
+    # BENCH_r{N}.json keeps only a 2000-char tail, so every run also
+    # leaves the FULL per-query JSON in-tree — round-over-round
+    # comparison stays mechanical without hand-reconstruction
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_last.queries.json"), "w") as f:
+            f.write(line + "\n")
+    except Exception:  # noqa: BLE001 — reporting only
+        pass
     spark.stop()
 
 

@@ -699,7 +699,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def o_dedup_incremental() -> str:
+def _o_incremental_tail() -> str:
+    """Shared oracle tail for the incremental-dedup family: replays
+    shingle → minhash → banded-LSH candidate generation → Jaccard
+    verify → best-match, against CTEs named ``corpus`` (the existing
+    side — always doc_a) and ``batch`` (the probing side) that the
+    caller prepends.  The persisted-lifecycle oracle reuses it with
+    corpus = original corpus ∪ the appended earlier batch."""
     fam = hash_family(MINHASH_K, MINHASH_SEED)
     rows = MINHASH_K // LSH_BANDS
     mh_cols = ", ".join(
@@ -714,12 +720,6 @@ def o_dedup_incremental() -> str:
         for bi in range(LSH_BANDS)
     )
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 17),
-batch AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
-),
 allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
 tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM allr),
 tkh AS (SELECT doc_id, list_transform(toks, t -> {h31_sql('t')}) AS th
@@ -776,6 +776,18 @@ SELECT b.doc_id, best.doc_a IS NULL AS keep,
        best.doc_a AS dup_of, {_sci_sql('best.jaccard')} AS jaccard
 FROM (SELECT doc_id FROM batch) b
 LEFT JOIN best ON best.doc_b = b.doc_id
+"""
+
+
+def o_dedup_incremental() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 17),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+),
+{_o_incremental_tail()}
 """
 
 
@@ -2072,7 +2084,11 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_text_bm25_topk() -> str:
-    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    return _o_bm25(BM25_QUERIES)
+
+
+def _o_bm25(queries) -> str:
+    all_terms = sorted({t for _, ts in queries for t in ts})
     in_list = ", ".join(f"'{t}'" for t in all_terms)
     k1, b = BM25_K1, BM25_B
     # superset fold in sorted-term order, mirroring the engine's single
@@ -2082,7 +2098,7 @@ def o_text_bm25_topk() -> str:
         for t in all_terms
     )
     arms = []
-    for qid, terms in BM25_QUERIES:
+    for qid, terms in queries:
         tl = ", ".join(f"'{t}'" for t in terms)
         arms.append(
             f"SELECT '{qid}' AS query_id, doc_id, {fold} AS score\n"
@@ -2763,4 +2779,166 @@ _oracles_pre_ddxp = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ddxp()
     d["dedup_incremental_persisted"] = d["dedup_incremental"]
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-10: persisted dedup index LIFECYCLE — probe, then APPEND, so
+# consecutive batches see each other through the index (VERDICT r9
+# item 3: dedup_index_persist promised the append half; now it's real)
+# ------------------------------------------------------------------ #
+
+_DDX_LC: dict[tuple, str] = {}
+_DDX_LC_SEQ = [0]
+
+
+def _dedup_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once two-batch lifecycle state per (sf_dir, source
+    fingerprint): index ← corpus slice (doc_id % 10 = 3), then batch 1
+    (doc_id % 50 = 17 — ids always ≡ 7 mod 10, disjoint from the
+    corpus) is APPENDED via dedup_index_append.  Batch 2 probes find
+    batch-1 docs purely through the appended parquet rows — batch 1 is
+    never re-minhashed at probe time."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_append,
+        dedup_index_persist,
+    )
+    from mahout_samsara_book_spark.sources.tables import source_fingerprint
+
+    key = (sf_dir, source_fingerprint(sf_dir, "documents"))
+    path = _DDX_LC.get(key)
+    if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
+        _DDX_LC_SEQ[0] += 1
+        path = (
+            tempfile.gettempdir()
+            + f"/spark_graft_ddxlc_{os.getpid()}_{_DDX_LC_SEQ[0]}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dedup_index_persist(
+            docs.filter(F.col("doc_id") % 10 == 3), path,
+            n=3, k=MINHASH_K, bands=LSH_BANDS, seed=MINHASH_SEED,
+        )
+        dedup_index_append(
+            docs.filter(F.col("doc_id") % 50 == 17), path,
+            n=3, k=MINHASH_K, bands=LSH_BANDS, seed=MINHASH_SEED,
+        )
+        _DDX_LC[key] = path
+    return path
+
+
+def q_dedup_incremental_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-batch persisted-index lifecycle (round-10): batch 2 — exact
+    copies of batch 1's texts under fresh ids (+2 000 000) — probes an
+    index holding corpus ∪ APPENDED batch 1, so every batch-2 doc's
+    dup_of resolves to a batch-1 (or tied-lower corpus) doc purely via
+    the appended rows.  The probe itself is
+    :func:`incremental_dedup_persisted`: batch-proportional, index
+    never re-derived, and self-rows excluded by the probe's
+    anti-join-on-batch-ids (so re-probing an already-appended batch is
+    idempotent).  Oracle: the shared incremental tail with
+    corpus = corpus slice ∪ batch 1."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        incremental_dedup_persisted,
+    )
+
+    path = _dedup_lifecycle_path(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch2 = docs.filter(F.col("doc_id") % 50 == 17).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    out = incremental_dedup_persisted(
+        batch2, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
+        seed=MINHASH_SEED, threshold=0.5,
+    )
+    return out.select(
+        "doc_id", "keep", "dup_of", _sci(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def o_dedup_incremental_append() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17
+),
+batch AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 17
+),
+{_o_incremental_tail()}
+"""
+
+
+QUERIES["dedup_incremental_append"] = q_dedup_incremental_append
+_oracles_pre_ddxa = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ddxa()
+    d["dedup_incremental_append"] = o_dedup_incremental_append()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-10: BM25 aggregate-HOF fold, driver-graded (VERDICT r9 item 5)
+# ------------------------------------------------------------------ #
+
+# five query sets spanning 24 distinct terms of the synthetic
+# vocabulary (which has only ~31 tokens total — the >64-literal-terms
+# regime can't be reached with REAL terms, so the graded row lowers
+# the dispatch threshold instead of padding the queries with
+# out-of-vocabulary strings that would contribute nothing to a score)
+BM25_WIDE_QUERIES = [
+    ("q_joins", ["join", "hash", "merge", "sort"]),
+    ("q_scan", ["scan", "filter", "column", "row", "table"]),
+    ("q_stream", ["stream", "window", "batch", "agg"]),
+    ("q_perf", ["fast", "slow", "big", "small", "query"]),
+    ("q_data", ["data", "value", "key", "vector", "group", "order"]),
+]
+BM25_HOF_MAX_LITERAL = 8  # 24 distinct terms > 8 → aggregate-HOF fold
+
+
+def q_text_bm25_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the LARGE-vocabulary score fold (round-10):
+    ``literal_fold_max_terms=8`` forces the sorted
+    collect_list + ``aggregate``-HOF path (functions/text.py) that the
+    r9 dispatch added but only pytest exercised — this row pins it with
+    a driver-graded hash.  The fold is bit-identical to the literal
+    superset fold by construction (same present-term values, same
+    sorted-term order), so the oracle is the SAME superset-fold SQL as
+    text_bm25_topk's, over the wider query set."""
+    from mahout_samsara_book_spark.functions.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(
+        docs, BM25_WIDE_QUERIES, topk=BM25_TOPK, k1=BM25_K1, b=BM25_B,
+        literal_fold_max_terms=BM25_HOF_MAX_LITERAL,
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _sci(F.col("score")).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+QUERIES["text_bm25_hof"] = q_text_bm25_hof
+_oracles_pre_bm25h = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_bm25h()
+    d["text_bm25_hof"] = _o_bm25(BM25_WIDE_QUERIES)
     return d

@@ -2103,9 +2103,110 @@ FROM w WHERE side = 1
 """
 
 
+ASOF_NEAREST_TOL_US = 600_000_000  # 10 minutes
+
+
+def q_ev_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of with tolerance (round-10, VERDICT r9
+    item 4 — the graded twin of the property-tested contracts): each
+    purchase picks whichever of {most recent view at-or-before, first
+    view at-or-after} is closer in time, exact-distance ties going
+    backward, and any candidate farther than 10 minutes discarded
+    (null view / gap — merge_asof's tolerance semantics).  Same
+    union-merge plan as the backward row: the second direction is one
+    more window over the SAME per-user partitioning, no extra shuffle,
+    still no range-join pair stream.  gap_s is SIGNED (negative when
+    the matched view is after the purchase)."""
+    from mahout_samsara_book_spark.functions.relational import asof_join
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_us(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "t_us",
+        F.col("event_id").alias("view_id"),
+        F.col("t_us").alias("vt_us"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["view_id", "vt_us"],
+        right_order="view_id",
+        direction="nearest",
+        tolerance=ASOF_NEAREST_TOL_US,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_id",
+        _sci(
+            (F.col("t_us") - F.col("vt_us")) / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    )
+
+
+def o_ev_asof_nearest() -> str:
+    tol = ASOF_NEAREST_TOL_US
+    return f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+            FROM events),
+p AS (SELECT event_id, user_id, t_us FROM ev
+      WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, t_us FROM ev
+      WHERE event_type = 'view'),
+u AS (
+  SELECT user_id AS k, t_us AS t, 1 AS side, NULL::BIGINT AS ro,
+         event_id, t_us,
+         NULL::STRUCT(view_id BIGINT, vt_us BIGINT) AS p
+  FROM p
+  UNION ALL
+  SELECT user_id, t_us, 0, view_id, NULL, NULL,
+         {{'view_id': view_id, 'vt_us': t_us}}
+  FROM v
+),
+w AS (
+  SELECT *,
+         last_value(p IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t, side, ro NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         last_value(p IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t DESC, side, ro DESC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  FROM u
+),
+tolr AS (
+  SELECT *,
+         CASE WHEN cb IS NOT NULL AND abs(t - cb.vt_us) <= {tol}
+              THEN cb END AS cbt,
+         CASE WHEN cf IS NOT NULL AND abs(t - cf.vt_us) <= {tol}
+              THEN cf END AS cft
+  FROM w
+),
+r AS (
+  SELECT *,
+         CASE WHEN cbt IS NULL THEN cft
+              WHEN cft IS NULL
+                   OR (t - cbt.vt_us) <= (cft.vt_us - t) THEN cbt
+              ELSE cft END AS cp
+  FROM tolr
+)
+SELECT event_id, k AS user_id, cp.view_id AS view_id,
+       {_sci_sql("(t_us - cp.vt_us) / 1000000.0")} AS gap_s
+FROM r WHERE side = 1
+"""
+
+
 QUERIES["sel_epoch_shuffle"] = q_sel_epoch_shuffle
 QUERIES["sel_leakage_split"] = q_sel_leakage_split
 QUERIES["ev_asof_click"] = q_ev_asof_click
+QUERIES["ev_asof_nearest"] = q_ev_asof_nearest
 _oracles_pre_r9p = oracles
 
 
@@ -2114,4 +2215,5 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["sel_epoch_shuffle"] = o_sel_epoch_shuffle()
     d["sel_leakage_split"] = o_sel_leakage_split()
     d["ev_asof_click"] = o_ev_asof_click()
+    d["ev_asof_nearest"] = o_ev_asof_nearest()
     return d

@@ -1536,7 +1536,29 @@ def asof_join(
         # cast; for a bare "does a prior row exist" probe, carry the
         # right id or time explicitly
         raise ValueError("payload must name at least one right column")
+    # reserved-name / duplicate-output guards (ADVICE r9): an input
+    # already carrying an internal working column, or a payload name
+    # shadowing a surviving left column, would silently produce wrong
+    # or duplicate-named output instead of an error
+    _reserved = {"_k", "_t", "_side", "_ro", "_p", "_c", "_cb", "_cf"}
+    clash = _reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(clash)}; "
+            "rename them on the inputs first"
+        )
     lcols = [c for c in left.columns if c != on]
+    dup = set(payload) & set(lcols)
+    if dup:
+        raise ValueError(
+            f"payload names duplicate left columns: {sorted(dup)}; "
+            "alias one side first"
+        )
+    if "_rt" in payload:
+        raise ValueError(
+            "payload name '_rt' collides with the carried match-time "
+            "struct field; alias it on the right input first"
+        )
     pstruct = F.struct(
         F.col(right_time).alias("_rt"),
         *[F.col(p).alias(p) for p in payload],

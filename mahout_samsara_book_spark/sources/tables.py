@@ -9,6 +9,8 @@ as two-column parquet tables per SURVEY §1.1).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,7 +82,14 @@ def source_fingerprint(sf_dir: str, name: str) -> tuple:
     collide after the old context is garbage-collected, and a
     regenerated fixture at the same path would otherwise silently serve
     a stale derived layout/index — the fingerprint changes in both
-    cases.  Pure ``os.stat``, no Spark involvement."""
+    cases.  Pure ``os.stat``, no Spark involvement.
+
+    A path ``os.stat`` cannot see (missing, or a non-local filesystem
+    like s3://) must NOT collapse to the constant (0, 0) — a constant
+    key silently resurrects the stale-layout bug the fingerprint exists
+    to fix (ADVICE r9).  Such paths get a per-call unique token: every
+    invocation looks fresh, so correctness degrades to re-deriving the
+    layout instead of serving a stale one."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -94,7 +103,14 @@ def source_fingerprint(sf_dir: str, name: str) -> tuple:
     elif os.path.exists(path):
         st = os.stat(path)
         total, mtime = st.st_size, st.st_mtime_ns
+    else:
+        return ("unfingerprintable", next(_FP_FRESH))
     return (total, mtime)
+
+
+# monotone token source for source_fingerprint's unfingerprintable
+# branch — module-level so "always fresh" holds across all callers
+_FP_FRESH = itertools.count()
 
 
 def lineitem_key() -> F.Column:

@@ -133,3 +133,73 @@ def test_value_anomalies_flags_outlier(spark):
     out = value_anomalies(ev, z_thresh=3.0).collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["z"] > 3.0
+
+
+def test_index_append_two_batch_lifecycle(spark, tmp_path):
+    """Round-10 lifecycle (VERDICT r9 item 3): after ingest_batch
+    appends batch 1's rows, a LATER batch matches batch-1 docs purely
+    through the persisted index — and the appended files land only in
+    band=... partitions (no unpartitioned stragglers, no re-written
+    corpus files)."""
+    import os
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_persist,
+        incremental_dedup,
+        incremental_dedup_persisted,
+        ingest_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some existing corpus content entirely distinct here")],
+        "doc_id long, text string",
+    )
+    b1_text = "a first-batch document about streams windows and joins"
+    batch1 = spark.createDataFrame(
+        [(100, b1_text), (101, "another new unrelated first batch doc")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(200, b1_text), (201, "genuinely fresh second batch material")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ddx")
+    dedup_index_persist(corpus, path)
+
+    def _files(sub):
+        out = set()
+        for root, _dirs, files in os.walk(path + sub):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(root, f))
+        return out
+
+    bkt_before = _files("/buckets")
+    out1 = {r["doc_id"]: r for r in ingest_batch(batch1, path).collect()}
+    # batch 1 probed the PRE-append snapshot: no self-matches
+    assert out1[100]["keep"] and out1[101]["keep"]
+    new_bkt = _files("/buckets") - bkt_before
+    assert new_bkt, "append wrote no bucket files"
+    assert all("/band=" in f for f in new_bkt), new_bkt
+    assert bkt_before <= _files("/buckets"), "append rewrote corpus files"
+
+    # batch 2 sees batch 1 through the appended rows only
+    out2 = {
+        r["doc_id"]: r
+        for r in incremental_dedup_persisted(batch2, path).collect()
+    }
+    assert not out2[200]["keep"] and out2[200]["dup_of"] == 100
+    assert out2[201]["keep"]
+    # equivalent in-session run: corpus ∪ batch1 as the existing side
+    want = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                corpus.unionByName(batch1), batch2
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, incremental_dedup_persisted(batch2, path).collect())
+    )
+    assert got == want

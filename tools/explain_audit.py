@@ -991,6 +991,89 @@ def main() -> int:
         )
     )
 
+    p39 = plan_of(_ep9.q_sel_epoch_shuffle(spark, sf_dir))
+    _rank_windows = [
+        ln
+        for ln in p39.splitlines()
+        if "row_number() windowspecdefinition" in ln
+    ]
+    checks.append(
+        (
+            "epoch shuffle (sel_epoch_shuffle) — two-phase distributed "
+            "rank, no single-partition-per-shard sort",
+            p39,
+            [
+                (
+                    "the row-scaled rank window partitions by (shard, "
+                    "bkt), never by shard alone — parallelism is "
+                    "n_shards × rank_buckets, not one sorter per shard",
+                    bool(_rank_windows)
+                    and all(
+                        "windowspecdefinition(shard#" in ln and "bkt#" in ln
+                        for ln in _rank_windows
+                    ),
+                ),
+                (
+                    "bucket counts partial-aggregate map-side before the "
+                    "tiny (≤ shards × buckets rows) offsets window",
+                    "partial_count" in p39,
+                ),
+                (
+                    "offsets join back as a broadcast (no shuffled join "
+                    "of the corpus against the offset table)",
+                    "BroadcastHashJoin" in p39
+                    and "SortMergeJoin" not in p39,
+                ),
+                (
+                    "exactly three shuffles: the rank window's "
+                    "(shard, bkt) exchange, the count partial→final "
+                    "exchange, and the aggregated offsets window's — "
+                    "the last two move ≤ shards × buckets rows",
+                    n_shuffles(p39) == 3,
+                ),
+            ],
+        )
+    )
+
+    import entry_m5 as _em10
+
+    p40 = plan_of(_em10.q_dedup_incremental_append(spark, sf_dir))
+    checks.append(
+        (
+            "persisted dedup lifecycle (dedup_incremental_append) — "
+            "batch 2 probes corpus ∪ APPENDED batch 1",
+            p40,
+            [
+                (
+                    "neither the corpus slice nor batch 1 is ever "
+                    "re-shingled/re-minhashed at probe time: every "
+                    "documents scan is batch-2-side (the % 50 = 17 "
+                    "re-key), the corpus slice filter (% 10 = 3) "
+                    "appears nowhere",
+                    "% 50) = 17" in p40 and "% 10) = 3" not in p40,
+                ),
+                (
+                    "the self-row guard is a BROADCAST anti-join on "
+                    "the batch's ids (no shuffled join added to the "
+                    "index probe)",
+                    "BroadcastHashJoin LeftAnti" in p40,
+                ),
+                (
+                    "bucket-index probe scans the appended band "
+                    "partitions through the same partitioned layout "
+                    "(band from the directory, not the file)",
+                    "PartitionFilters" in p40,
+                ),
+                (
+                    "candidate generation stays an equi-join on "
+                    "(band, sig) — no cartesian/nested-loop",
+                    "CartesianProduct" not in p40
+                    and "BroadcastNestedLoopJoin" not in p40,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
