@@ -51,17 +51,45 @@ def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return F.when(conforms, s).otherwise(_dot(a, b))
 
 
+# (semanticHash, Catalyst size estimate) → probed dim.  Keyed on the
+# ANALYZED plan's semantic hash so repeated verifies over the same
+# relation pay the single-row probe once per process, not once per
+# invocation (VERDICT r9 item 8); the size estimate guards the
+# regenerated-fixture-at-same-path case the way the layout caches'
+# source fingerprints do.  Callers that already KNOW the dimension
+# (ivf/pq paths hold the collected center matrix; lsh_topk takes dim
+# as a parameter) thread it through `dim=` and skip the probe
+# entirely — the ADVICE r9 lazy path.
+_DIM_CACHE: dict[tuple, int | None] = {}
+
+
 def _fixed_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector dimension from the first row — ONE single-partition job.
-    The engine's embedding relations are fixed-dimension by contract
-    (every in-core collect/matrix builder already assumes it); callers
-    use this only on heavy join-path plans where the probe amortizes."""
+    """Vector dimension from the first row — ONE single-partition job,
+    cached per plan fingerprint (above).  The engine's embedding
+    relations are fixed-dimension by contract (every in-core
+    collect/matrix builder already assumes it); callers use this only
+    on heavy join-path plans where the probe amortizes, and prefer a
+    caller-supplied dim where one is known."""
+    key = None
+    try:
+        key = (
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+            vec_col,
+            _plan_size_bytes(df),
+        )
+        if key in _DIM_CACHE:
+            return _DIM_CACHE[key]
+    except Exception:  # noqa: BLE001 — cache key is best-effort
+        key = None
     try:
         row = df.select(F.size(F.col(vec_col)).alias("d")).first()
         d = row["d"] if row is not None else None
-        return int(d) if d and 0 < d <= _DOT_UNROLL_MAX_DIM else None
+        out = int(d) if d and 0 < d <= _DOT_UNROLL_MAX_DIM else None
     except Exception:  # noqa: BLE001 — dispatch hint only
-        return None
+        out = None
+    if key is not None:
+        _DIM_CACHE[key] = out
+    return out
 
 
 # Corpus plans at or below this Catalyst-estimated size ride the
@@ -527,9 +555,12 @@ def ivf_topk(
     )
     # size-dispatched verify+rank — broadcast in-core scoring while the
     # corpus fits, distributed candidate-join above (see _verify_topk);
-    # nprobe-duplicate candidates dedup inside the verify
+    # nprobe-duplicate candidates dedup inside the verify.  The center
+    # matrix already told us the dimension — no probe job needed.
     base = _normed(emb, id_col, vec_col)
-    return _verify_topk(base, cand, k, id_col, strategy)
+    return _verify_topk(
+        base, cand, k, id_col, strategy, dim=int(centers[1].shape[1])
+    )
 
 
 def plane_sign(seed: int, j: int, d: int) -> int:
@@ -647,7 +678,7 @@ def lsh_topk(
             F.col(f"r.{id_col}").alias("neighbor"),
         )
     )
-    return _verify_topk(base, cand, k, id_col, strategy)
+    return _verify_topk(base, cand, k, id_col, strategy, dim=dim)
 
 
 def _verify_topk(
@@ -657,6 +688,7 @@ def _verify_topk(
     id_col: str,
     strategy: str = "auto",
     query_ids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Candidate verify + rank, size-dispatched (VERDICT r1/r2 scale
     item): the broadcast fast path collects the corpus once and scores
@@ -677,7 +709,7 @@ def _verify_topk(
         return _grouped_topk_broadcast(base, cand, k, id_col)
     if strategy == "qbroadcast" and query_ids is not None:
         return _grouped_topk_query_broadcast(base, cand, k, id_col, query_ids)
-    return _grouped_topk_join(base, cand, k, id_col)
+    return _grouped_topk_join(base, cand, k, id_col, dim=dim)
 
 
 def _grouped_topk_query_broadcast(
@@ -780,7 +812,11 @@ def _grouped_topk_query_broadcast(
 
 
 def _grouped_topk_join(
-    base: DataFrame, cand: DataFrame, k: int, id_col: str
+    base: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed verify: dedup the pair stream, hash-join the
     unit-normalized corpus back on each side (AQE sizes/splits the
@@ -795,8 +831,13 @@ def _grouped_topk_join(
     ql = unit.select(F.col(id_col).alias("vec_id"), F.col("u").alias("qu"))
     nl = unit.select(F.col(id_col).alias("neighbor"), F.col("u").alias("nu"))
     # codegen'd unrolled dot when the dimension is known (bit-identical
-    # to the fold — see _dot_unrolled); the HOF fold otherwise
-    dim = _fixed_dim(base, "v")
+    # to the fold — see _dot_unrolled); the HOF fold otherwise.  A
+    # caller-supplied dim skips the probe job; out-of-range values
+    # fall back to the fold exactly like an unprobeable relation.
+    if dim is None:
+        dim = _fixed_dim(base, "v")
+    elif not 0 < dim <= _DOT_UNROLL_MAX_DIM:
+        dim = None
     dot = (
         _dot_unrolled(F.col("qu"), F.col("nu"), dim)
         if dim
@@ -1417,4 +1458,7 @@ def ivf_topk_persisted(
         .select(F.col("q_id").alias("vec_id"), "neighbor")
     )
     base = _normed(emb, id_col, vec_col)
-    return _verify_topk(base, cand, k, id_col, strategy, query_ids=query_ids)
+    return _verify_topk(
+        base, cand, k, id_col, strategy,
+        query_ids=query_ids, dim=int(cm[1].shape[1]),
+    )

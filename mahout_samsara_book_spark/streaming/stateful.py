@@ -422,3 +422,210 @@ def run_stream_asof_click(spark, sf_dir: str) -> DataFrame:
         "append",
         _adaptive_state_partitions(sf_dir),
     )
+
+
+# ------------------------------------------------------------------ #
+# round-10: WATERMARKED streaming as-of — event-time-correct reorder
+# buffer (VERDICT r9 item 7).  run_stream_asof_click's contract is
+# event-time as-of only under per-user in-order ARRIVAL; this variant
+# buffers out-of-order events in state up to the watermark and emits
+# in EVENT-TIME order when the watermark advances, so cross-batch
+# out-of-order delivery (within the watermark delay) still produces
+# exactly the batch as-of.  State per user = the not-yet-finalized
+# event buffer + one carried click — the buffer drains every time the
+# watermark moves, so steady-state size is arrival-jitter-bounded
+# (delay × per-user rate), not history-bounded.
+# ------------------------------------------------------------------ #
+
+ASOF_WM_STATE_SCHEMA = (
+    "buf_t array<long>, buf_rank array<int>, buf_id array<long>, "
+    "last_t long, last_id long"
+)
+
+
+def _asof_wm_update(key, pdf_iter, state: GroupState):
+    """Flush-on-watermark as-of state machine: new rows join the
+    buffer; everything with event time ≤ the watermark is final (the
+    engine already dropped later-than-watermark arrivals), so it sorts
+    by (t, click-before-purchase, event_id) — asof_join's
+    backward-inclusive tie contract — purchases emit, the last click
+    carries forward, and the rest stays buffered with an event-time
+    timeout at its earliest entry (so a pure watermark advance, even
+    with no new data for this user, triggers the next flush)."""
+    import numpy as np
+
+    (uid,) = key
+    if state.exists:
+        bt, br, bi, last_t, last_id = state.get
+        buf = list(zip(bt or [], br or [], bi or []))
+    else:
+        buf, last_t, last_id = [], None, None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        rank = np.where(pdf["event_type"].to_numpy() == "click", 0, 1)
+        buf.extend(
+            (int(t), int(r), int(e))
+            for t, r, e in zip(
+                pdf["t_us"].to_numpy(), rank, pdf["event_id"].to_numpy()
+            )
+        )
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    flush = [e for e in buf if e[0] <= wm_us]
+    keep = [e for e in buf if e[0] > wm_us]
+    out_e, out_c, out_ct, out_t = [], [], [], []
+    for t, r, eid in flush:
+        if r == 0:
+            last_t, last_id = t, eid
+        else:
+            out_e.append(eid)
+            out_c.append(last_id)
+            out_ct.append(last_t)
+            out_t.append(t)
+    state.update(
+        (
+            [e[0] for e in keep],
+            [e[1] for e in keep],
+            [e[2] for e in keep],
+            last_t,
+            last_id,
+        )
+    )
+    if keep:
+        # strictly above the current watermark by construction; +1 ms
+        # guards the sub-millisecond truncation edge
+        state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array(out_e, dtype="Int64"),
+            "user_id": pd.array([int(uid)] * len(out_e), dtype="Int64"),
+            "click_id": pd.array(out_c, dtype="Int64"),
+            "ct_us": pd.array(out_ct, dtype="Int64"),
+            "t_us": pd.array(out_t, dtype="Int64"),
+        }
+    )
+
+
+def asof_wm_stream(src: DataFrame, delay: str = "60 seconds") -> DataFrame:
+    """Wire the watermarked as-of over a streaming relation carrying
+    (event_id, user_id, event_type, t_us): watermark on the event-time
+    column, per-user state, event-time timeouts.  ``src`` must be a
+    streaming DataFrame (readStream)."""
+    from pyspark.sql import functions as F
+
+    with_ts = src.withColumn("ts_event", F.timestamp_micros(F.col("t_us")))
+    return (
+        with_ts.withWatermark("ts_event", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_wm_update,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_WM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_asof_wm(spark, sf_dir: str) -> DataFrame:
+    """Execute the WATERMARKED as-of through the real engine with a
+    genuinely multi-batch, watermark-advancing delivery: the bounded
+    events fixture is staged once per (sf_dir, fingerprint) as three
+    single-file batches — first time-half, second time-half, and a
+    far-future heartbeat event (the production "close the books"
+    sentinel; its user emits nothing) — consumed with
+    ``maxFilesPerTrigger=1`` in mtime order.  Earlier batches flush as
+    later ones advance the watermark; the heartbeat's final advance
+    (plus the trailing no-data micro-batch) drains every buffer, so
+    the emitted rows equal the batch as-of exactly — ev_asof_click's
+    DuckDB oracle grades the run.  Within-batch arrival order is
+    irrelevant by construction (the buffer sorts on event time), which
+    is the contract run_stream_asof_click cannot give."""
+    from mahout_samsara_book_spark.sources.tables import ts_us
+    from mahout_samsara_book_spark.streaming.events import (
+        _adaptive_state_partitions,
+        _run_bounded_stream,
+    )
+    from pyspark.sql import functions as F
+
+    staging = _asof_wm_staging(spark, sf_dir)
+    batch = spark.read.parquet(f"{staging}/b00.parquet")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staging)
+    )
+    out = asof_wm_stream(src).filter(F.col("user_id") >= 0)
+    return _run_bounded_stream(
+        spark,
+        out,
+        "ev_stream_asof_wm",
+        "append",
+        _adaptive_state_partitions(sf_dir),
+    )
+
+
+_ASOF_WM_STAGING: dict[tuple, str] = {}
+_ASOF_WM_SEQ = [0]
+ASOF_WM_SENTINEL_US = 7_200_000_000  # 2 h past max event time
+
+
+def _asof_wm_staging(spark, sf_dir: str) -> str:
+    """Write-once 3-file staging layout (see run_stream_asof_wm):
+    b00/b01 split the click+purchase stream at the median event time
+    (ties left), b02 is the single heartbeat row; ascending explicit
+    mtimes pin FileStreamSource's processing order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+        ts_us,
+    )
+    from pyspark.sql import functions as F
+
+    key = (sf_dir, source_fingerprint(sf_dir, "events"))
+    path = _ASOF_WM_STAGING.get(key)
+    if path is not None and os.path.exists(path + "/b02.parquet"):
+        return path
+    _ASOF_WM_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_asofwm_{os.getpid()}_{_ASOF_WM_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    ev = load_table(spark, sf_dir, "events")
+    src = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn("t_us", ts_us(ev))
+        .select("event_id", "user_id", "event_type", "t_us")
+    )
+    lo, hi = src.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY t_us)"),
+        F.max("t_us"),
+    ).first()
+    cut = int(lo)
+    parts = [
+        src.filter(F.col("t_us") <= cut),
+        src.filter(F.col("t_us") > cut),
+        spark.createDataFrame(
+            [(-1, -1, "click", int(hi) + ASOF_WM_SENTINEL_US)],
+            "event_id long, user_id long, event_type string, t_us long",
+        ),
+    ]
+    for i, p in enumerate(parts):
+        tmp = f"{path}/_w{i}"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (f,) = glob.glob(tmp + "/part-*.parquet")
+        dst = f"{path}/b{i:02d}.parquet"
+        shutil.move(f, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    _ASOF_WM_STAGING[key] = path
+    return path

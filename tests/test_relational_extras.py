@@ -456,3 +456,36 @@ def test_asof_join_directions_and_tolerance(spark):
 
     with pytest.raises(ValueError, match="payload"):
         asof_join(left, right, "k", "t", "t", [], "rid")
+
+
+def test_asof_join_rejects_reserved_and_duplicate_names(spark):
+    """ADVICE r9: internal working columns and payload/left collisions
+    must raise, not silently mangle output."""
+    import pytest
+
+    from mahout_samsara_book_spark.functions.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 7)], "k long, t long, rid long"
+    )
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(
+            left.withColumnRenamed("lid", "_side"), right,
+            "k", "t", "t", ["rid"], "rid",
+        )
+    with pytest.raises(ValueError, match="duplicate left"):
+        asof_join(
+            left, right.withColumnRenamed("rid", "lid"),
+            "k", "t", "t", ["lid"], "lid",
+        )
+    with pytest.raises(ValueError, match="_rt"):
+        asof_join(
+            left, right.withColumnRenamed("rid", "_rt"),
+            "k", "t", "t", ["_rt"], "_rt",
+        )
+    # the valid shape still works
+    r = asof_join(left, right, "k", "t", "t", ["rid"], "rid").first()
+    assert r["rid"] == 7

@@ -230,3 +230,28 @@ def test_bpe_chars_barrier_never_merges(spark):
     # (a, b</w>) appears 3 times — the clear round-1 winner
     top = rules[0]
     assert (top.tok_a, top.tok_b, top.n_pair) == ("a", "b</w>", 3)
+
+
+def test_bm25_fold_dispatch_boundary_in_plan(spark):
+    """The literal-vs-HOF fold dispatch must actually flip the physical
+    plan at literal_fold_max_terms (VERDICT r9 item 5): below the cap
+    the aggregate is a chain of conditional sums (no collect_list); above
+    it the plan collects + sorts (term, s) pairs and folds with the
+    aggregate HOF."""
+    docs = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "window scan filter")],
+        "doc_id long, text string",
+    )
+    queries = [("q1", ["spark", "hash"]), ("q2", ["window", "scan"])]
+
+    def plan(**kw):
+        return bm25_topk(docs, queries, topk=3, **kw)._jdf.queryExecution().optimizedPlan().toString()
+
+    literal = plan(literal_fold_max_terms=64)
+    assert "collect_list" not in literal
+    hof = plan(literal_fold_max_terms=2)  # 4 distinct terms > 2
+    assert "collect_list" in hof and "array_sort" in hof
+    # and the two paths agree bit-for-bit on the same input
+    a = sorted(map(tuple, bm25_topk(docs, queries, topk=3, literal_fold_max_terms=64).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, queries, topk=3, literal_fold_max_terms=2).collect()))
+    assert a == b

@@ -225,3 +225,160 @@ def test_asof_update_two_batch_arrival_order():
         [(4, 7, "click", 40), (5, 7, "purchase", 35)]
     ) == [(5, 1)]
     assert st.get == (40, 4)
+
+
+def test_asof_wm_update_cross_batch_out_of_order():
+    """Round-10 watermarked as-of: cross-batch OUT-OF-ORDER delivery
+    (within the watermark delay) reorders through the state buffer and
+    matches the batch as-of — the contract _asof_update cannot give.
+    Drives _asof_wm_update directly with a fake state exposing the
+    watermark, mirroring a 3-batch run."""
+    import pandas as pd
+
+    from mahout_samsara_book_spark.streaming.stateful import (
+        _asof_wm_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.wm_ms = 0
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    st = FakeState()
+
+    def run(rows, wm_ms):
+        st.wm_ms = wm_ms
+        pdfs = (
+            [
+                pd.DataFrame(
+                    rows,
+                    columns=["event_id", "user_id", "event_type", "t_us"],
+                )
+            ]
+            if rows
+            else []
+        )
+        (out,) = list(_asof_wm_update((7,), iter(pdfs), st))
+        return list(
+            zip(out["event_id"].tolist(), out["click_id"].tolist())
+        )
+
+    # batch 1 (wm=0): purchase at t=25_000 arrives BEFORE the click at
+    # t=20_000 that batch 2 will deliver — nothing is final yet
+    assert run([(2, 7, "purchase", 25_000)], wm_ms=0) == []
+    # batch 2 (wm=0 still): the event-time-EARLIER click arrives late
+    assert run([(1, 7, "click", 20_000)], wm_ms=0) == []
+    # batch 3: watermark passes both — the purchase reads the click
+    # that ARRIVED after it but happened before it (event-time order)
+    assert run([], wm_ms=30) == [(2, 1)]
+    # carried click survives the flush for later purchases
+    assert run([(3, 7, "purchase", 40_000)], wm_ms=50) == [(3, 1)]
+    # same-microsecond tie: click sorts before purchase (inclusive),
+    # greatest click id wins — asof_join's exact tie contract
+    assert run(
+        [
+            (10, 7, "click", 60_000),
+            (11, 7, "click", 60_000),
+            (12, 7, "purchase", 60_000),
+        ],
+        wm_ms=70,
+    ) == [(12, 11)]
+
+
+def test_stream_asof_wm_multibatch_equals_batch(spark, tmp_path):
+    """End-to-end: the watermarked streaming as-of over a genuinely
+    multi-batch, cross-batch-out-of-order file delivery equals
+    asof_join on the union of all events."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.functions.relational import asof_join
+    from mahout_samsara_book_spark.streaming.events import (
+        _run_bounded_stream,
+    )
+    from mahout_samsara_book_spark.streaming.stateful import (
+        asof_wm_stream,
+    )
+
+    US = 1_000_000
+    rows = [
+        # user 1: purchase arrives in file 1, its prior click in file 2
+        (101, 1, "click", 10 * US),
+        (102, 1, "purchase", 100 * US),   # file 1
+        (103, 1, "click", 95 * US),       # file 2 (late, within delay)
+        (104, 1, "purchase", 200 * US),   # file 2
+        # user 2: no click before the first purchase
+        (201, 2, "purchase", 50 * US),    # file 1
+        (202, 2, "click", 150 * US),      # file 2
+        (203, 2, "purchase", 160 * US),   # file 2
+    ]
+    f1 = [r for r in rows if r[0] in (101, 102, 201)]
+    f2 = [r for r in rows if r[0] not in (101, 102, 201)]
+    # heartbeat far past everything flushes the final buffers
+    f3 = [(-1, -1, "click", 10_000 * US)]
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    schema = "event_id long, user_id long, event_type string, t_us long"
+    for i, part in enumerate([f1, f2, f3]):
+        tmp = f"{staging}/_w{i}"
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(tmp)
+        (f,) = glob.glob(tmp + "/part-*.parquet")
+        shutil.move(f, f"{staging}/b{i:02d}.parquet")
+        shutil.rmtree(tmp)
+        os.utime(f"{staging}/b{i:02d}.parquet", (1e6 + i, 1e6 + i))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staging)
+    )
+    out = _run_bounded_stream(
+        spark,
+        asof_wm_stream(src, delay="120 seconds").filter(
+            F.col("user_id") >= 0
+        ),
+        "asof_wm_test",
+        "append",
+        4,
+    )
+    got = sorted(
+        (r.event_id, r.click_id) for r in out.collect()
+    )
+    ev = spark.createDataFrame(rows, schema)
+    want_df = asof_join(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "t_us"
+        ),
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "t_us", F.col("event_id").alias("click_id")
+        ),
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["click_id"],
+        right_order="click_id",
+    )
+    want = sorted((r.event_id, r.click_id) for r in want_df.collect())
+    assert got == want
+    # the load-bearing case: purchase 102 reads click 103, which
+    # ARRIVED a batch later but HAPPENED first
+    assert (102, 103) in got
