@@ -608,69 +608,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-9 window (VERDICT r8 item 1 + ADVICE r8
-    # medium): (1) every query ADDED or IMPLEMENTATION-CHANGED in round
-    # 9, plus multimodal_png (kernels rewritten in r8 but rotated out of
-    # the r8 head — the ADVICE medium) and sel_canonical (the r4
-    # straggler that missed the r8 window); (2) of the 48 rows whose
-    # last driver grade is round 5, 36 are in this head (35 in the
-    # section below + dedup_incremental, which qualifies under (1));
-    # the 12 deferred r5 rows (named at the end) rotate in round 10,
-    # after which no row is older than r6.
-    rotation_r9 = [
-        # -- (1) new in round 9 / implementation changed in round 9
-        "text_bpe_chars",             # new: char-level BPE trainer
-        "ann_ivf_persisted_topk",     # new: capped-query persisted serving
-        "dedup_incremental_persisted",  # new: probe-only persisted index
-        "dedup_incremental",          # r9: match core refactored (shared)
-        "ann_ivf_persisted",          # r9: layout cache re-keyed (fingerprint)
-        "fmt_orc_roundtrip",          # r9: layout cache re-keyed + write timing
-        "rel_revenue_by_nation_bucketed",  # r9: layout cache re-keyed
-        "graph_kcore",                # r9: frontier-based delta peeling
-        "text_bm25_topk",             # r9: edge guards + relational-fold dispatch
-        "multimodal_png",             # r8 kernels rewritten; ADVICE r8 medium
-        "sel_canonical",              # last driver grade r4 — the straggler
-        "ev_asof_click",              # new: as-of join (union-merge, no range blowup)
-        "ev_stream_asof",             # new: streaming as-of (1-row-per-user state)
-        "sel_epoch_shuffle",          # new: deterministic per-epoch shuffle
-        "sel_leakage_split",          # new: dup-cluster-aware split
-        # -- (2) stale rows, last graded round 5
-        "ann_ivfpq_probe", "bloom_build", "bloom_probe",
-        "dedup_containment", "dedup_ngram_jaccard",
-        "docs_pipeline", "emb_centroids", "emb_outliers", "ev_dedup",
-        "ev_funnel", "ev_retention", "ev_session_window",
-        "ev_stream_enriched", "fmt_bucketed_join",
-        "graph_components_lsls", "ivf_refine", "kmeans_lloyd",
-        "multimodal_frames", "multimodal_ppm", "multimodal_resize",
-        "multimodal_wav", "sel_chunk_docs",
-        "sel_decontaminate", "sel_domain_mix", "sel_pack_sequences",
-        "sel_shard_assign", "sel_split_assign", "sel_stratified_sample",
-        "sketch_heavy_hitters", "sketch_kmv_union", "text_js_divergence",
-        "text_langid_confusion", "text_repetition", "text_top_terms",
-        "zorder_stats",
-        # the 12 deferred-to-r10 r5 rows (head budget is 50):
-        # rel_date_trunc, rel_json_extract, rel_large_orders,
-        # rel_rank_family, rel_shipping_priority, rel_string_funcs,
-        # rel_window_range, sketch_kmv_distinct — all codegen'd
-        # single-scan SQL with multiple green grades and unchanged code
-        # (kmv_distinct's kernel is exercised by kmv_union, in-head,
-        # and kmv_intersect, graded r8) — plus, displaced by the NEW r9
-        # queries above (new code needs the driver grade more than
-        # 6×-green rows): pq_encode, pq_mse (ann_ivfpq_topk graded r8 +
-        # ann_ivfpq_probe in-head exercise the same PQ kernel
-        # end-to-end), ev_enriched (ev_stream_enriched, its streaming
-        # twin on the same join, stays in-head), docs_funnel (a
-        # per-stage count report over the SAME composed chain as
-        # docs_pipeline, which stays in-head)
+    # after ~50 queries.  Round-10 window (VERDICT r9 items 1-5, 7 +
+    # the standing rule): (1) every query ADDED or IMPLEMENTATION-
+    # CHANGED in round 10; (2) the 12 rows deferred from round 5
+    # (VERDICT r9 item 2 — after this head no row is older than r6);
+    # (3) 26 of the 48 remaining r6 rows, biased toward the
+    # reference-core drm/regression/NB surface.  Deferred r6 rows are
+    # named at the end.
+    rotation_r10 = [
+        # -- (1) new in round 10
+        "dedup_incremental_append",   # new: persisted-index append lifecycle
+        "ev_asof_nearest",            # new: nearest-direction as-of + tolerance
+        "text_bm25_hof",              # new: aggregate-HOF score fold graded
+        "ev_stream_asof_wm",          # new: watermarked streaming as-of
+        # -- (1) implementation changed in round 10
+        "sel_epoch_shuffle",          # r10: two-phase distributed rank
+        "dedup_incremental_persisted",  # r10: self-row anti-join guard
+        "sim_cosine_topk",            # r10: _fixed_dim plan-fingerprint cache
+        "ivf_topk",                   # r10: center-matrix dim threaded (no probe)
+        "ann_lsh_topk",               # r10: dim parameter threaded (no probe)
+        "ann_ivf_persisted_topk",     # r10: persisted-center dim threaded
+        "ann_ivf_persisted",          # r10: persisted-center dim threaded
+        "ann_ivf_incremental",        # r10: rides the same persisted verify
+        # -- (2) the 12 deferred r5 rows
+        "docs_funnel", "ev_enriched", "pq_encode", "pq_mse",
+        "rel_date_trunc", "rel_json_extract", "rel_large_orders",
+        "rel_rank_family", "rel_shipping_priority", "rel_string_funcs",
+        "rel_window_range", "sketch_kmv_distinct",
+        # -- (3) 26 stalest r6 rows: the whole drm core + the
+        # regression/NB/clustering algorithm surface + exact/minhash
+        # dedup kernels
+        "drm_abs_slice", "drm_allreduce", "drm_ax", "drm_colsums",
+        "drm_gram", "drm_gram_wide", "drm_group_sum", "drm_map_block",
+        "drm_mmul", "drm_mmul_coo", "drm_normal_eq", "drm_rbind",
+        "drm_rowsums", "drm_sample_k", "drm_ssr", "drm_transpose",
+        "dridge", "reg_coeff_tests", "bfgs_argmin", "bahmani_weights",
+        "point_weights", "nb_train_text", "nb_predict_text",
+        "dedup_exact", "dedup_minhash_sig", "dedup_lsh_jaccard",
+        # the 22 deferred r6 rows (head budget is 50), for the r11
+        # head ahead of anything newer: dedup_embedding, dedup_simhash,
+        # ev_sessionize, ev_stream_append, ev_stream_join,
+        # ev_windowed_counts, ivf_assign, multimodal_decode,
+        # multimodal_meta, rel_asof_events, rel_asof_tolerance,
+        # rel_cube, rel_incr_summary, rel_lead_lag, rel_percentiles,
+        # rel_profile, rel_range_join, rel_scalar_subquery,
+        # rel_setops, rel_unpivot, rel_upsert, skew_salted_group_sum
+        # — all with 3+ green grades and code untouched since r6
     ]
     # a misspelled/renamed rotation entry would silently waste one of
     # the ~50 driver-gate slots (ADVICE r6) — fail fast instead; the
     # head must also be EXACTLY the driver's truncation budget, or the
     # tail of this list silently goes ungraded
-    missing = set(rotation_r9) - full.keys()
+    missing = set(rotation_r10) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    assert len(rotation_r9) == len(set(rotation_r9)) == 50, len(rotation_r9)
-    head = {n: full[n] for n in rotation_r9}
+    assert len(rotation_r10) == len(set(rotation_r10)) == 50, len(rotation_r10)
+    head = {n: full[n] for n in rotation_r10}
     return {**head, **full}
 
 

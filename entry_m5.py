@@ -2942,3 +2942,115 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_bm25h()
     d["text_bm25_hof"] = _o_bm25(BM25_WIDE_QUERIES)
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-10: SemDeDup — cluster-scoped semantic dedup (keep/drop with
+# centroid-bucketed candidates; cross-references dedup_embedding,
+# which reports brute-force pairs, and the ivf_* family, whose
+# centers/assign kernel this replays)
+# ------------------------------------------------------------------ #
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dedup): k-means-bucketed
+    within-cluster cosine groups, one representative kept per group
+    (smallest id).  Fixture plants 10 exact-copy vectors (ids
+    +1 000 000) — identical embeddings assign to identical clusters, so
+    each copy provably drops in favor of its original."""
+    from mahout_samsara_book_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(dups),
+        threshold=SEMDEDUP_THRESHOLD,
+        seed=IVF_SEED,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "keep",
+        F.col("rep").cast("long").alias("rep"),
+    )
+
+
+def o_dedup_semantic() -> str:
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM aug),
+hashed AS (
+  SELECT vec_id, v,
+         ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':{IVF_SEED}'), 1, 15))::BIGINT AS h
+  FROM e
+),
+centers AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         v AS center
+  FROM (SELECT * FROM hashed ORDER BY h, vec_id
+        LIMIT (SELECT GREATEST({IVF_CENTERS},
+                       CAST(FLOOR(SQRT(count(*) // 2)) AS BIGINT))
+               FROM e))
+),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c.center[i]) * (e.v[i] - c.center[i]))) AS d2
+  FROM e CROSS JOIN centers c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+dups AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n la ON la.vec_id = a.vec_id
+  JOIN n lb ON lb.vec_id = b.vec_id
+  WHERE list_dot_product(la.v, lb.v) / (la.nrm * lb.nrm)
+        >= {SEMDEDUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM dups
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM dups
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS rep
+  FROM reach GROUP BY src
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       coalesce(comp.rep, e.vec_id) = e.vec_id AS keep,
+       CAST(coalesce(comp.rep, e.vec_id) AS BIGINT) AS rep
+FROM e LEFT JOIN comp ON comp.vec_id = e.vec_id
+"""
+
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+_oracles_pre_semd = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_semd()
+    d["dedup_semantic"] = o_dedup_semantic()
+    return d

@@ -1164,3 +1164,98 @@ def exact_substr_spans(
             F.min("sb").alias("b_start"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centers: int | str = "auto",
+    threshold: float = 0.9,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 — round-10):
+    ``(vec_id, keep, rep)`` where every member of a semantic-duplicate
+    group keeps exactly one representative (the smallest id; singletons
+    keep themselves).  Candidate generation is CLUSTER-SCOPED: k-means
+    buckets the space (the same seeded ivf_centers/ivf_assign kernel the
+    ANN family replays in its oracles) and only WITHIN-cluster pairs are
+    cosine-verified, so pair work is Σ|cluster|² ≈ n²/k — the published
+    pipeline's dial between the exact O(n²) baseline
+    (:func:`embedding_near_dups`, which this operator deliberately does
+    NOT duplicate: that is a pair REPORTER with brute-force or
+    LSH-bucketed candidates; this is a KEEP/DROP decision with
+    centroid-bucketed candidates and transitive grouping).
+
+    Scale shape: assignment is one broadcast-centers pass; the
+    within-cluster self-join shuffles on cid only (AQE splits skewed
+    mega-clusters); cosine uses the codegen'd unrolled dot (dim known
+    from the collected center matrix — no probe job); grouping is
+    :func:`dup_clusters` (driver union-find small, LSLS above the edge
+    cap).  Cross-cluster near-dups are missed by construction — the
+    recall/cost trade SemDeDup documents; raise n_centers for cost,
+    lower for recall."""
+    from mahout_samsara_book_spark.operators.similarity import (
+        _DOT_UNROLL_MAX_DIM,
+        _centers_matrix,
+        _dot,
+        _dot_unrolled,
+        _normed,
+        auto_n_centers,
+        ivf_assign,
+        ivf_centers,
+    )
+
+    if n_centers == "auto":
+        n_centers = auto_n_centers(emb)
+    centers = _centers_matrix(
+        ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    )
+    assign = ivf_assign(emb, centers, id_col, vec_col)
+    dim = int(centers[1].shape[1])
+    base = _normed(emb, id_col, vec_col)
+    a = assign.select(F.col(id_col).alias("vec_a"), "cid")
+    b = assign.select(F.col(id_col).alias("vec_b"), "cid")
+    cand = a.join(b, "cid").filter(F.col("vec_a") < F.col("vec_b"))
+    va = base.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    dot = (
+        _dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if 0 < dim <= _DOT_UNROLL_MAX_DIM
+        else _dot(F.col("_va"), F.col("_vb"))
+    )
+    dups = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b")
+    )
+    groups = dup_clusters(dups, "vec_a", "vec_b").select(
+        F.col("doc_id").alias(id_col), F.col("cluster").alias("rep")
+    )
+    return (
+        emb.select(id_col)
+        .join(groups, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+        )
+        .select(
+            id_col,
+            (F.col("rep") == F.col(id_col)).alias("keep"),
+            "rep",
+        )
+    )

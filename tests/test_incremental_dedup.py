@@ -203,3 +203,27 @@ def test_index_append_two_batch_lifecycle(spark, tmp_path):
         map(tuple, incremental_dedup_persisted(batch2, path).collect())
     )
     assert got == want
+
+
+def test_semantic_dedup_groups_and_singletons(spark):
+    """SemDeDup keep/drop: near-identical vectors in the same cluster
+    group to one representative (smallest id); distinct vectors keep
+    themselves; transitive chains collapse to one keeper."""
+    from mahout_samsara_book_spark.operators.dedup import semantic_dedup
+
+    base = [float(i) for i in range(8)]
+    off = [x + 0.001 for x in base]          # ~1.0 cosine to base
+    other = [float(8 - i) for i in range(8)]  # far from base
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, off), (9, other)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, n_centers=2, threshold=0.999, seed=3
+    ).collect()}
+    assert len(out) == 4
+    assert out[1].keep and out[1].rep == 1
+    # 2 is an exact copy, 3 a near-copy chained through 1 — both drop
+    assert not out[2].keep and out[2].rep == 1
+    assert not out[3].keep and out[3].rep == 1
+    assert out[9].keep and out[9].rep == 9
