@@ -2953,6 +2953,10 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
 
 SEMDEDUP_THRESHOLD = 0.9
 
+from mahout_samsara_book_spark.operators.dedup import (  # noqa: E402
+    SEMDEDUP_TARGET_CLUSTER,
+)
+
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py:semantic_dedup): k-means-bucketed
@@ -2998,8 +3002,9 @@ centers AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
          v AS center
   FROM (SELECT * FROM hashed ORDER BY h, vec_id
-        LIMIT (SELECT GREATEST({IVF_CENTERS},
-                       CAST(FLOOR(SQRT(count(*) // 2)) AS BIGINT))
+        -- SemDeDup's width-targeted rule, NOT the ANN sqrt-n rule:
+        -- pair work is n * width, so the center count scales with n
+        LIMIT (SELECT GREATEST(16, count(*) // {SEMDEDUP_TARGET_CLUSTER})
                FROM e))
 ),
 scored AS MATERIALIZED (

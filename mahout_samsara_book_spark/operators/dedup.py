@@ -1166,6 +1166,9 @@ def exact_substr_spans(
     )
 
 
+SEMDEDUP_TARGET_CLUSTER = 128
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_centers: int | str = "auto",
@@ -1180,68 +1183,64 @@ def semantic_dedup(
     keep themselves).  Candidate generation is CLUSTER-SCOPED: k-means
     buckets the space (the same seeded ivf_centers/ivf_assign kernel the
     ANN family replays in its oracles) and only WITHIN-cluster pairs are
-    cosine-verified, so pair work is Σ|cluster|² ≈ n²/k — the published
-    pipeline's dial between the exact O(n²) baseline
-    (:func:`embedding_near_dups`, which this operator deliberately does
-    NOT duplicate: that is a pair REPORTER with brute-force or
-    LSH-bucketed candidates; this is a KEEP/DROP decision with
-    centroid-bucketed candidates and transitive grouping).
+    cosine-verified — this operator is a KEEP/DROP decision with
+    centroid-bucketed candidates and transitive grouping, deliberately
+    distinct from :func:`embedding_near_dups` (a pair REPORTER with
+    brute-force or LSH-bucketed candidates).
 
-    Scale shape: assignment is one broadcast-centers pass; the
-    within-cluster self-join shuffles on cid only (AQE splits skewed
-    mega-clusters); cosine uses the codegen'd unrolled dot (dim known
-    from the collected center matrix — no probe job); grouping is
-    :func:`dup_clusters` (driver union-find small, LSLS above the edge
-    cap).  Cross-cluster near-dups are missed by construction — the
-    recall/cost trade SemDeDup documents; raise n_centers for cost,
-    lower for recall."""
+    Scale shape (restructured after the first sf10 measurement read
+    170 s): ``n_centers='auto'`` targets a FIXED cluster width
+    (``max(16, n // SEMDEDUP_TARGET_CLUSTER)``), NOT the ANN √n rule —
+    assignment is a broadcast-BLAS matmul (near-free in the center
+    count) while pair work is Σ|cluster|² ≈ n·width, so width-targeting
+    makes the verify LINEAR in the corpus where √n centers made it
+    n^1.5.  The verify itself is one ``applyInPandas`` per cluster:
+    every vector's array crosses the shuffle ONCE (grouped by cid) and
+    each cluster scores as a single BLAS ``U @ U.T`` — at 200k×64 that
+    is ~100 MB of shuffle instead of the 13 GB a pair-stream join would
+    ship (the same array-shuffle lesson as the ANN query-broadcast
+    verify).  Normalize-then-multiply matches the oracle's
+    dot/(nrm·nrm) to float robustness (same sub-ulp
+    threshold-boundary contract as the BLAS argmin and the broadcast
+    ANN verify).  Grouping is :func:`dup_clusters` (driver union-find
+    small, LSLS above the edge cap).  Cross-cluster near-dups are
+    missed by construction — SemDeDup's documented recall/cost trade;
+    raise the width (fewer centers) for recall, lower for cost.  A
+    pathological mega-cluster (e.g. a spam blob of one embedding)
+    serializes its width² in one task — the shape SemDeDup itself has;
+    pre-split such blobs with exact dedup upstream."""
+    import numpy as np
+    import pandas as pd
+
     from mahout_samsara_book_spark.operators.similarity import (
-        _DOT_UNROLL_MAX_DIM,
         _centers_matrix,
-        _dot,
-        _dot_unrolled,
         _normed,
-        auto_n_centers,
         ivf_assign,
         ivf_centers,
     )
 
     if n_centers == "auto":
-        n_centers = auto_n_centers(emb)
+        n_centers = max(16, emb.count() // SEMDEDUP_TARGET_CLUSTER)
     centers = _centers_matrix(
         ivf_centers(emb, n_centers, seed, id_col, vec_col)
     )
     assign = ivf_assign(emb, centers, id_col, vec_col)
-    dim = int(centers[1].shape[1])
     base = _normed(emb, id_col, vec_col)
-    a = assign.select(F.col(id_col).alias("vec_a"), "cid")
-    b = assign.select(F.col(id_col).alias("vec_b"), "cid")
-    cand = a.join(b, "cid").filter(F.col("vec_a") < F.col("vec_b"))
-    va = base.select(
-        F.col(id_col).alias("vec_a"),
-        F.col("v").alias("_va"),
-        F.col("nrm").alias("_na"),
-    )
-    vb = base.select(
-        F.col(id_col).alias("vec_b"),
-        F.col("v").alias("_vb"),
-        F.col("nrm").alias("_nb"),
-    )
-    dot = (
-        _dot_unrolled(F.col("_va"), F.col("_vb"), dim)
-        if 0 < dim <= _DOT_UNROLL_MAX_DIM
-        else _dot(F.col("_va"), F.col("_vb"))
-    )
-    dups = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("vec_a", "vec_b")
+    data = base.join(assign, id_col)
+
+    def pairs_op(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.vstack(pdf["v"].to_numpy())
+        u = x / pdf["nrm"].to_numpy()[:, None]
+        s = u @ u.T
+        ii, jj = np.nonzero(s >= threshold)
+        m = ii < jj
+        a = np.minimum(ids[ii[m]], ids[jj[m]])
+        b = np.maximum(ids[ii[m]], ids[jj[m]])
+        return pd.DataFrame({"vec_a": a, "vec_b": b})
+
+    dups = data.groupBy("cid").applyInPandas(
+        pairs_op, schema="vec_a long, vec_b long"
     )
     groups = dup_clusters(dups, "vec_a", "vec_b").select(
         F.col("doc_id").alias(id_col), F.col("cluster").alias("rep")
