@@ -3059,3 +3059,115 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_semd()
     d["dedup_semantic"] = o_dedup_semantic()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-10: top-k principal components (power iteration + Hotelling
+# deflation on the A7 gram kernel — the dspca-shaped embedding
+# compression op; algorithms/spectral.py)
+# ------------------------------------------------------------------ #
+
+PCA_ITERS = 8
+PCA_DIM = 64
+PCA_K = 3
+
+
+def q_emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top-PCA_K eigenvectors of XᵀX
+    (power iteration from the all-ones start + Rayleigh deflation,
+    PCA_ITERS rounds each).  TWO corpus passes total — one distributed
+    gram, one projection against the k broadcast component literals;
+    the iteration/deflation is driver-side sequential float math the
+    oracle replays as chained recursive CTEs (the bfgs_argmin
+    discipline)."""
+    from mahout_samsara_book_spark.algorithms.spectral import (
+        leading_components,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, out = leading_components(
+        emb, dim=PCA_DIM, k=PCA_K, iters=PCA_ITERS
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[_sci(F.col(f"p{c}")).alias(f"p{c}") for c in range(PCA_K)],
+    )
+
+
+def o_emb_pca_topk() -> str:
+    d1 = PCA_DIM + 1
+    rng = f"range(1, {d1})"
+    blocks = []
+    for c in range(PCA_K):
+        blocks.append(f"""it{c} AS (
+  SELECT 0 AS k, list_transform({rng}, x -> 1.0::DOUBLE) AS v
+  UNION ALL
+  SELECT k + 1,
+         list_transform(
+           w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y))))
+  FROM (
+    SELECT k,
+           list_transform({rng}, i ->
+             list_sum(list_transform({rng},
+                                     j -> G[i][j] * v[j]))) AS w
+    FROM it{c}, gm{c}
+    WHERE k < {PCA_ITERS}
+  )
+),
+fin{c} AS MATERIALIZED (SELECT v AS ev FROM it{c} WHERE k = {PCA_ITERS})""")
+        if c < PCA_K - 1:
+            blocks.append(f"""lam{c} AS MATERIALIZED (
+  SELECT list_sum(list_transform({rng}, i ->
+           ev[i] * list_sum(list_transform({rng},
+                                           j -> G[i][j] * ev[j]))))
+         AS lam
+  FROM fin{c}, gm{c}
+),
+gm{c + 1} AS MATERIALIZED (
+  SELECT list_transform({rng}, i ->
+           list_transform({rng}, j -> G[i][j] - lam * ev[i] * ev[j]))
+         AS G
+  FROM gm{c}, fin{c}, lam{c}
+)""")
+    projs = ",\n       ".join(
+        _sci_sql(
+            f"list_sum(list_transform({rng}, j -> e.v[j] * f{c}.ev[j]))"
+        )
+        + f" AS p{c}"
+        for c in range(PCA_K)
+    )
+    froms = ", ".join(f"fin{c} f{c}" for c in range(PCA_K))
+    body = ",\n".join(blocks)
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cell AS MATERIALIZED (
+  -- 7-significant-digit quantization: see algorithms/spectral.py's
+  -- float contract (distributed-sum wobble amplified by iteration)
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(printf('%.6e', sum(v[ii.i] * v[jj.j])) AS DOUBLE) AS g
+  FROM e, {rng} ii(i), {rng} jj(j)
+  GROUP BY 1, 2
+),
+gm0 AS MATERIALIZED (
+  SELECT list(gr ORDER BY i) AS G
+  FROM (SELECT i, list(g ORDER BY j) AS gr FROM cell GROUP BY i)
+),
+{body}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       {projs}
+FROM e, {froms}
+"""
+
+
+QUERIES["emb_pca_topk"] = q_emb_pca_topk
+_oracles_pre_pca = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_pca()
+    d["emb_pca_topk"] = o_emb_pca_topk()
+    return d

@@ -222,3 +222,66 @@ def test_power_iteration_fixed_trajectory():
     v = power_iteration(g, iters=1)
     # one step from (1/sqrt2, 1/sqrt2): G v = (3/sqrt2, 3/sqrt2) -> renorm
     assert np.allclose(v, [1 / 2 ** 0.5, 1 / 2 ** 0.5])
+
+
+def test_leading_component_matches_eigh(spark):
+    """Power iteration (8 rounds, all-ones start) recovers the dominant
+    eigenvector of XᵀX on a well-separated spectrum, and projections
+    equal X @ e."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import (
+        leading_component,
+    )
+
+    rng = np.random.RandomState(7)
+    # strong rank-1 direction + noise -> clear spectral gap
+    direction = rng.randn(16)
+    x = np.outer(rng.randn(400), direction) + 0.05 * rng.randn(400, 16)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    comp, proj_df = leading_component(emb, dim=16, iters=8)
+    comp = np.asarray(comp)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    top = evecs[:, -1]
+    assert abs(float(comp @ top)) > 1 - 1e-9  # same direction (±)
+    proj = {r.vec_id: r.proj for r in proj_df.collect()}
+    want = x @ comp
+    got = np.array([proj[i] for i in range(400)])
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_leading_components_topk_matches_eigh(spark):
+    """Deflated power iteration recovers the top-3 eigenvectors (up to
+    sign) on a well-separated spectrum; projections are X @ E."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import (
+        leading_components,
+    )
+
+    rng = np.random.RandomState(11)
+    # three strong orthogonal directions with separated scales
+    q, _ = np.linalg.qr(rng.randn(16, 3))
+    x = (
+        rng.randn(500, 3) * np.array([10.0, 6.0, 3.0])
+    ) @ q.T + 0.01 * rng.randn(500, 16)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, proj_df = leading_components(emb, dim=16, k=3, iters=12)
+    e = np.array(comps)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    for c in range(3):
+        top = evecs[:, -1 - c]
+        assert abs(float(e[c] @ top)) > 1 - 1e-6, c
+    # near-orthogonal: deflation leaves residual mixing that decays
+    # with the iteration count ((lambda2/lambda1)^iters), not to zero
+    assert abs(float(e[0] @ e[1])) < 1e-4
+    assert abs(float(e[1] @ e[2])) < 1e-4
+    rows = {r.vec_id: (r.p0, r.p1, r.p2) for r in proj_df.collect()}
+    got = np.array([rows[i] for i in range(500)])
+    assert np.allclose(got, x @ e.T, rtol=1e-10, atol=1e-10)
