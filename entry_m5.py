@@ -3171,3 +3171,134 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_pca()
     d["emb_pca_topk"] = o_emb_pca_topk()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-10: item-item LLR cooccurrence (Mahout spark-itemsimilarity /
+# SimilarityAnalysis.cooccurrence — algorithms/cooccurrence.py)
+# ------------------------------------------------------------------ #
+
+REC_K = 10
+REC_MAX_PREFS = 25
+REC_SEED = 31
+
+
+def q_rec_item_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-REC_K most-similar parts per part by log-likelihood-ratio
+    cooccurrence over customer purchase histories (orders ⋈ lineitem →
+    (customer, part) interactions, capped at REC_MAX_PREFS per
+    customer by deterministic hash order).  The Mahout recommender
+    indicator matrix, Spark-first: integer contingency counts feed one
+    codegen'd LLR expression — no distributed float sums anywhere, so
+    the oracle replays it bit-for-bit."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        item_similarity_llr,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    inter = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    out = item_similarity_llr(
+        inter, k=REC_K, max_prefs=REC_MAX_PREFS, seed=REC_SEED
+    )
+    return out.select(
+        F.col("item_id").cast("long").alias("item_id"),
+        F.col("other").cast("long").alias("other"),
+        _sci(F.col("llr")).alias("llr"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_rec_item_llr() -> str:
+    h = h60_sql(
+        f"concat('rec{REC_SEED}:', CAST(u AS VARCHAR), ':', "
+        "CAST(i AS VARCHAR))"
+    )
+
+    def xlx(c):
+        return (
+            f"(CASE WHEN ({c}) > 0 THEN CAST({c} AS DOUBLE) * "
+            f"ln(CAST({c} AS DOUBLE)) ELSE 0.0 END)"
+        )
+
+    llr = (
+        "2.0 * ("
+        + xlx("k11")
+        + " + "
+        + xlx("k12")
+        + " + "
+        + xlx("k21")
+        + " + "
+        + xlx("k22")
+        + " - "
+        + xlx("k11 + k12")
+        + " - "
+        + xlx("k21 + k22")
+        + " - "
+        + xlx("k11 + k21")
+        + " - "
+        + xlx("k12 + k22")
+        + " + "
+        + xlx("k11 + k12 + k21 + k22")
+        + ")"
+    )
+    return f"""
+WITH inter AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+capped AS (
+  SELECT u, i FROM (
+    SELECT u, i,
+           row_number() OVER (PARTITION BY u ORDER BY {h}, i) AS rn
+    FROM inter
+  ) WHERE rn <= {REC_MAX_PREFS}
+),
+nu AS (SELECT count(DISTINCT u) AS n_users FROM capped),
+ic AS (SELECT i, count(*) AS ni FROM capped GROUP BY 1),
+pc AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS k11
+  FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT ia, ib, k11,
+         ca.ni - k11 AS k12,
+         cb.ni - k11 AS k21,
+         nu.n_users - ca.ni - cb.ni + k11 AS k22
+  FROM pc JOIN ic ca ON ca.i = pc.ia JOIN ic cb ON cb.i = pc.ib, nu
+),
+scored AS (SELECT ia, ib, {llr} AS llr FROM cells),
+sym AS (
+  SELECT ia AS item_id, ib AS other, llr FROM scored
+  UNION ALL
+  SELECT ib AS item_id, ia AS other, llr FROM scored
+),
+r AS (
+  SELECT item_id, other, llr,
+         row_number() OVER (
+           PARTITION BY item_id
+           ORDER BY round(llr, 9) DESC, other) AS rank
+  FROM sym
+)
+SELECT CAST(item_id AS BIGINT) AS item_id, CAST(other AS BIGINT) AS other,
+       {_sci_sql('llr')} AS llr, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {REC_K}
+"""
+
+
+QUERIES["rec_item_llr"] = q_rec_item_llr
+_oracles_pre_rec = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_rec()
+    d["rec_item_llr"] = o_rec_item_llr()
+    return d

@@ -285,3 +285,51 @@ def test_leading_components_topk_matches_eigh(spark):
     rows = {r.vec_id: (r.p0, r.p1, r.p2) for r in proj_df.collect()}
     got = np.array([rows[i] for i in range(500)])
     assert np.allclose(got, x @ e.T, rtol=1e-10, atol=1e-10)
+
+
+def test_item_similarity_llr_hand_computed(spark):
+    """LLR of a hand-built 2×2 contingency table, plus the degree cap
+    and symmetry contracts."""
+    import math
+
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        item_similarity_llr,
+    )
+
+    # 6 users: A&B co-occur in 3 histories, A alone in 2, B alone in 1
+    rows = []
+    for u in (1, 2, 3):
+        rows += [(u, "A"), (u, "B")]
+    for u in (4, 5):
+        rows.append((u, "A"))
+    rows.append((6, "B"))
+    inter = spark.createDataFrame(rows, "user_id long, item_id string")
+    out = item_similarity_llr(inter, k=5).collect()
+    got = {(r.item_id, r.other): r.llr for r in out}
+    assert set(got) == {("A", "B"), ("B", "A")}
+
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    k11, k12, k21, k22 = 3, 2, 1, 0  # n_users=6, nA=5, nB=4
+    want = 2.0 * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(k11 + k12) - xlx(k21 + k22)
+        - xlx(k11 + k21) - xlx(k12 + k22)
+        + xlx(6)
+    )
+    assert abs(got[("A", "B")] - want) < 1e-12
+    assert got[("A", "B")] == got[("B", "A")]  # symmetric
+
+    # degree cap: a power user's history is truncated to max_prefs,
+    # so pair volume is bounded by cap², not degree²
+    power = spark.createDataFrame(
+        [(1, f"i{j}") for j in range(100)] + [(2, "i0"), (2, "i1")],
+        "user_id long, item_id string",
+    )
+    pairs = item_similarity_llr(power, k=1000, max_prefs=10)
+    items_seen = {
+        r.item_id for r in pairs.collect()
+    }
+    # ≤ 10 hash-chosen items from user 1 plus user 2's pair
+    assert len(items_seen) <= 12

@@ -1074,6 +1074,81 @@ def main() -> int:
         )
     )
 
+    p41 = plan_of(_em10.q_emb_pca_topk(spark, sf_dir))
+    checks.append(
+        (
+            "top-k PCA projection (emb_pca_topk) — two corpus passes "
+            "total",
+            p41,
+            [
+                (
+                    "the returned projection plan is fully narrow: "
+                    "ZERO shuffles — one columnar scan, k broadcast "
+                    "component literals folded in whole-stage codegen "
+                    "(the gram pass already ran as its own one-shuffle "
+                    "job at build time)",
+                    n_shuffles(p41) == 0 and "codegen id" in p41,
+                ),
+                (
+                    "scan reads only (vec_id, embedding)",
+                    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+                    in p41,
+                ),
+            ],
+        )
+    )
+
+    p42 = plan_of(_em10.q_rec_item_llr(spark, sf_dir))
+    checks.append(
+        (
+            "LLR cooccurrence recommender (rec_item_llr)",
+            p42,
+            [
+                (
+                    "capped interaction histories materialize ONCE "
+                    "(InMemoryTableScan) — five consumers share the "
+                    "cache instead of re-deriving orders ⋈ lineitem "
+                    "+ the cap window per branch",
+                    "InMemoryTableScan" in p42,
+                ),
+                (
+                    "top-k ranking pushes the rank limit into the "
+                    "shuffle (WindowGroupLimit — per-partition heaps, "
+                    "never a full per-item sort spill)",
+                    "WindowGroupLimit" in p42,
+                ),
+                (
+                    "no cartesian/nested-loop anywhere in the pair "
+                    "generation",
+                    "CartesianProduct" not in p42
+                    and "BroadcastNestedLoopJoin" not in p42,
+                ),
+            ],
+        )
+    )
+
+    p43 = plan_of(_em10.q_dedup_semantic(spark, sf_dir))
+    checks.append(
+        (
+            "SemDeDup keep/drop assembly (dedup_semantic)",
+            p43,
+            [
+                (
+                    "the final keep/rep join ships ids only — no "
+                    "embedding array reaches the output join (arrays "
+                    "crossed the shuffle once, inside the per-cluster "
+                    "BLAS verify that already ran)",
+                    "ReadSchema: struct<vec_id:bigint>" in p43,
+                ),
+                (
+                    "no cartesian/nested-loop",
+                    "CartesianProduct" not in p43
+                    and "BroadcastNestedLoopJoin" not in p43,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
