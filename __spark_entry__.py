@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic",             # new: SemDeDup cluster-scoped dedup
         "emb_pca_topk",               # new: top-k PCA on the A7 gram
         "rec_item_llr",               # new: LLR cooccurrence recommender
+        "ev_asof_forward",            # new: forward as-of (last ungraded contract)
         # -- (1) implementation changed in round 10
         "sel_epoch_shuffle",          # r10: two-phase distributed rank
         "dedup_incremental_persisted",  # r10: self-row anti-join guard
@@ -646,12 +647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drm_mmul", "drm_mmul_coo", "drm_normal_eq", "drm_rbind",
         "drm_rowsums", "drm_sample_k", "drm_ssr", "drm_transpose",
         "dridge", "reg_coeff_tests", "bfgs_argmin", "bahmani_weights",
-        "point_weights", "nb_train_text", "nb_predict_text",
-        # the 25 deferred r6 rows (head budget is 50; dedup_exact,
-        # dedup_minhash_sig and dedup_lsh_jaccard yielded their slots
-        # to the three newest r10 queries — their kernels stay
-        # exercised by dedup_incremental*, sel_dedup_survivors and
-        # text_minhash_dedup_pairs in-head), for the r11
+        "nb_train_text", "nb_predict_text",
+        # the 26 deferred r6 rows (head budget is 50; dedup_exact,
+        # dedup_minhash_sig, dedup_lsh_jaccard and point_weights
+        # yielded their slots to the four newest r10 queries — their
+        # kernels stay exercised in-head by dedup_incremental*,
+        # sel_dedup_survivors, text_minhash_dedup_pairs and
+        # bahmani_weights respectively), for the r11
         # head ahead of anything newer: dedup_embedding, dedup_simhash,
         # ev_sessionize, ev_stream_append, ev_stream_join,
         # ev_windowed_counts, ivf_assign, multimodal_decode,
@@ -659,7 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel_cube, rel_incr_summary, rel_lead_lag, rel_percentiles,
         # rel_profile, rel_range_join, rel_scalar_subquery,
         # rel_setops, rel_unpivot, rel_upsert, skew_salted_group_sum,
-        # dedup_minhash_sig, dedup_lsh_jaccard, dedup_exact
+        # dedup_minhash_sig, dedup_lsh_jaccard, dedup_exact,
+        # point_weights
         # — all with 3+ green grades and code untouched since r6
     ]
     # a misspelled/renamed rotation entry would silently waste one of

@@ -2203,10 +2203,84 @@ FROM r WHERE side = 1
 """
 
 
+def q_ev_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-direction as-of (round-10, closing the last ungraded
+    asof_join contract): each click picks the user's EARLIEST purchase
+    at-or-after it — conversion attribution, the mirror of
+    ev_asof_click.  Equal-time ties resolve to the SMALLEST purchase
+    id (the documented forward tie contract); clicks with no later
+    purchase keep nulls.  Same union-merge single-shuffle plan — the
+    forward walk is the same window with the sort reversed."""
+    from mahout_samsara_book_spark.functions.relational import asof_join
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_us(ev))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "t_us",
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("pt_us"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        payload=["purchase_id", "pt_us"],
+        right_order="purchase_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        _sci(
+            (F.col("pt_us") - F.col("t_us")) / F.lit(1_000_000.0)
+        ).alias("lead_s"),
+    )
+
+
+def o_ev_asof_forward() -> str:
+    return f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+            FROM events),
+c AS (SELECT event_id, user_id, t_us FROM ev
+      WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, t_us FROM ev
+      WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id AS k, t_us AS t, 1 AS side, NULL::BIGINT AS ro,
+         event_id, t_us,
+         NULL::STRUCT(purchase_id BIGINT, pt_us BIGINT) AS p
+  FROM c
+  UNION ALL
+  SELECT user_id, t_us, 0, purchase_id, NULL, NULL,
+         {{'purchase_id': purchase_id, 'pt_us': t_us}}
+  FROM p
+),
+w AS (
+  SELECT *,
+         last_value(p IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t DESC, side, ro DESC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM u
+)
+SELECT event_id, k AS user_id, cp.purchase_id AS purchase_id,
+       {_sci_sql("(cp.pt_us - t_us) / 1000000.0")} AS lead_s
+FROM w WHERE side = 1
+"""
+
+
 QUERIES["sel_epoch_shuffle"] = q_sel_epoch_shuffle
 QUERIES["sel_leakage_split"] = q_sel_leakage_split
 QUERIES["ev_asof_click"] = q_ev_asof_click
 QUERIES["ev_asof_nearest"] = q_ev_asof_nearest
+QUERIES["ev_asof_forward"] = q_ev_asof_forward
 _oracles_pre_r9p = oracles
 
 
@@ -2216,4 +2290,5 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d["sel_leakage_split"] = o_sel_leakage_split()
     d["ev_asof_click"] = o_ev_asof_click()
     d["ev_asof_nearest"] = o_ev_asof_nearest()
+    d["ev_asof_forward"] = o_ev_asof_forward()
     return d
