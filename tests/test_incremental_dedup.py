@@ -227,3 +227,55 @@ def test_semantic_dedup_groups_and_singletons(spark):
     assert not out[2].keep and out[2].rep == 1
     assert not out[3].keep and out[3].rep == 1
     assert out[9].keep and out[9].rep == 9
+
+
+def test_ingest_single_writer_contract_racing_batches_miss_each_other(
+    spark, tmp_path
+):
+    """VERDICT r10 item 5: the persisted index is SINGLE-WRITER.  Two
+    batches 'racing' — each probing before the other's append lands —
+    each miss the other's documents: the contract is 'a batch sees
+    everything ingested BEFORE it', nothing more.  This test asserts
+    the documented behavior (not a fix): interleaved probe/probe/
+    append/append finds no cross-batch dup, while the serialized
+    ingest of the same batches does."""
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_append,
+        dedup_index_persist,
+        incremental_dedup_persisted,
+        ingest_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some existing corpus content entirely distinct here")],
+        "doc_id long, text string",
+    )
+    shared = "the same crawled document text arriving in two writers"
+    batch_a = spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string"
+    )
+    batch_b = spark.createDataFrame(
+        [(200, shared)], "doc_id long, text string"
+    )
+
+    # interleaved (the race the contract forbids): probe A, probe B,
+    # then both appends — B's probe ran against an index without A
+    path1 = str(tmp_path / "ddx_race")
+    dedup_index_persist(corpus, path1)
+    out_a = incremental_dedup_persisted(batch_a, path1).collect()
+    out_b = incremental_dedup_persisted(batch_b, path1).collect()
+    dedup_index_append(batch_a, path1)
+    dedup_index_append(batch_b, path1)
+    assert all(r["keep"] for r in out_a)
+    assert all(r["keep"] for r in out_b)  # the documented MISS
+
+    # serialized (the contract): ingest A fully, then B — B sees A
+    path2 = str(tmp_path / "ddx_serial")
+    dedup_index_persist(corpus, path2)
+    assert all(
+        r["keep"] for r in ingest_batch(batch_a, path2).collect()
+    )
+    out_b2 = {
+        r["doc_id"]: r for r in ingest_batch(batch_b, path2).collect()
+    }
+    assert not out_b2[200]["keep"] and out_b2[200]["dup_of"] == 100

@@ -382,3 +382,130 @@ def test_stream_asof_wm_multibatch_equals_batch(spark, tmp_path):
     # the load-bearing case: purchase 102 reads click 103, which
     # ARRIVED a batch later but HAPPENED first
     assert (102, 103) in got
+
+
+class _FakeWmState:
+    """Minimal GroupState double for driving make_asof_wm_update
+    directly: watermark + timeout + remove, mirroring the engine's
+    event-time-timeout contract."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+        self.wm_ms = 0
+        self.timeout_ms = None
+        self.hasTimedOut = False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _drive_wm(fn, st, rows, wm_ms):
+    import pandas as pd
+
+    st.wm_ms = wm_ms
+    pdfs = (
+        [
+            pd.DataFrame(
+                rows, columns=["event_id", "user_id", "event_type", "t_us"]
+            )
+        ]
+        if rows
+        else []
+    )
+    (out,) = list(fn((7,), iter(pdfs), st))
+    return list(zip(out["event_id"].tolist(), out["click_id"].tolist()))
+
+
+def test_asof_wm_boundary_event_at_watermark_stays_buffered():
+    """ADVICE r10: Spark's late-row filter drops only rows STRICTLY
+    older than the watermark, so an arrival with t == wm is admissible
+    — flushing t <= wm would emit its same-timestamp cohort before the
+    late arrival lands.  The machine must keep t == wm buffered one
+    more micro-batch (the re-armed timeout drains it)."""
+    from mahout_samsara_book_spark.streaming.stateful import (
+        make_asof_wm_update,
+    )
+
+    fn = make_asof_wm_update()
+    st = _FakeWmState()
+    # purchase exactly AT the watermark: not final yet
+    assert _drive_wm(fn, st, [(2, 7, "purchase", 30_000)], wm_ms=30) == []
+    # timeout re-armed just past the boundary event
+    assert st.timeout_ms == 31
+    # a click at the SAME timestamp arrives late (legal: t == wm is
+    # not late to the engine) — the purchase must attribute to it
+    assert _drive_wm(fn, st, [(1, 7, "click", 30_000)], wm_ms=30) == []
+    assert _drive_wm(fn, st, [], wm_ms=31) == [(2, 1)]
+
+
+def test_asof_wm_idle_ttl_evicts_and_late_purchase_misses():
+    """VERDICT r10 item 6: with idle_ttl_us set, a user whose buffer
+    drained and whose last activity is >= ttl behind the watermark has
+    its state REMOVED (bounded state); a purchase arriving after
+    eviction gets the null no-match payload — the documented trade."""
+    import pandas as pd
+
+    from mahout_samsara_book_spark.streaming.stateful import (
+        make_asof_wm_update,
+    )
+
+    US = 1_000_000
+    fn = make_asof_wm_update(idle_ttl_us=60 * US)
+    st = _FakeWmState()
+    # click at t=10s flushes at wm=20s; buffer empty -> idle alarm
+    # armed at act_t + ttl = 70s
+    assert _drive_wm(fn, st, [(1, 7, "click", 10 * US)], wm_ms=0) == []
+    assert _drive_wm(fn, st, [], wm_ms=20_000) == []
+    assert st.exists and st.timeout_ms == 70_001
+    # purchase WITHIN the ttl still reads the carried click
+    assert (
+        _drive_wm(fn, st, [(2, 7, "purchase", 30 * US)], wm_ms=40_000)
+        == [(2, 1)]
+    )
+    # idle alarm fires: wm - act_t >= ttl with an empty buffer -> evict
+    st.hasTimedOut = True
+    assert _drive_wm(fn, st, [], wm_ms=95_000) == []
+    st.hasTimedOut = False
+    assert not st.exists
+    # late purchase after eviction: null payload, fresh-user semantics
+    st.wm_ms = 95_000
+    pdf = pd.DataFrame(
+        [(3, 7, "purchase", 50 * US)],
+        columns=["event_id", "user_id", "event_type", "t_us"],
+    )
+    (out,) = list(fn((7,), iter([pdf]), st))
+    assert out["event_id"].tolist() == [3]
+    assert out["click_id"].isna().tolist() == [True]
+
+
+def test_asof_wm_no_ttl_state_carried_forever():
+    """Default (idle_ttl_us=None) behavior is unchanged: the carried
+    click survives arbitrarily long watermark advances."""
+    from mahout_samsara_book_spark.streaming.stateful import (
+        make_asof_wm_update,
+    )
+
+    US = 1_000_000
+    fn = make_asof_wm_update()
+    st = _FakeWmState()
+    assert _drive_wm(fn, st, [(1, 7, "click", 10 * US)], wm_ms=20_000) == []
+    assert (
+        _drive_wm(fn, st, [(2, 7, "purchase", 10_000 * US)], wm_ms=20_000_000)
+        == [(2, 1)]
+    )
