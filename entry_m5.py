@@ -3394,31 +3394,26 @@ def o_rec_item_llr() -> str:
         "CAST(i AS VARCHAR))"
     )
 
-    def xlx(c):
+    # relative-entropy form — term-for-term mirror of llr_expr
+    # (cooccurrence.py): every float op shape identical (one division,
+    # outer multiply, left-assoc adds); see llr_expr's stability note
+    def kln(k, r, c):
         return (
-            f"(CASE WHEN ({c}) > 0 THEN CAST({c} AS DOUBLE) * "
-            f"ln(CAST({c} AS DOUBLE)) ELSE 0.0 END)"
+            f"(CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE) * "
+            f"ln(CAST({k} AS DOUBLE) * CAST(k11 + k12 + k21 + k22 AS DOUBLE)"
+            f" / (CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE)))"
+            " ELSE 0.0 END)"
         )
 
     llr = (
         "2.0 * ("
-        + xlx("k11")
+        + kln("k11", "k11 + k12", "k11 + k21")
         + " + "
-        + xlx("k12")
+        + kln("k12", "k11 + k12", "k12 + k22")
         + " + "
-        + xlx("k21")
+        + kln("k21", "k21 + k22", "k11 + k21")
         + " + "
-        + xlx("k22")
-        + " - "
-        + xlx("k11 + k12")
-        + " - "
-        + xlx("k21 + k22")
-        + " - "
-        + xlx("k11 + k21")
-        + " - "
-        + xlx("k12 + k22")
-        + " + "
-        + xlx("k11 + k12 + k21 + k22")
+        + kln("k22", "k21 + k22", "k12 + k22")
         + ")"
     )
     return f"""
@@ -3473,4 +3468,296 @@ _oracles_pre_rec = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_rec()
     d["rec_item_llr"] = o_rec_item_llr()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: CROSS-cooccurrence LLR (Mahout SimilarityAnalysis.
+# cooccurrences with a secondary action — VERDICT r10 item 2):
+# primary action = purchases (orders ⋈ lineitem → customer × part),
+# secondary action = view/click events (user × props.k page) — the
+# A′B indicator "people who bought part A also viewed page B".
+# ------------------------------------------------------------------ #
+
+REC_X_CAP = 25          # primary-history cap (same dial as rec_item_llr)
+REC_X_CAP_B = 25        # secondary-history cap — pair stream is cap·cap_b
+
+
+def q_rec_cross_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-REC_K secondary items (viewed/clicked pages, events.props.k)
+    per PRIMARY item (purchased part) by cross-action LLR
+    (algorithms/cooccurrence.py:cross_similarity_llr).  Both histories
+    hash-capped; contingency counts are integers feeding one codegen'd
+    LLR — bit-exact oracle replay, like rec_item_llr."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        cross_similarity_llr,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    primary = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secondary = ev.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k")
+        .cast("long")
+        .alias("item_id"),
+    )
+    out = cross_similarity_llr(
+        primary, secondary, k=REC_K, max_prefs=REC_X_CAP,
+        max_prefs_secondary=REC_X_CAP_B, seed=REC_SEED,
+    )
+    return out.select(
+        F.col("item_id").cast("long").alias("item_id"),
+        F.col("other").cast("long").alias("other"),
+        _sci(F.col("llr")).alias("llr"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_rec_cross_llr() -> str:
+    ha = h60_sql(
+        f"concat('recxA{REC_SEED}:', CAST(u AS VARCHAR), ':', "
+        "CAST(i AS VARCHAR))"
+    )
+    hb = h60_sql(
+        f"concat('recxB{REC_SEED}:', CAST(u AS VARCHAR), ':', "
+        "CAST(i AS VARCHAR))"
+    )
+
+    # relative-entropy form — term-for-term mirror of llr_expr
+    # (cooccurrence.py): every float op shape identical (one division,
+    # outer multiply, left-assoc adds); see llr_expr's stability note
+    def kln(k, r, c):
+        return (
+            f"(CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE) * "
+            f"ln(CAST({k} AS DOUBLE) * CAST(k11 + k12 + k21 + k22 AS DOUBLE)"
+            f" / (CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE)))"
+            " ELSE 0.0 END)"
+        )
+
+    llr = (
+        "2.0 * ("
+        + kln("k11", "k11 + k12", "k11 + k21")
+        + " + "
+        + kln("k12", "k11 + k12", "k12 + k22")
+        + " + "
+        + kln("k21", "k21 + k22", "k11 + k21")
+        + " + "
+        + kln("k22", "k21 + k22", "k12 + k22")
+        + ")"
+    )
+    return f"""
+WITH pa0 AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sb0 AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pa AS (
+  SELECT u, i FROM (
+    SELECT u, i,
+           row_number() OVER (PARTITION BY u ORDER BY {ha}, i) AS rn
+    FROM pa0
+  ) WHERE rn <= {REC_X_CAP}
+),
+sb AS (
+  SELECT u, i FROM (
+    SELECT u, i,
+           row_number() OVER (PARTITION BY u ORDER BY {hb}, i) AS rn
+    FROM sb0
+  ) WHERE rn <= {REC_X_CAP_B}
+),
+nu AS (
+  SELECT count(*) AS n_users FROM (
+    SELECT u FROM pa UNION SELECT u FROM sb
+  )
+),
+ca AS (SELECT i AS a, count(*) AS na FROM pa GROUP BY 1),
+cb AS (SELECT i AS b, count(*) AS nb FROM sb GROUP BY 1),
+pc AS (
+  SELECT pa.i AS a, sb.i AS b, count(*) AS k11
+  FROM pa JOIN sb ON pa.u = sb.u
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT a, b, k11,
+         ca.na - k11 AS k12,
+         cb.nb - k11 AS k21,
+         nu.n_users - ca.na - cb.nb + k11 AS k22
+  FROM pc JOIN ca USING (a) JOIN cb USING (b), nu
+),
+scored AS (SELECT a, b, {llr} AS llr FROM cells),
+r AS (
+  SELECT a, b, llr,
+         row_number() OVER (
+           PARTITION BY a ORDER BY round(llr, 9) DESC, b) AS rank
+  FROM scored
+)
+SELECT CAST(a AS BIGINT) AS item_id, CAST(b AS BIGINT) AS other,
+       {_sci_sql('llr')} AS llr, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {REC_K}
+"""
+
+
+QUERIES["rec_cross_llr"] = q_rec_cross_llr
+_oracles_pre_recx = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_recx()
+    d["rec_cross_llr"] = o_rec_cross_llr()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: randomized dSSVD (VERDICT r10 item 3 — Samsara's dssvd,
+# Halko et al. randomized range finder with power iterations, on the
+# A7 gram; algorithms/spectral.py:ssvd_project).  Distinct from
+# emb_pca_topk: seeded Gaussian block start, ALL k directions
+# converge together under modified-Gram-Schmidt subspace iteration
+# (no per-component deflation), singular values emitted.
+# ------------------------------------------------------------------ #
+
+SSVD_K = 3
+SSVD_OVERSAMPLE = 2
+SSVD_ITERS = 4
+SSVD_SEED = 17
+SSVD_DIM = 64
+
+
+def q_emb_ssvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projections onto the top-SSVD_K right singular
+    vectors of the embedding matrix plus the singular values
+    (constant columns s0..s{k-1} — pinned into the hash), via the
+    randomized sketch: quantized seeded Gaussian Ω, SSVD_ITERS rounds
+    of G-side subspace iteration with modified Gram-Schmidt, Rayleigh
+    σ.  TWO corpus passes (gram + projection); every driver float op
+    is a sequential fold the oracle replays verbatim (the
+    emb_pca_topk 7-digit quantization discipline, applied to BOTH the
+    gram and Ω)."""
+    from mahout_samsara_book_spark.algorithms.spectral import ssvd_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, sigmas, out = ssvd_project(
+        emb, dim=SSVD_DIM, k=SSVD_K, oversample=SSVD_OVERSAMPLE,
+        iters=SSVD_ITERS, seed=SSVD_SEED,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[_sci(F.col(f"p{c}")).alias(f"p{c}") for c in range(SSVD_K)],
+        *[
+            _sci(F.lit(float(s))).alias(f"s{c}")
+            for c, s in enumerate(sigmas)
+        ],
+    )
+
+
+def o_emb_ssvd() -> str:
+    import numpy as np
+
+    m = SSVD_K + SSVD_OVERSAMPLE
+    d1 = SSVD_DIM + 1
+    rng = f"range(1, {d1})"
+    rs = np.random.RandomState(SSVD_SEED)
+    om = rs.standard_normal((SSVD_DIM, m))
+    blocks = []
+    # q0_j: the quantized Ω columns as literals (identical constants
+    # on both engines — the hash-family precedent)
+    for j in range(m):
+        lits = ", ".join("%.6e" % float(om[i, j]) for i in range(SSVD_DIM))
+        blocks.append(
+            f"q0_{j} AS MATERIALIZED (SELECT [{lits}]::DOUBLE[] AS v)"
+        )
+    for t in range(1, SSVD_ITERS + 1):
+        p = t - 1
+        for j in range(m):
+            # w = G @ q_prev_j  (the emb_pca_topk matvec fold)
+            blocks.append(f"""w{t}_{j} AS MATERIALIZED (
+  SELECT list_transform({rng}, i ->
+           list_sum(list_transform({rng}, l -> G[i][l] * q.v[l]))) AS v
+  FROM gm0, q{p}_{j} q)""")
+            prev = f"w{t}_{j}"
+            # modified Gram-Schmidt: subtract projections onto the
+            # ALREADY-orthonormalized columns of THIS round, one at a
+            # time (sequential — the dot uses the updated vector)
+            for i in range(j):
+                blocks.append(f"""c{t}_{j}_{i} AS MATERIALIZED (
+  SELECT list_sum(list_transform({rng}, l -> q.v[l] * p.v[l])) AS c
+  FROM q{t}_{i} q, {prev} p)""")
+                blocks.append(f"""v{t}_{j}_{i} AS MATERIALIZED (
+  SELECT list_transform({rng}, l -> p.v[l] - c.c * q.v[l]) AS v
+  FROM {prev} p, q{t}_{i} q, c{t}_{j}_{i} c)""")
+                prev = f"v{t}_{j}_{i}"
+            blocks.append(f"""q{t}_{j} AS MATERIALIZED (
+  SELECT list_transform(
+           v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+         AS v
+  FROM {prev})""")
+    T = SSVD_ITERS
+    for c in range(SSVD_K):
+        blocks.append(f"""sig{c} AS MATERIALIZED (
+  SELECT sqrt(list_sum(list_transform({rng}, i ->
+           q.v[i] * list_sum(list_transform({rng},
+                                            j -> G[i][j] * q.v[j])))))
+         AS s
+  FROM gm0, q{T}_{c} q)""")
+    projs = ",\n       ".join(
+        _sci_sql(
+            f"list_sum(list_transform({rng}, j -> e.v[j] * f{c}.v[j]))"
+        )
+        + f" AS p{c}"
+        for c in range(SSVD_K)
+    )
+    sigs = ",\n       ".join(
+        _sci_sql(f"g{c}.s") + f" AS s{c}" for c in range(SSVD_K)
+    )
+    froms = ", ".join(
+        [f"q{T}_{c} f{c}" for c in range(SSVD_K)]
+        + [f"sig{c} g{c}" for c in range(SSVD_K)]
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cell AS MATERIALIZED (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(printf('%.6e', sum(v[ii.i] * v[jj.j])) AS DOUBLE) AS g
+  FROM e, {rng} ii(i), {rng} jj(j)
+  GROUP BY 1, 2
+),
+gm0 AS MATERIALIZED (
+  SELECT list(gr ORDER BY i) AS G
+  FROM (SELECT i, list(g ORDER BY j) AS gr FROM cell GROUP BY i)
+),
+{body}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       {projs},
+       {sigs}
+FROM e, {froms}
+"""
+
+
+QUERIES["emb_ssvd"] = q_emb_ssvd
+_oracles_pre_ssvd = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ssvd()
+    d["emb_ssvd"] = o_emb_ssvd()
     return d

@@ -44,28 +44,41 @@ from mahout_samsara_book_spark.cache import track
 from mahout_samsara_book_spark.operators.hashing import h60
 
 
-def _xlx(c):
-    """x·ln(x) with the 0·ln(0)=0 convention, on an integer column."""
-    return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
-        F.lit(0.0)
-    )
+def _kln(k, r, c, n):
+    """One cell of the relative-entropy form: k·ln((k·N)/(r·c)) with
+    the 0-cell → 0 convention.  All four counts cast to double BEFORE
+    multiplying (k·N overflows int64 near 100 TB scale), and the ratio
+    is formed as ONE division so the log's argument is O(1) — see
+    llr_expr."""
+    kd, rd, cd, nd = (x.cast("double") for x in (k, r, c, n))
+    return F.when(
+        k > 0, kd * F.log(kd * nd / (rd * cd))
+    ).otherwise(F.lit(0.0))
 
 
 def llr_expr(k11, k12, k21, k22):
-    """Dunning's G² = 2·(Σ xlx(cells) − Σ xlx(row sums) − Σ xlx(col
-    sums) + xlx(N)) — written in this exact term order on both engines
-    (integer inputs ⇒ identical floats)."""
+    """Dunning's G² in the RELATIVE-ENTROPY form
+    2·Σ_cells k_ij·ln(k_ij·N / (row_i·col_j)) — mathematically the
+    xlx-of-marginals form, but numerically stable where that one is
+    not: the xlx form sums terms of magnitude N·ln N (~2e7 at one
+    million users) that cancel to an O(1) score, amplifying the
+    last-ulp difference between the JVM's and the oracle engine's
+    ln() by N·ln N / G² (measured at sf1: flipped the 8th printed
+    digit of rec_cross_llr scores).  Here every term is O(G²)
+    magnitude — each cell count multiplies the log of an O(1)
+    observed/expected ratio — so a 1-ulp ln() difference stays ~1e-15
+    relative and the %.7e print is safe (same residual class as a
+    single un-iterated distributed sum).  Term order and the exact
+    float op shapes (one division, left-assoc adds) are mirrored in
+    the oracle SQL."""
     n = k11 + k12 + k21 + k22
+    ra, rb = k11 + k12, k21 + k22
+    ca, cb = k11 + k21, k12 + k22
     return F.lit(2.0) * (
-        _xlx(k11)
-        + _xlx(k12)
-        + _xlx(k21)
-        + _xlx(k22)
-        - _xlx(k11 + k12)
-        - _xlx(k21 + k22)
-        - _xlx(k11 + k21)
-        - _xlx(k12 + k22)
-        + _xlx(n)
+        _kln(k11, ra, ca, n)
+        + _kln(k12, ra, cb, n)
+        + _kln(k21, rb, ca, n)
+        + _kln(k22, rb, cb, n)
     )
 
 
@@ -170,4 +183,136 @@ def item_similarity_llr(
         both.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select(item_col, "other", "llr", "rank")
+    )
+
+def cross_similarity_llr(
+    primary: DataFrame,
+    secondary: DataFrame,
+    k: int = 10,
+    max_prefs: int = 50,
+    max_prefs_secondary: int | None = None,
+    seed: int = 31,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """CROSS-cooccurrence — Mahout's ``SimilarityAnalysis.cooccurrences``
+    with a secondary action matrix (round-11): the A′B indicator of the
+    universal-recommender story.  ``primary`` holds the action being
+    recommended (e.g. purchase: user × item_a) and ``secondary`` a
+    correlated cheaper action (e.g. view/click: user × item_b, a
+    DIFFERENT item space is fine); the output ``(item_id, other, llr,
+    rank)`` ranks, for each PRIMARY item, the secondary items whose
+    user sets overlap it most surprisingly — "people who bought A
+    also viewed B".  Unlike :func:`item_similarity_llr` the matrix is
+    NOT symmetric, so only the primary orientation is ranked.
+
+    Contingency cells per (a, b): k11 = users with BOTH primary-a and
+    secondary-b; row/col totals are each side's per-item user counts
+    (after capping); N = the distinct-user universe across BOTH capped
+    relations (users present on one side only still shape the table —
+    Mahout's row count of the paired matrices).
+
+    Scale shape mirrors item_similarity_llr, with the dial now
+    RECTANGULAR: per-user pair volume is |A_u|·|B_u| ≤ cap_a·cap_b, so
+    the stream is n_users·cap_a·cap_b — linear in users, never
+    quadratic in a power user's degree on either side.  Both histories
+    cap by deterministic per-(user, item) hash order (independent
+    tags, so the two sides' samples are uncorrelated).  Pair
+    generation is ONE co-partitioned join of the two per-user sorted
+    lists (both grouped by u — the exchange is shared) feeding a fused
+    nested-transform explode inside the partial pair-count aggregation:
+    only distinct (a, b) keys reach the shuffle, never the raw pair
+    stream.  LLR from four integer counts in one codegen'd expression —
+    no distributed float sums, bit-exact oracle replay."""
+    cap_b = max_prefs if max_prefs_secondary is None else max_prefs_secondary
+
+    def _capped(df: DataFrame, tag: str, cap: int) -> DataFrame:
+        rel = df.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i")
+        ).distinct()
+        w = Window.partitionBy("u").orderBy(
+            h60(
+                F.concat(
+                    F.lit(tag),
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            F.col("i"),
+        )
+        return (
+            rel.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .select("u", "i")
+        )
+
+    # each capped side feeds three consumers (its item counts, the
+    # user-universe count, its pair-join side) — track() persists one
+    # scan + cap window per side; the N count below warms both
+    pa = track(_capped(primary, f"recxA{seed}:", max_prefs))
+    sb = track(_capped(secondary, f"recxB{seed}:", cap_b))
+    n_users = (
+        pa.select("u").unionByName(sb.select("u")).distinct().count()
+    )
+    ca = pa.groupBy("i").agg(F.count(F.lit(1)).alias("na")).select(
+        F.col("i").alias("a"), "na"
+    )
+    cb = sb.groupBy("i").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("i").alias("b"), "nb"
+    )
+    lists_a = pa.groupBy("u").agg(
+        F.sort_array(F.collect_list("i")).alias("as_")
+    )
+    lists_b = sb.groupBy("u").agg(
+        F.sort_array(F.collect_list("i")).alias("bs_")
+    )
+    pairs = (
+        lists_a.join(lists_b, "u")
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("as_"),
+                        lambda a: F.transform(
+                            F.col("bs_"),
+                            lambda b: F.struct(
+                                a.alias("a"), b.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("k11")
+    )
+    scored = (
+        pair_counts.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            llr_expr(
+                F.col("k11"),
+                F.col("na") - F.col("k11"),
+                F.col("nb") - F.col("k11"),
+                F.lit(n_users) - F.col("na") - F.col("nb") + F.col("k11"),
+            ).alias("llr"),
+        )
+    )
+    w_rank = Window.partitionBy("a").orderBy(
+        F.round(F.col("llr"), 9).desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a").alias(item_col),
+            F.col("b").alias("other"),
+            "llr",
+            "rank",
+        )
     )

@@ -135,3 +135,120 @@ def leading_component(
         emb, dim, k=1, iters=iters, id_col=id_col, vec_col=vec_col
     )
     return comps[0], df.select(F.col(id_col), F.col("p0").alias("proj"))
+
+# ------------------------------------------------------------------ #
+# round-11: randomized dSSVD (VERDICT r10 item 3) — Samsara's dssvd
+# (Halko/Martinsson/Tropp randomized range finder) re-expressed for
+# the tall-skinny embedding relation.
+# ------------------------------------------------------------------ #
+
+
+def _matvec(g: list[list[float]], v: list[float]) -> list[float]:
+    out = []
+    for i in range(len(g)):
+        s = 0.0
+        for j in range(len(v)):
+            s += g[i][j] * v[j]
+        out.append(s)
+    return out
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def ssvd_project(
+    emb: DataFrame,
+    dim: int,
+    k: int = 3,
+    oversample: int = 2,
+    iters: int = 4,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float], DataFrame]:
+    """Randomized SSVD of the tall-skinny relation A (n × dim):
+    ``(components, sigmas, projections)`` — the top-k right singular
+    vectors, singular values, and per-row projections ``(id,
+    p0..p{k-1})``.
+
+    Halko et al.'s randomized range finder with power iterations
+    (Algorithm 4.4), algebraically reorganized so the sketch never
+    materializes the n-row Y: start from a SEEDED Gaussian block Ω
+    (dim × (k+oversample)), and run ``iters`` rounds of
+    B ← orthonormalize(G·B) on the driver, where G = AᵀA is the
+    distributed gram (A7 kernel).  Every Y-side quantity of the
+    published algorithm is an exact function of G (YᵀY = ΩᵀGΩ,
+    YᵀA = ΩᵀG), so working on G is the same algorithm with the QR
+    factor eliminated — and only TWO corpus passes total (gram +
+    projection), like leading_components, but ALL k directions
+    converge together: cost in k is k·iters·dim² driver flops with NO
+    per-component deflation restart, which is where the deflated
+    power iteration loses (its iterate count is k·iters sequential
+    rounds and each deflation compounds quantization error).
+
+    Orthonormalization is MODIFIED Gram-Schmidt in a fixed sequential
+    op order (column j: subtract projections onto q_0..q_{j-1} one at
+    a time, then normalize) — chosen over Cholesky-QR/numpy because
+    every op is an elementary fold the DuckDB oracle replays verbatim
+    (the emb_pca_topk discipline); the gram AND Ω are quantized to 7
+    significant digits on both engines before iterating (%.6e
+    round-trip — see leading_components' float contract).
+
+    σ_c = sqrt(q_cᵀ G q_c) (Rayleigh); components are eigenvectors of
+    G = right singular vectors of A; projections are the codegen'd
+    zip_with+aggregate left fold per component.  Oversampling columns
+    are iterated but not returned — their role is to protect the top-k
+    subspace from a bad random start, exactly as published."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.drm.drm import FEAT, KEY, Drm
+
+    m = k + oversample
+    rs = np.random.RandomState(seed)
+    om = rs.standard_normal((dim, m))
+    cols = [
+        [float("%.6e" % float(om[i, j])) for i in range(dim)]
+        for j in range(m)
+    ]
+    d = Drm(
+        emb.select(
+            F.col(id_col).cast("long").alias(KEY),
+            F.col(vec_col).cast("array<double>").alias(FEAT),
+        ),
+        ncol=dim,
+    )
+    gm = d.gram()
+    g = [
+        [float("%.6e" % float(gm[i, j])) for j in range(dim)]
+        for i in range(dim)
+    ]
+    q = cols
+    for _ in range(iters):
+        w = [_matvec(g, q[j]) for j in range(m)]
+        nxt: list[list[float]] = []
+        for j in range(m):
+            v = w[j]
+            for i in range(j):
+                c = _dot(nxt[i], v)
+                v = [x - c * y for x, y in zip(v, nxt[i])]
+            nr = math.sqrt(_dot(v, v))
+            nxt.append([x / nr for x in v])
+        q = nxt
+    sigmas = [math.sqrt(_dot(q[c], _matvec(g, q[c]))) for c in range(k)]
+    comps = [q[c] for c in range(k)]
+    arr = F.col(vec_col).cast("array<double>")
+    pcols = []
+    for ci, v in enumerate(comps):
+        lit = F.array(*[F.lit(float(x)) for x in v])
+        pcols.append(
+            F.aggregate(
+                F.zip_with(arr, lit, lambda x, e: x * e),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"p{ci}")
+        )
+    return comps, sigmas, emb.select(F.col(id_col), *pcols)

@@ -333,3 +333,93 @@ def test_item_similarity_llr_hand_computed(spark):
     }
     # ≤ 10 hash-chosen items from user 1 plus user 2's pair
     assert len(items_seen) <= 12
+
+
+def test_cross_similarity_llr_hand_computed(spark):
+    """Cross-action LLR (A′B): hand-built 2×2 table where the user
+    universe spans BOTH capped relations, output ranked only in the
+    primary orientation, rectangular history caps honored."""
+    import math
+
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        cross_similarity_llr,
+    )
+
+    # primary (purchases): users 1,2,3 bought A; 4,5 bought C
+    primary = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "C"), (5, "C")],
+        "user_id long, item_id string",
+    )
+    # secondary (views): users 1,2 viewed X; 6 viewed X (no purchase);
+    # user 3 viewed Y
+    secondary = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (6, "X"), (3, "Y")],
+        "user_id long, item_id string",
+    )
+    out = cross_similarity_llr(primary, secondary, k=5).collect()
+    got = {(r.item_id, r.other): r.llr for r in out}
+    # only primary→secondary orientations, only co-occurring pairs
+    assert set(got) == {("A", "X"), ("A", "Y")}
+
+    def kln(k, r, c, n):
+        return k * math.log(k * n / (r * c)) if k > 0 else 0.0
+
+    # N = |{1..6}| = 6; for (A, X): k11=2 (users 1,2), nA=3, nX=3
+    k11, k12, k21, k22 = 2, 1, 1, 2
+    want = 2.0 * (
+        kln(k11, k11 + k12, k11 + k21, 6)
+        + kln(k12, k11 + k12, k12 + k22, 6)
+        + kln(k21, k21 + k22, k11 + k21, 6)
+        + kln(k22, k21 + k22, k12 + k22, 6)
+    )
+    assert abs(got[("A", "X")] - want) < 1e-12
+
+    # rectangular caps: a power user's SECONDARY history truncates at
+    # max_prefs_secondary while the primary side keeps its own cap
+    power_sec = spark.createDataFrame(
+        [(1, f"s{j}") for j in range(100)],
+        "user_id long, item_id string",
+    )
+    small_pri = spark.createDataFrame(
+        [(1, "P")], "user_id long, item_id string"
+    )
+    pairs = cross_similarity_llr(
+        small_pri, power_sec, k=1000, max_prefs=10,
+        max_prefs_secondary=7,
+    ).collect()
+    assert len(pairs) == 7  # one primary item × capped secondary
+
+
+def test_ssvd_project_matches_numpy_svd(spark):
+    """Randomized SSVD recovers the top-k right singular vectors and
+    singular values of a well-separated spectrum (up to sign), with
+    orthonormal components and projections equal to X @ V."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import ssvd_project
+
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.randn(16, 3))
+    x = (
+        rng.randn(500, 3) * np.array([10.0, 6.0, 3.0])
+    ) @ q.T + 0.01 * rng.randn(500, 16)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, sigmas, proj_df = ssvd_project(
+        emb, dim=16, k=3, oversample=3, iters=8, seed=17
+    )
+    e = np.array(comps)
+    _, s_np, vt = np.linalg.svd(x, full_matrices=False)
+    for c in range(3):
+        assert abs(float(e[c] @ vt[c])) > 1 - 1e-6, c
+        # σ from the quantized gram: 7-digit inputs bound the error
+        assert abs(sigmas[c] - s_np[c]) / s_np[c] < 1e-5, c
+    # subspace iteration orthonormalizes jointly — tighter than the
+    # deflated power iteration's residual mixing
+    assert abs(float(e[0] @ e[1])) < 1e-9
+    assert abs(float(e[1] @ e[2])) < 1e-9
+    rows = {r.vec_id: (r.p0, r.p1, r.p2) for r in proj_df.collect()}
+    got = np.array([rows[i] for i in range(500)])
+    assert np.allclose(got, x @ e.T, rtol=1e-10, atol=1e-10)
