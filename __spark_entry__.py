@@ -608,71 +608,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-10 window (VERDICT r9 items 1-5, 7 +
-    # the standing rule): (1) every query ADDED or IMPLEMENTATION-
-    # CHANGED in round 10; (2) the 12 rows deferred from round 5
-    # (VERDICT r9 item 2 — after this head no row is older than r6);
-    # (3) 26 of the 48 remaining r6 rows, biased toward the
-    # reference-core drm/regression/NB surface.  Deferred r6 rows are
-    # named at the end.
-    rotation_r10 = [
-        # -- (1) new in round 10
-        "dedup_incremental_append",   # new: persisted-index append lifecycle
-        "ev_asof_nearest",            # new: nearest-direction as-of + tolerance
-        "text_bm25_hof",              # new: aggregate-HOF score fold graded
-        "ev_stream_asof_wm",          # new: watermarked streaming as-of
-        "dedup_semantic",             # new: SemDeDup cluster-scoped dedup
-        "emb_pca_topk",               # new: top-k PCA on the A7 gram
-        "rec_item_llr",               # new: LLR cooccurrence recommender
-        "ev_asof_forward",            # new: forward as-of (last ungraded contract)
-        # -- (1) implementation changed in round 10
-        "sel_epoch_shuffle",          # r10: two-phase distributed rank
-        "dedup_incremental_persisted",  # r10: self-row anti-join guard
-        "sim_cosine_topk",            # r10: _fixed_dim plan-fingerprint cache
-        "ivf_topk",                   # r10: center-matrix dim threaded (no probe)
-        "ann_lsh_topk",               # r10: dim parameter threaded (no probe)
-        "ann_ivf_persisted_topk",     # r10: persisted-center dim threaded
-        "ann_ivf_persisted",          # r10: persisted-center dim threaded
-        "ann_ivf_incremental",        # r10: rides the same persisted verify
-        # -- (2) the 12 deferred r5 rows
-        "docs_funnel", "ev_enriched", "pq_encode", "pq_mse",
-        "rel_date_trunc", "rel_json_extract", "rel_large_orders",
-        "rel_rank_family", "rel_shipping_priority", "rel_string_funcs",
-        "rel_window_range", "sketch_kmv_distinct",
-        # -- (3) 26 stalest r6 rows: the whole drm core + the
-        # regression/NB/clustering algorithm surface + exact/minhash
-        # dedup kernels
-        "drm_abs_slice", "drm_allreduce", "drm_ax", "drm_colsums",
-        "drm_gram", "drm_gram_wide", "drm_group_sum", "drm_map_block",
-        "drm_mmul", "drm_mmul_coo", "drm_normal_eq", "drm_rbind",
-        "drm_rowsums", "drm_sample_k", "drm_ssr", "drm_transpose",
-        "dridge", "reg_coeff_tests", "bfgs_argmin", "bahmani_weights",
-        "nb_train_text", "nb_predict_text",
-        # the 26 deferred r6 rows (head budget is 50; dedup_exact,
-        # dedup_minhash_sig, dedup_lsh_jaccard and point_weights
-        # yielded their slots to the four newest r10 queries — their
-        # kernels stay exercised in-head by dedup_incremental*,
-        # sel_dedup_survivors, text_minhash_dedup_pairs and
-        # bahmani_weights respectively), for the r11
-        # head ahead of anything newer: dedup_embedding, dedup_simhash,
-        # ev_sessionize, ev_stream_append, ev_stream_join,
-        # ev_windowed_counts, ivf_assign, multimodal_decode,
-        # multimodal_meta, rel_asof_events, rel_asof_tolerance,
-        # rel_cube, rel_incr_summary, rel_lead_lag, rel_percentiles,
-        # rel_profile, rel_range_join, rel_scalar_subquery,
-        # rel_setops, rel_unpivot, rel_upsert, skew_salted_group_sum,
-        # dedup_minhash_sig, dedup_lsh_jaccard, dedup_exact,
-        # point_weights
-        # — all with 3+ green grades and code untouched since r6
+    # after ~50 queries.  Round-11 window (VERDICT r10 item 1 + the
+    # standing rule): (1) every query ADDED or IMPLEMENTATION-CHANGED
+    # in round 11; (2) the 26 rows deferred from round 6 (named in the
+    # r10 rotation comment — after this head no graded row is older
+    # than r7); (3) 16 of the r7-stale rows (alphabetical prefix of
+    # the r7 cohort; the remaining r7 rows — fmt_*, graph_*,
+    # kmeans_lloyd, rel_fuzzy_join, sketch block et al. — defer to
+    # r12, all with 3+ green grades and code untouched since r7).
+    rotation_r11 = [
+        # -- (1) new in round 11
+        "rec_cross_llr",            # new: A'B cross-cooccurrence LLR
+        "emb_ssvd",                 # new: randomized dSSVD (Halko)
+        "dedup_ingest_lifecycle",   # new: 3-batch ingest_batch compose
+        # -- (1) implementation changed in round 11
+        "rec_item_llr",             # r11: stable relative-entropy LLR
+        "dedup_incremental_append", # r11: re-key offset outside id domain
+        "dedup_semantic",           # r11: job-free plan build (explicit n)
+        "ev_stream_asof_wm",        # r11: strict t<wm flush + TTL machine
+        "dedup_incremental_persisted",  # r11: buckets-first append order
+        # -- (2) the 26 deferred r6 rows (r10 rotation comment)
+        "dedup_embedding", "dedup_simhash", "ev_sessionize",
+        "ev_stream_append", "ev_stream_join", "ev_windowed_counts",
+        "ivf_assign", "multimodal_decode", "multimodal_meta",
+        "rel_asof_events", "rel_asof_tolerance", "rel_cube",
+        "rel_incr_summary", "rel_lead_lag", "rel_percentiles",
+        "rel_profile", "rel_range_join", "rel_scalar_subquery",
+        "rel_setops", "rel_unpivot", "rel_upsert",
+        "skew_salted_group_sum", "dedup_minhash_sig",
+        "dedup_lsh_jaccard", "dedup_exact", "point_weights",
+        # -- (3) 16 stalest r7 rows
+        "ann_ivfpq_topk", "bloom_join_prune", "dedup_exact_substr",
+        "emb_pca_power", "emb_quantize_int8", "ev_anomalies",
+        "ev_attribution", "ev_gapfill", "ev_hourly_profile",
+        "ev_mad_outliers", "ev_markov_next", "ev_sliding_active",
+        "ev_stream_dedup", "ev_stream_session", "ev_stream_stateful",
+        "ev_stream_windowed",
     ]
-    # a misspelled/renamed rotation entry would silently waste one of
-    # the ~50 driver-gate slots (ADVICE r6) — fail fast instead; the
-    # head must also be EXACTLY the driver's truncation budget, or the
-    # tail of this list silently goes ungraded
-    missing = set(rotation_r10) - full.keys()
+    missing = set(rotation_r11) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    assert len(rotation_r10) == len(set(rotation_r10)) == 50, len(rotation_r10)
-    head = {n: full[n] for n in rotation_r10}
+    assert len(rotation_r11) == len(set(rotation_r11)) == 50, len(rotation_r11)
+    head = {n: full[n] for n in rotation_r11}
     return {**head, **full}
 
 

@@ -1149,6 +1149,61 @@ def main() -> int:
         )
     )
 
+    p44 = plan_of(_em10.q_rec_cross_llr(spark, sf_dir))
+    checks.append(
+        (
+            "cross-cooccurrence LLR (rec_cross_llr)",
+            p44,
+            [
+                (
+                    "BOTH capped action histories materialize once "
+                    "(two InMemoryTableScans) — each side's three "
+                    "consumers (item counts, user universe, pair-join "
+                    "side) share one scan + cap window",
+                    p44.count("InMemoryTableScan") >= 2,
+                ),
+                (
+                    "top-k per primary item pushes the rank limit "
+                    "into the shuffle (WindowGroupLimit)",
+                    "WindowGroupLimit" in p44,
+                ),
+                (
+                    "the cross pair stream never materializes as a "
+                    "join — no cartesian/nested-loop (per-user list "
+                    "join + fused explode inside the partial "
+                    "aggregation)",
+                    "CartesianProduct" not in p44
+                    and "BroadcastNestedLoopJoin" not in p44,
+                ),
+            ],
+        )
+    )
+
+    p45 = plan_of(_em10.q_emb_ssvd(spark, sf_dir))
+    checks.append(
+        (
+            "randomized SSVD projection (emb_ssvd) — two corpus "
+            "passes total",
+            p45,
+            [
+                (
+                    "the returned projection plan is fully narrow: "
+                    "ZERO shuffles — one columnar scan, k component "
+                    "literals + k singular-value literals folded in "
+                    "whole-stage codegen (the gram pass already ran "
+                    "as its own one-shuffle job at build time; the "
+                    "sketch/subspace iteration is driver flops)",
+                    n_shuffles(p45) == 0 and "codegen id" in p45,
+                ),
+                (
+                    "scan reads only (vec_id, embedding)",
+                    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+                    in p45,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
