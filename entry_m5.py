@@ -2966,15 +2966,18 @@ def q_dedup_ingest_lifecycle(
         (F.col("doc_id") + DDX_REKEY2).alias("doc_id"), "text"
     )
     outs = []
-    for i, b in enumerate([b1, b2, b3], start=1):
+    batches = [b1, b2, b3]
+    for i, b in enumerate(batches, start=1):
         out = ingest_batch(
             b, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
             seed=MINHASH_SEED, threshold=0.5,
-        )
+        ).withColumn("batch", F.lit(i).cast("long"))
         # materialize NOW: the next ingest appends more index rows,
-        # which this batch's probe must not see
+        # which this batch's probe must not see.  The LAST batch needs
+        # no checkpoint — nothing appends after it, and its probe is
+        # idempotent against its own appended rows (the anti-join)
         outs.append(
-            out.withColumn("batch", F.lit(i).cast("long")).localCheckpoint()
+            out if i == len(batches) else out.localCheckpoint()
         )
     union = outs[0]
     for o in outs[1:]:

@@ -848,7 +848,15 @@ def dedup_index_append(
     bkt = band_buckets(
         minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col
     )
-    bkt.write.mode("append").partitionBy("band").parquet(path + "/buckets")
+    # repartition by band before the dynamic-partition append: without
+    # it every append lands numShufflePartitions × bands small files
+    # (256 per batch at the default 32), and a long-lived index decays
+    # into a small-files swamp the probes pay for on every listing.
+    # One narrow extra shuffle per batch buys exactly `bands` files
+    # per append — the 100 TB small-files discipline.
+    bkt.repartition(bands, "band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(path + "/buckets")
     sh_b.write.mode("append").parquet(path + "/shingles")
 
 
