@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new in round 11
         "rec_cross_llr",            # new: A'B cross-cooccurrence LLR
         "emb_ssvd",                 # new: randomized dSSVD (Halko)
+        "emb_dspca",                # new: centered twin (bordered gram)
         "dedup_ingest_lifecycle",   # new: 3-batch ingest_batch compose
         # -- (1) implementation changed in round 11
         "rec_item_llr",             # r11: stable relative-entropy LLR
@@ -643,7 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_attribution", "ev_gapfill", "ev_hourly_profile",
         "ev_mad_outliers", "ev_markov_next", "ev_sliding_active",
         "ev_stream_dedup", "ev_stream_session", "ev_stream_stateful",
-        "ev_stream_windowed",
+        # ev_stream_windowed yielded its slot to emb_dspca; it joins
+        # the r7 cohort deferring to r12
     ]
     missing = set(rotation_r11) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"

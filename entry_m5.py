@@ -3670,23 +3670,25 @@ def q_emb_ssvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def o_emb_ssvd() -> str:
+def _mgs_sql_blocks(m: int, iters: int, k: int, rng: str, dim: int,
+                    seed: int) -> list:
+    """CTE blocks replaying _subspace_iterate + Rayleigh σ against a
+    ``gm0`` CTE (G as list-of-lists): quantized seeded start columns
+    q0_*, then per round a matvec + sequential modified-Gram-Schmidt
+    per column, then sig0..sig{k-1}.  Shared by the emb_ssvd and
+    emb_dspca oracles — only gm0's construction differs."""
     import numpy as np
 
-    m = SSVD_K + SSVD_OVERSAMPLE
-    d1 = SSVD_DIM + 1
-    rng = f"range(1, {d1})"
-    rs = np.random.RandomState(SSVD_SEED)
-    om = rs.standard_normal((SSVD_DIM, m))
+    om = np.random.RandomState(seed).standard_normal((dim, m))
     blocks = []
     # q0_j: the quantized Ω columns as literals (identical constants
     # on both engines — the hash-family precedent)
     for j in range(m):
-        lits = ", ".join("%.6e" % float(om[i, j]) for i in range(SSVD_DIM))
+        lits = ", ".join("%.6e" % float(om[i, j]) for i in range(dim))
         blocks.append(
             f"q0_{j} AS MATERIALIZED (SELECT [{lits}]::DOUBLE[] AS v)"
         )
-    for t in range(1, SSVD_ITERS + 1):
+    for t in range(1, iters + 1):
         p = t - 1
         for j in range(m):
             # w = G @ q_prev_j  (the emb_pca_topk matvec fold)
@@ -3711,14 +3713,24 @@ def o_emb_ssvd() -> str:
            v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
          AS v
   FROM {prev})""")
-    T = SSVD_ITERS
-    for c in range(SSVD_K):
+    for c in range(k):
         blocks.append(f"""sig{c} AS MATERIALIZED (
   SELECT sqrt(list_sum(list_transform({rng}, i ->
            q.v[i] * list_sum(list_transform({rng},
                                             j -> G[i][j] * q.v[j])))))
          AS s
-  FROM gm0, q{T}_{c} q)""")
+  FROM gm0, q{iters}_{c} q)""")
+    return blocks
+
+
+def o_emb_ssvd() -> str:
+    m = SSVD_K + SSVD_OVERSAMPLE
+    d1 = SSVD_DIM + 1
+    rng = f"range(1, {d1})"
+    blocks = _mgs_sql_blocks(
+        m, SSVD_ITERS, SSVD_K, rng, SSVD_DIM, SSVD_SEED
+    )
+    T = SSVD_ITERS
     projs = ",\n       ".join(
         _sci_sql(
             f"list_sum(list_transform({rng}, j -> e.v[j] * f{c}.v[j]))"
@@ -3763,4 +3775,116 @@ _oracles_pre_ssvd = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_ssvd()
     d["emb_ssvd"] = o_emb_ssvd()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: randomized dSPCA (Samsara's dspca — the mean-centered
+# twin of emb_ssvd; algorithms/spectral.py:dspca_project).  One
+# BORDERED gram pass (1.0 prepended to every row) carries n, the
+# column sums and AᵀA together; the centered gram and the mean
+# correction are driver arithmetic on quantized cells, so the
+# centered matrix is never materialized and the projection stays a
+# zero-shuffle codegen scan.
+# ------------------------------------------------------------------ #
+
+
+def q_emb_dspca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projections onto the top-SSVD_K principal directions
+    of the CENTERED embedding matrix plus the centered singular values
+    (constant columns), via the same randomized subspace iteration as
+    emb_ssvd on the bordered-gram-derived centered gram."""
+    from mahout_samsara_book_spark.algorithms.spectral import dspca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, sigmas, out = dspca_project(
+        emb, dim=SSVD_DIM, k=SSVD_K, oversample=SSVD_OVERSAMPLE,
+        iters=SSVD_ITERS, seed=SSVD_SEED,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[_sci(F.col(f"p{c}")).alias(f"p{c}") for c in range(SSVD_K)],
+        *[
+            _sci(F.lit(float(s))).alias(f"s{c}")
+            for c, s in enumerate(sigmas)
+        ],
+    )
+
+
+def o_emb_dspca() -> str:
+    m = SSVD_K + SSVD_OVERSAMPLE
+    d1 = SSVD_DIM + 1       # centered-gram index range
+    d2 = SSVD_DIM + 2       # bordered-gram index range (1.0 prepended)
+    rng = f"range(1, {d1})"
+    rngb = f"range(1, {d2})"
+    blocks = _mgs_sql_blocks(
+        m, SSVD_ITERS, SSVD_K, rng, SSVD_DIM, SSVD_SEED
+    )
+    T = SSVD_ITERS
+    # μ·v per component, in dspca_project's exact fold order
+    for c in range(SSVD_K):
+        blocks.append(f"""md{c} AS MATERIALIZED (
+  SELECT list_sum(list_transform({rng}, j ->
+           (B[1][j + 1] / B[1][1]) * q.v[j])) AS mdot
+  FROM gmB, q{T}_{c} q)""")
+    projs = ",\n       ".join(
+        _sci_sql(
+            f"list_sum(list_transform({rng}, j -> e.v[j] * f{c}.v[j]))"
+            f" - m{c}.mdot"
+        )
+        + f" AS p{c}"
+        for c in range(SSVD_K)
+    )
+    sigs = ",\n       ".join(
+        _sci_sql(f"g{c}.s") + f" AS s{c}" for c in range(SSVD_K)
+    )
+    froms = ", ".join(
+        [f"q{T}_{c} f{c}" for c in range(SSVD_K)]
+        + [f"sig{c} g{c}" for c in range(SSVD_K)]
+        + [f"md{c} m{c}" for c in range(SSVD_K)]
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+eb AS (
+  SELECT vec_id, [1.0]::DOUBLE[] || v AS v FROM e
+),
+cellb AS MATERIALIZED (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(printf('%.6e', sum(v[ii.i] * v[jj.j])) AS DOUBLE) AS g
+  FROM eb, {rngb} ii(i), {rngb} jj(j)
+  GROUP BY 1, 2
+),
+gmB AS MATERIALIZED (
+  SELECT list(gr ORDER BY i) AS B
+  FROM (SELECT i, list(g ORDER BY j) AS gr FROM cellb GROUP BY i)
+),
+gm0 AS MATERIALIZED (
+  -- centered gram from the bordered cells, dspca_project's exact
+  -- driver arithmetic: C[i][j] = G[i][j] - s[i]*s[j]/n
+  SELECT list_transform({rng}, i ->
+           list_transform({rng}, j ->
+             B[i + 1][j + 1] - B[1][i + 1] * B[1][j + 1] / B[1][1]))
+         AS G
+  FROM gmB
+),
+{body}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       {projs},
+       {sigs}
+FROM e, {froms}
+"""
+
+
+QUERIES["emb_dspca"] = q_emb_dspca
+_oracles_pre_dspca = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_dspca()
+    d["emb_dspca"] = o_emb_dspca()
     return d

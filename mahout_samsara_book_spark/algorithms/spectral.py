@@ -208,12 +208,34 @@ def ssvd_project(
     from mahout_samsara_book_spark.drm.drm import FEAT, KEY, Drm
 
     m = k + oversample
-    rs = np.random.RandomState(seed)
-    om = rs.standard_normal((dim, m))
-    cols = [
+    g = _quantized_gram(emb, dim, id_col, vec_col)
+    q = _subspace_iterate(g, _seeded_block(dim, m, seed), iters)
+    sigmas = [math.sqrt(_dot(q[c], _matvec(g, q[c]))) for c in range(k)]
+    comps = [q[c] for c in range(k)]
+    return comps, sigmas, emb.select(
+        F.col(id_col), *_proj_cols(comps, vec_col)
+    )
+
+
+def _seeded_block(dim: int, m: int, seed: int) -> list[list[float]]:
+    """dim × m Gaussian start block as m quantized column lists —
+    identical constants on both engines (%.6e round-trip)."""
+    import numpy as np
+
+    om = np.random.RandomState(seed).standard_normal((dim, m))
+    return [
         [float("%.6e" % float(om[i, j])) for i in range(dim)]
         for j in range(m)
     ]
+
+
+def _quantized_gram(
+    emb: DataFrame, dim: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """The distributed gram (A7 kernel), 7-digit-quantized (see
+    leading_components' float contract)."""
+    from mahout_samsara_book_spark.drm.drm import FEAT, KEY, Drm
+
     d = Drm(
         emb.select(
             F.col(id_col).cast("long").alias(KEY),
@@ -222,10 +244,19 @@ def ssvd_project(
         ncol=dim,
     )
     gm = d.gram()
-    g = [
+    return [
         [float("%.6e" % float(gm[i, j])) for j in range(dim)]
         for i in range(dim)
     ]
+
+
+def _subspace_iterate(
+    g: list[list[float]], cols: list[list[float]], iters: int
+) -> list[list[float]]:
+    """``iters`` rounds of B ← MGS-orthonormalize(G·B) in the fixed
+    sequential op order both the Python engine and the generated
+    DuckDB oracle execute verbatim."""
+    m = len(cols)
     q = cols
     for _ in range(iters):
         w = [_matvec(g, q[j]) for j in range(m)]
@@ -238,8 +269,10 @@ def ssvd_project(
             nr = math.sqrt(_dot(v, v))
             nxt.append([x / nr for x in v])
         q = nxt
-    sigmas = [math.sqrt(_dot(q[c], _matvec(g, q[c]))) for c in range(k)]
-    comps = [q[c] for c in range(k)]
+    return q
+
+
+def _proj_cols(comps: list[list[float]], vec_col: str) -> list:
     arr = F.col(vec_col).cast("array<double>")
     pcols = []
     for ci, v in enumerate(comps):
@@ -251,4 +284,70 @@ def ssvd_project(
                 lambda acc, x: acc + x,
             ).alias(f"p{ci}")
         )
-    return comps, sigmas, emb.select(F.col(id_col), *pcols)
+    return pcols
+
+
+def dspca_project(
+    emb: DataFrame,
+    dim: int,
+    k: int = 3,
+    oversample: int = 2,
+    iters: int = 4,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float], DataFrame]:
+    """Randomized dSPCA — Samsara's ``dspca`` twin of
+    :func:`ssvd_project`: the top-k principal directions of the
+    MEAN-CENTERED relation, without ever materializing the centered
+    matrix (centering a sparse/distributed A densifies it — the
+    published dspca's whole point is to push the mean correction into
+    the small side).
+
+    One BORDERED gram pass gets every statistic: the row vector is
+    prepended with a literal 1.0, so the (dim+1)² gram holds n in cell
+    [0,0], the column sums s in row/col 0, and AᵀA in the body — the
+    centered covariance-scale gram C = AᵀA − s·sᵀ/n is then pure
+    driver arithmetic on ALREADY-QUANTIZED cells (deterministic on
+    both engines; the subtraction introduces no cross-engine wobble
+    because both subtract identical doubles).  Subspace iteration and
+    Rayleigh σ run on C exactly as in ssvd_project; per-row
+    projections are (x − μ)·v = x·v − (μ·v), the scalar μ·v folded in
+    as one literal per component, so the projection pass stays a
+    zero-shuffle codegen scan.  TWO corpus passes total, like the
+    uncentered variant."""
+    m = k + oversample
+    b = _quantized_gram(
+        emb.select(
+            F.col(id_col),
+            F.concat(
+                F.array(F.lit(1.0)), F.col(vec_col).cast("array<double>")
+            ).alias(vec_col),
+        ),
+        dim + 1,
+        id_col,
+        vec_col,
+    )
+    n = b[0][0]
+    s = [b[0][j + 1] for j in range(dim)]
+    g = [
+        [b[i + 1][j + 1] - s[i] * s[j] / n for j in range(dim)]
+        for i in range(dim)
+    ]
+    q = _subspace_iterate(g, _seeded_block(dim, m, seed), iters)
+    sigmas = [math.sqrt(_dot(q[c], _matvec(g, q[c]))) for c in range(k)]
+    comps = [q[c] for c in range(k)]
+    mu_dot = []
+    for v in comps:
+        t = 0.0
+        for j in range(dim):
+            t += (s[j] / n) * v[j]
+        mu_dot.append(t)
+    proj = emb.select(
+        F.col(id_col),
+        *[
+            (p - F.lit(float(mu_dot[ci]))).alias(f"p{ci}")
+            for ci, p in enumerate(_proj_cols(comps, vec_col))
+        ],
+    )
+    return comps, sigmas, proj

@@ -423,3 +423,38 @@ def test_ssvd_project_matches_numpy_svd(spark):
     rows = {r.vec_id: (r.p0, r.p1, r.p2) for r in proj_df.collect()}
     got = np.array([rows[i] for i in range(500)])
     assert np.allclose(got, x @ e.T, rtol=1e-10, atol=1e-10)
+
+
+def test_dspca_project_matches_numpy_centered_svd(spark):
+    """dSPCA = SSVD of the mean-centered matrix, computed without
+    materializing it (bordered gram): components match numpy SVD of
+    X - mean (up to sign), projections equal (X - mean) @ V."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import dspca_project
+
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.randn(16, 3))
+    x = (
+        rng.randn(500, 3) * np.array([10.0, 6.0, 3.0])
+    ) @ q.T + 0.01 * rng.randn(500, 16)
+    x = x + 5.0  # a strong mean the uncentered SSVD would latch onto
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, sigmas, proj_df = dspca_project(
+        emb, dim=16, k=3, oversample=3, iters=8, seed=17
+    )
+    e = np.array(comps)
+    xc = x - x.mean(axis=0)
+    _, s_np, vt = np.linalg.svd(xc, full_matrices=False)
+    for c in range(3):
+        assert abs(float(e[c] @ vt[c])) > 1 - 1e-6, c
+        assert abs(sigmas[c] - s_np[c]) / s_np[c] < 1e-4, c
+    rows = {r.vec_id: (r.p0, r.p1, r.p2) for r in proj_df.collect()}
+    got = np.array([rows[i] for i in range(500)])
+    # the engine's mean correction derives from the 7-digit-quantized
+    # bordered gram (column sums ~2.5e3 quantized to %.6e → μ·v offset
+    # ~1e-6) — compare at the quantization scale, not machine epsilon
+    assert np.allclose(got, xc @ e.T, rtol=1e-5, atol=1e-4)

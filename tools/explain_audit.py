@@ -1204,6 +1204,29 @@ def main() -> int:
         )
     )
 
+    p46 = plan_of(_em10.q_emb_dspca(spark, sf_dir))
+    checks.append(
+        (
+            "randomized dSPCA projection (emb_dspca) — centered "
+            "without materializing the centered matrix",
+            p46,
+            [
+                (
+                    "the centered projection is STILL fully narrow: "
+                    "zero shuffles, codegen — the mean correction is "
+                    "a per-component scalar literal, never a "
+                    "row-by-row subtraction relation",
+                    n_shuffles(p46) == 0 and "codegen id" in p46,
+                ),
+                (
+                    "scan reads only (vec_id, embedding)",
+                    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+                    in p46,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
