@@ -351,3 +351,75 @@ def dspca_project(
         ],
     )
     return comps, sigmas, proj
+
+# ------------------------------------------------------------------ #
+# round-11: thin QR (Samsara's dqrThin — the third decomposition of
+# the library triple alongside dssvd/dspca).
+# ------------------------------------------------------------------ #
+
+
+def thin_qr(
+    emb: DataFrame,
+    dim: int,
+    out_cols: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Thin QR of the tall-skinny relation A (n × dim):
+    ``(R, Q_df)`` — the dim × dim upper-triangular factor and the
+    first ``out_cols`` columns of Q as per-row projections
+    ``(id, q0..q{out_cols-1})``.
+
+    Cholesky-QR, the one-shuffle distributed formulation Samsara's
+    ``dqrThin`` implements (``thinQR: AᵀA → chol → Q = A·R⁻¹``): the
+    gram G = AᵀA is the A7 kernel's single pass, R = chol(G) and the
+    needed columns of R⁻¹ (unit-vector back-substitutions) are
+    driver-side sequential float math, and Q's columns are codegen'd
+    broadcast-literal folds — a SECOND corpus pass, zero extra
+    shuffles, like ssvd_project's projection.  Q is orthonormal to
+    working precision when A is well-conditioned (the classical
+    CholeskyQR caveat: κ(A)² enters through the gram; embeddings at
+    unit-ish scale are fine — for κ-hard inputs run it twice,
+    CholeskyQR2, which is just this operator composed with itself).
+
+    Replay contract: G is 7-digit-quantized (%.6e) on both engines;
+    Cholesky and the back-substitutions are FIXED-ORDER sequential
+    loops (inner sums start at 0.0 and add left-to-right) mirrored
+    verbatim by the oracle's recursive CTEs, so R, R⁻¹ columns and the
+    projections are bit-identical — all inputs identical, all ops
+    IEEE-deterministic, no distributed float sums anywhere past the
+    gram."""
+    g = _quantized_gram(emb, dim, id_col, vec_col)
+    r = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        s = 0.0
+        for l in range(i):
+            s += r[l][i] * r[l][i]
+        r[i][i] = math.sqrt(g[i][i] - s)
+        for j in range(i + 1, dim):
+            t = 0.0
+            for l in range(i):
+                t += r[l][i] * r[l][j]
+            r[i][j] = (g[i][j] - t) / r[i][i]
+    cols = []
+    for c in range(out_cols):
+        x = [0.0] * dim
+        for j in range(dim - 1, -1, -1):
+            s = 0.0
+            for l in range(j + 1, dim):
+                s += r[j][l] * x[l]
+            e = 1.0 if j == c else 0.0
+            x[j] = (e - s) / r[j][j]
+        cols.append(x)
+    arr = F.col(vec_col).cast("array<double>")
+    qcols = []
+    for ci, v in enumerate(cols):
+        lit = F.array(*[F.lit(float(x)) for x in v])
+        qcols.append(
+            F.aggregate(
+                F.zip_with(arr, lit, lambda x, e: x * e),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"q{ci}")
+        )
+    return r, emb.select(F.col(id_col), *qcols)

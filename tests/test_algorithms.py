@@ -458,3 +458,37 @@ def test_dspca_project_matches_numpy_centered_svd(spark):
     # bordered gram (column sums ~2.5e3 quantized to %.6e → μ·v offset
     # ~1e-6) — compare at the quantization scale, not machine epsilon
     assert np.allclose(got, xc @ e.T, rtol=1e-5, atol=1e-4)
+
+
+def test_thin_qr_orthonormal_and_reconstructs(spark):
+    """Cholesky-QR: R upper-triangular with G = R'R, requested Q
+    columns orthonormal, and Q[:, :c] @ R[:c-ish] reconstructing A's
+    projection — checked against numpy's QR up to column signs."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import thin_qr
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(400, 12)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    r, q_df = thin_qr(emb, dim=12, out_cols=4)
+    r = np.array(r)
+    # upper-triangular, positive diagonal, R'R == gram (to quantization)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) > 0).all()
+    assert np.allclose(r.T @ r, x.T @ x, rtol=1e-5, atol=1e-3)
+    rows = {v.vec_id: (v.q0, v.q1, v.q2, v.q3) for v in q_df.collect()}
+    q = np.array([rows[i] for i in range(400)])
+    # orthonormal columns (CholeskyQR precision on a well-conditioned A)
+    assert np.allclose(q.T @ q, np.eye(4), atol=1e-6)
+    # matches numpy's thin QR up to per-column sign
+    qn, _ = np.linalg.qr(x)
+    for c in range(4):
+        # 7-digit gram quantization bounds per-column agreement ~1e-7
+        assert abs(float(q[:, c] @ qn[:, c])) > 1 - 1e-6, c
+    # Q @ R reconstructs: q_c . R row span -> x's first columns
+    assert np.allclose(q @ r[:4, :], x - (np.eye(400) - q @ q.T) @ x,
+                       atol=1e-6)

@@ -1227,6 +1227,27 @@ def main() -> int:
         )
     )
 
+    p47 = plan_of(_em10.q_emb_qr_thin(spark, sf_dir))
+    checks.append(
+        (
+            "thin QR / Cholesky-QR (emb_qr_thin)",
+            p47,
+            [
+                (
+                    "Q-column projection is fully narrow: zero "
+                    "shuffles, codegen — R and its inverse columns "
+                    "are driver math on the one-pass gram",
+                    n_shuffles(p47) == 0 and "codegen id" in p47,
+                ),
+                (
+                    "scan reads only (vec_id, embedding)",
+                    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+                    in p47,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
