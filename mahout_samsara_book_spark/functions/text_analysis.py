@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.cache import cached_count
+
 from mahout_samsara_book_spark.functions.text import tokenize
 from mahout_samsara_book_spark.partitioning import ensure_min_partitions
 from mahout_samsara_book_spark.operators.hashing import P31, h31
@@ -285,7 +287,9 @@ def bigram_lm_scores(
     ).filter(F.col("nxt").isNotNull())
     bc = bg.groupBy("tok", "nxt").agg(F.count("*").alias("cnt"))
     ctx = bc.groupBy("tok").agg(F.sum("cnt").alias("ctx_cnt"))
-    vocab = toks.select("tok").distinct().count()
+    # scalar literal the plan needs — plan-fingerprint-cached so
+    # repeat builds are job-free (cache.cached_count)
+    vocab = cached_count(toks.select("tok").distinct())
     logp = F.log(
         (F.col("cnt") + F.lit(1)).cast("double")
         / (F.col("ctx_cnt") + F.lit(int(vocab))).cast("double")
@@ -347,7 +351,7 @@ def pmi_pairs(
         items, id_col, "t", min_weight=min_cooc, keep_weight=True
     ).withColumnRenamed("w", "cooc")
     dfc = items.groupBy("t").agg(F.count("*").alias("dfc"))
-    n_docs = docs.count()
+    n_docs = cached_count(docs)
     num = F.col("cooc").cast("double") * F.lit(float(n_docs))
     den = F.col("dfa").cast("double") * F.col("dfb").cast("double")
     return (

@@ -1211,35 +1211,14 @@ def exact_substr_spans(
 
 SEMDEDUP_TARGET_CLUSTER = 128
 
-# (semanticHash, Catalyst size estimate) → counted rows, for
 # semantic_dedup's n_centers='auto' branch (round-11, VERDICT r10):
 # plan CONSTRUCTION must not run a Spark job on every invocation —
 # the same eager-dispatch class similarity._DIM_CACHE purged.  The
-# first 'auto' build over a relation still counts once; callers that
-# know the corpus size (the registry query reads it from parquet
-# footers) pass an explicit n_centers and never count at all.
-_SEMD_COUNT_CACHE: dict[tuple, int] = {}
-
-
-def _cached_count(df: DataFrame) -> int:
-    from mahout_samsara_book_spark.operators.similarity import (
-        _plan_size_bytes,
-    )
-
-    key = None
-    try:
-        key = (
-            int(df._jdf.queryExecution().analyzed().semanticHash()),
-            _plan_size_bytes(df),
-        )
-        if key in _SEMD_COUNT_CACHE:
-            return _SEMD_COUNT_CACHE[key]
-    except Exception:  # noqa: BLE001 — cache key is best-effort
-        key = None
-    n = df.count()
-    if key is not None:
-        _SEMD_COUNT_CACHE[key] = n
-    return n
+# first 'auto' build over a relation still counts once (cache.py's
+# plan-fingerprint-keyed cached_count); callers that know the corpus
+# size (the registry query reads it from parquet footers) pass an
+# explicit n_centers and never count at all.
+from mahout_samsara_book_spark.cache import cached_count as _cached_count
 
 
 def semantic_dedup(

@@ -133,6 +133,7 @@ def _pick_verify_strategy(
 from mahout_samsara_book_spark.partitioning import (  # noqa: E402,F401
     ensure_min_partitions,
 )
+from mahout_samsara_book_spark.cache import cached_count  # noqa: E402
 
 
 def _topk_desc_tiebreak(ids, scores, k: int):
@@ -279,7 +280,7 @@ def auto_n_centers(emb: DataFrame) -> int:
     every SF. One metadata-only count()."""
     import math
 
-    return max(16, math.isqrt(max(emb.count(), 2) // 2))
+    return max(16, math.isqrt(max(cached_count(emb), 2) // 2))
 
 
 def ivf_centers(
@@ -645,7 +646,7 @@ def lsh_topk(
 
     emb = ensure_min_partitions(emb)
     if n_planes == "auto":
-        n = emb.count()
+        n = cached_count(emb)
         n_planes = max(3, min(12, math.ceil(math.log2(max(n, 2) / 64))))
     base = _normed(emb, id_col, vec_col)
     # ALL tables' buckets in ONE scan (8×4 sign projections in a single
