@@ -4043,3 +4043,233 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_qr()
     d["emb_qr_thin"] = o_emb_qr_thin()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: dALS (Samsara's decompositions.dals — with emb_ssvd /
+# emb_dspca / emb_qr_thin this completes the decompositions package;
+# algorithms/spectral.py:als_project).  Full-matrix regularized ALS
+# reorganized onto the gram: every alternation is driver math, the
+# corpus is touched twice (gram + final U projection).
+# ------------------------------------------------------------------ #
+
+ALS_K = 4
+ALS_REG = 0.1
+ALS_ITERS = 3
+ALS_SEED = 23
+
+
+def q_emb_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row factor loadings U = A·V(VᵀV+λI)⁻¹ after ALS_ITERS full
+    alternations of regularized full-matrix ALS, plus the final V
+    column norms as constants (pinning the item-side factor into the
+    hash)."""
+    import math as _math
+
+    from mahout_samsara_book_spark.algorithms.spectral import (
+        _dot,
+        als_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v, _w, out = als_project(
+        emb, dim=SSVD_DIM, k=ALS_K, reg=ALS_REG, iters=ALS_ITERS,
+        seed=ALS_SEED,
+    )
+    norms = [_math.sqrt(_dot(c, c)) for c in v]
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[_sci(F.col(f"u{c}")).alias(f"u{c}") for c in range(ALS_K)],
+        *[
+            _sci(F.lit(float(n))).alias(f"n{c}")
+            for c, n in enumerate(norms)
+        ],
+    )
+
+
+def _spd_solve_sql(tag: str, mat: str, k: int) -> tuple[list, str]:
+    """Scalar-CTE chain replaying _spd_inverse_cols against a k×k
+    list-of-rows matrix CTE ``mat`` (column M): lower Cholesky entries
+    l{tag}_i_j, then per unit column c a forward (z) and back (xx)
+    substitution — every inner sum written as 0.0 + t1 + t2 ... in the
+    exact ascending order the Python loops add.  Returns (blocks,
+    inv_cte) where inv_cte holds M⁻¹ as list-of-COLUMNS (C[c][b])."""
+    blocks = []
+
+    def terms(ts):
+        return "(0.0" + "".join(f" + {t}" for t in ts) + ")"
+
+    for i in range(1, k + 1):
+        s = terms(
+            f"l{tag}_{i}_{p}.x * l{tag}_{i}_{p}.x" for p in range(1, i)
+        )
+        deps = ", ".join([mat] + [f"l{tag}_{i}_{p}" for p in range(1, i)])
+        blocks.append(
+            f"l{tag}_{i}_{i} AS MATERIALIZED (SELECT "
+            f"sqrt(M[{i}][{i}] - {s}) AS x FROM {deps})"
+        )
+        for j in range(i + 1, k + 1):
+            s = terms(
+                f"l{tag}_{j}_{p}.x * l{tag}_{i}_{p}.x"
+                for p in range(1, i)
+            )
+            deps = ", ".join(
+                [mat, f"l{tag}_{i}_{i}"]
+                + [f"l{tag}_{j}_{p}" for p in range(1, i)]
+                + [f"l{tag}_{i}_{p}" for p in range(1, i)]
+            )
+            blocks.append(
+                f"l{tag}_{j}_{i} AS MATERIALIZED (SELECT "
+                f"(M[{j}][{i}] - {s}) / l{tag}_{i}_{i}.x AS x "
+                f"FROM {deps})"
+            )
+    for c in range(1, k + 1):
+        for i in range(1, k + 1):
+            s = terms(
+                f"l{tag}_{i}_{p}.x * z{tag}_{c}_{p}.x"
+                for p in range(1, i)
+            )
+            e = "1.0" if i == c else "0.0"
+            deps = ", ".join(
+                [f"l{tag}_{i}_{i}"]
+                + [f"l{tag}_{i}_{p}" for p in range(1, i)]
+                + [f"z{tag}_{c}_{p}" for p in range(1, i)]
+            )
+            blocks.append(
+                f"z{tag}_{c}_{i} AS MATERIALIZED (SELECT "
+                f"({e} - {s}) / l{tag}_{i}_{i}.x AS x FROM {deps})"
+            )
+        for i in range(k, 0, -1):
+            s = terms(
+                f"l{tag}_{p}_{i}.x * xx{tag}_{c}_{p}.x"
+                for p in range(i + 1, k + 1)
+            )
+            deps = ", ".join(
+                [f"l{tag}_{i}_{i}", f"z{tag}_{c}_{i}"]
+                + [f"l{tag}_{p}_{i}" for p in range(i + 1, k + 1)]
+                + [f"xx{tag}_{c}_{p}" for p in range(i + 1, k + 1)]
+            )
+            blocks.append(
+                f"xx{tag}_{c}_{i} AS MATERIALIZED (SELECT "
+                f"(z{tag}_{c}_{i}.x - {s}) / l{tag}_{i}_{i}.x AS x "
+                f"FROM {deps})"
+            )
+    cols = ", ".join(
+        "["
+        + ", ".join(f"xx{tag}_{c}_{i}.x" for i in range(1, k + 1))
+        + "]"
+        for c in range(1, k + 1)
+    )
+    deps = ", ".join(
+        f"xx{tag}_{c}_{i}"
+        for c in range(1, k + 1)
+        for i in range(1, k + 1)
+    )
+    inv = f"inv{tag}"
+    blocks.append(
+        f"{inv} AS MATERIALIZED (SELECT [{cols}]::DOUBLE[][] AS C "
+        f"FROM {deps})"
+    )
+    return blocks, inv
+
+
+def o_emb_als() -> str:
+    k = ALS_K
+    d1 = SSVD_DIM + 1
+    rng = f"range(1, {d1})"
+    rngk = f"range(1, {k + 1})"
+    ridge = f"CASE WHEN a = b THEN {ALS_REG} ELSE 0.0 END"
+    from mahout_samsara_book_spark.algorithms.spectral import _seeded_block
+
+    v0 = _seeded_block(SSVD_DIM, k, ALS_SEED)
+    v0_lit = ", ".join(
+        "[" + ", ".join("%.17g" % x for x in col) + "]" for col in v0
+    )
+    blocks = [f"vc0 AS MATERIALIZED (SELECT [{v0_lit}]::DOUBLE[][] AS V)"]
+    for t in range(ALS_ITERS):
+        blocks.append(f"""nm{t} AS MATERIALIZED (
+  SELECT list_transform({rngk}, a -> list_transform({rngk}, b ->
+    list_sum(list_transform({rng}, i -> V[a][i] * V[b][i]))
+    + {ridge})) AS M
+  FROM vc{t})""")
+        sb, ninv = _spd_solve_sql(f"n{t}", f"nm{t}", k)
+        blocks += sb
+        blocks.append(f"""wc{t} AS MATERIALIZED (
+  SELECT list_transform({rngk}, c -> list_transform({rng}, i ->
+    list_sum(list_transform({rngk}, b -> V[b][i] * C[c][b])))) AS W
+  FROM vc{t}, {ninv})""")
+        blocks.append(f"""gw{t} AS MATERIALIZED (
+  SELECT list_transform({rngk}, b -> list_transform({rng}, i ->
+    list_sum(list_transform({rng}, l -> G[i][l] * W[b][l])))) AS GW
+  FROM gm0, wc{t})""")
+        blocks.append(f"""mm{t} AS MATERIALIZED (
+  SELECT list_transform({rngk}, a -> list_transform({rngk}, b ->
+    list_sum(list_transform({rng}, i -> W[a][i] * GW[b][i]))
+    + {ridge})) AS M
+  FROM wc{t}, gw{t})""")
+        sb, minv = _spd_solve_sql(f"m{t}", f"mm{t}", k)
+        blocks += sb
+        blocks.append(f"""vc{t + 1} AS MATERIALIZED (
+  SELECT list_transform({rngk}, c -> list_transform({rng}, i ->
+    list_sum(list_transform({rngk}, b -> GW[b][i] * C[c][b])))) AS V
+  FROM gw{t}, {minv})""")
+    T = ALS_ITERS
+    blocks.append(f"""nmF AS MATERIALIZED (
+  SELECT list_transform({rngk}, a -> list_transform({rngk}, b ->
+    list_sum(list_transform({rng}, i -> V[a][i] * V[b][i]))
+    + {ridge})) AS M
+  FROM vc{T})""")
+    sb, ninvf = _spd_solve_sql("nF", "nmF", k)
+    blocks += sb
+    blocks.append(f"""wcF AS MATERIALIZED (
+  SELECT list_transform({rngk}, c -> list_transform({rng}, i ->
+    list_sum(list_transform({rngk}, b -> V[b][i] * C[c][b])))) AS W
+  FROM vc{T}, {ninvf})""")
+    projs = ",\n       ".join(
+        _sci_sql(
+            f"list_sum(list_transform({rng}, j -> e.v[j] * w.W[{c + 1}][j]))"
+        )
+        + f" AS u{c}"
+        for c in range(k)
+    )
+    norms = ",\n       ".join(
+        _sci_sql(
+            f"sqrt(list_sum(list_transform({rng}, "
+            f"i -> fv.V[{c + 1}][i] * fv.V[{c + 1}][i])))"
+        )
+        + f" AS n{c}"
+        for c in range(k)
+    )
+    body = ",\n".join(blocks)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cell AS MATERIALIZED (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(printf('%.6e', sum(v[ii.i] * v[jj.j])) AS DOUBLE) AS g
+  FROM e, {rng} ii(i), {rng} jj(j)
+  GROUP BY 1, 2
+),
+gm0 AS MATERIALIZED (
+  SELECT list(gr ORDER BY i) AS G
+  FROM (SELECT i, list(g ORDER BY j) AS gr FROM cell GROUP BY i)
+),
+{body}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       {projs},
+       {norms}
+FROM e, wcF w, vc{T} fv
+"""
+
+
+QUERIES["emb_als"] = q_emb_als
+_oracles_pre_als = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_als()
+    d["emb_als"] = o_emb_als()
+    return d

@@ -423,3 +423,155 @@ def thin_qr(
             ).alias(f"q{ci}")
         )
     return r, emb.select(F.col(id_col), *qcols)
+
+# ------------------------------------------------------------------ #
+# round-11: dALS (Samsara's decompositions.dals — with dssvd, dspca
+# and dqrThin this completes the library's decompositions package).
+# ------------------------------------------------------------------ #
+
+
+def _spd_chol(m: list[list[float]]) -> list[list[float]]:
+    """Lower Cholesky of a small SPD matrix — fixed sequential op
+    order (inner sums start at 0.0, add left-to-right)."""
+    k = len(m)
+    lo = [[0.0] * k for _ in range(k)]
+    for i in range(k):
+        s = 0.0
+        for p in range(i):
+            s += lo[i][p] * lo[i][p]
+        lo[i][i] = math.sqrt(m[i][i] - s)
+        for j in range(i + 1, k):
+            t = 0.0
+            for p in range(i):
+                t += lo[j][p] * lo[i][p]
+            lo[j][i] = (m[j][i] - t) / lo[i][i]
+    return lo
+
+
+def _spd_inverse_cols(m: list[list[float]]) -> list[list[float]]:
+    """Columns of M⁻¹ for small SPD M via Cholesky + unit-vector
+    forward/back substitution, all fixed-order sequential."""
+    k = len(m)
+    lo = _spd_chol(m)
+    cols = []
+    for c in range(k):
+        z = [0.0] * k
+        for i in range(k):
+            s = 0.0
+            for p in range(i):
+                s += lo[i][p] * z[p]
+            e = 1.0 if i == c else 0.0
+            z[i] = (e - s) / lo[i][i]
+        x = [0.0] * k
+        for i in range(k - 1, -1, -1):
+            s = 0.0
+            for p in range(i + 1, k):
+                s += lo[p][i] * x[p]
+            x[i] = (z[i] - s) / lo[i][i]
+        cols.append(x)
+    return cols
+
+
+def als_project(
+    emb: DataFrame,
+    dim: int,
+    k: int = 4,
+    reg: float = 0.1,
+    iters: int = 3,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[float]], DataFrame]:
+    """Regularized alternating least squares A ≈ U·Vᵀ — Samsara's
+    ``decompositions.dals`` (full-matrix squared loss over every cell
+    with ridge λ on both factors, NOT the masked/implicit recommender
+    variant): ``(V_columns, W_columns, U_df)`` where U_df carries each
+    row's k factor loadings ``(id, u0..u{k-1})``.
+
+    The published dals alternates distributed solves; for a tall
+    matrix every U-side quantity is an exact function of the gram
+    once U is kept in its closed form U = A·W with
+    W = V(VᵀV + λI)⁻¹ — then the V-step
+    V ← AᵀU(UᵀU + λI)⁻¹ = G·W(WᵀGW + λI)⁻¹ is pure driver math, so
+    the WHOLE alternation runs on the quantized gram (the
+    ssvd_project reorganization) and the corpus is touched exactly
+    twice: the gram pass and the final U = A·W projection (zero
+    shuffles, codegen).  k×k ridge systems solve by Cholesky +
+    unit-vector substitutions in fixed sequential op order — every
+    float op replayable by the oracle's recursive CTEs (the
+    emb_qr_thin machinery at k×k scale).
+
+    Under full-matrix loss ALS converges to the rank-k SVD subspace
+    (shrunk by λ) — the pytest gate checks reconstruction against
+    numpy's optimal rank-k.  V starts from the seeded quantized
+    Gaussian block (Ω discipline)."""
+    g = _quantized_gram(emb, dim, id_col, vec_col)
+    v = _seeded_block(dim, k, seed)  # V columns, dim-long each
+
+    def _ridge(mat):
+        return [
+            [mat[a][b] + (reg if a == b else 0.0) for b in range(k)]
+            for a in range(k)
+        ]
+
+    w = None
+    for _ in range(iters):
+        # W = V (VᵀV + λI)⁻¹
+        n_mat = _ridge(
+            [[_dot(v[a], v[b]) for b in range(k)] for a in range(k)]
+        )
+        ninv = _spd_inverse_cols(n_mat)
+        w = [
+            [
+                sum_seq(v[b][i] * ninv[c][b] for b in range(k))
+                for i in range(dim)
+            ]
+            for c in range(k)
+        ]
+        # V = G W (WᵀGW + λI)⁻¹
+        gw = [_matvec(g, w[c]) for c in range(k)]
+        m_mat = _ridge(
+            [[_dot(w[a], gw[b]) for b in range(k)] for a in range(k)]
+        )
+        minv = _spd_inverse_cols(m_mat)
+        v = [
+            [
+                sum_seq(gw[b][i] * minv[c][b] for b in range(k))
+                for i in range(dim)
+            ]
+            for c in range(k)
+        ]
+    # final U = A·W with W from the LAST V (one more half-step, so U
+    # and V are mutually consistent)
+    n_mat = _ridge(
+        [[_dot(v[a], v[b]) for b in range(k)] for a in range(k)]
+    )
+    ninv = _spd_inverse_cols(n_mat)
+    w = [
+        [
+            sum_seq(v[b][i] * ninv[c][b] for b in range(k))
+            for i in range(dim)
+        ]
+        for c in range(k)
+    ]
+    arr = F.col(vec_col).cast("array<double>")
+    ucols = []
+    for ci, col in enumerate(w):
+        lit = F.array(*[F.lit(float(x)) for x in col])
+        ucols.append(
+            F.aggregate(
+                F.zip_with(arr, lit, lambda x, e: x * e),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"u{ci}")
+        )
+    return v, w, emb.select(F.col(id_col), *ucols)
+
+
+def sum_seq(it) -> float:
+    """Left-to-right float sum starting at 0.0 — the fold order every
+    oracle list_sum replays."""
+    s = 0.0
+    for x in it:
+        s += x
+    return s

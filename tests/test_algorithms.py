@@ -492,3 +492,39 @@ def test_thin_qr_orthonormal_and_reconstructs(spark):
     # Q @ R reconstructs: q_c . R row span -> x's first columns
     assert np.allclose(q @ r[:4, :], x - (np.eye(400) - q @ q.T) @ x,
                        atol=1e-6)
+
+
+def test_als_project_near_optimal_rank_k(spark):
+    """Full-matrix regularized ALS converges to the rank-k SVD
+    subspace: reconstruction ‖A − U·Vᵀ‖_F is within a few percent of
+    numpy's optimal rank-k, and U's columns span the top-k left
+    singular subspace."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import als_project
+
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.randn(16, 4))
+    x = (
+        rng.randn(400, 4) * np.array([10.0, 7.0, 5.0, 3.0])
+    ) @ q.T + 0.01 * rng.randn(400, 16)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    v, w, u_df = als_project(emb, dim=16, k=4, reg=0.01, iters=6, seed=23)
+    v = np.array(v).T   # 16 × 4 (columns)
+    rows = {r.vec_id: (r.u0, r.u1, r.u2, r.u3) for r in u_df.collect()}
+    u = np.array([rows[i] for i in range(400)])
+    # projections really are A @ W
+    assert np.allclose(u, x @ np.array(w).T, rtol=1e-9, atol=1e-9)
+    # reconstruction within 5% of the optimal rank-4 truncation
+    err = np.linalg.norm(x - u @ v.T)
+    uu, ss, vvt = np.linalg.svd(x, full_matrices=False)
+    opt = np.linalg.norm(x - (uu[:, :4] * ss[:4]) @ vvt[:4])
+    assert err < 1.05 * opt + 1e-9, (err, opt)
+    # U spans the top-4 left singular subspace (principal angles ~0)
+    qu, _ = np.linalg.qr(u)
+    overlap = np.linalg.norm(qu.T @ uu[:, :4])
+    # ‖Quᵀ·U_svd‖_F = 2 when the 4-dim subspaces coincide
+    assert overlap > 1.99, overlap

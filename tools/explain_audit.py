@@ -1248,6 +1248,27 @@ def main() -> int:
         )
     )
 
+    p48 = plan_of(_em10.q_emb_als(spark, sf_dir))
+    checks.append(
+        (
+            "dALS factor loadings (emb_als)",
+            p48,
+            [
+                (
+                    "the U = A·W projection is fully narrow: zero "
+                    "shuffles, codegen — every ALS alternation ran as "
+                    "driver math on the one-pass gram",
+                    n_shuffles(p48) == 0 and "codegen id" in p48,
+                ),
+                (
+                    "scan reads only (vec_id, embedding)",
+                    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+                    in p48,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
