@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dspca",                # new: centered twin (bordered gram)
         "emb_qr_thin",              # new: dqrThin (Cholesky-QR)
         "emb_als",                  # new: dals (full-matrix ridge ALS)
+        "rec_row_llr",              # new: spark-rowsimilarity twin
         "dedup_ingest_lifecycle",   # new: 3-batch ingest_batch compose
         # -- (1) implementation changed in round 11
         "rec_item_llr",             # r11: stable relative-entropy LLR
@@ -645,10 +646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_power", "emb_quantize_int8", "ev_anomalies",
         "ev_attribution", "ev_gapfill", "ev_hourly_profile",
         "ev_mad_outliers", "ev_markov_next", "ev_sliding_active",
-        "ev_stream_dedup",
-        # ev_stream_windowed, ev_stream_stateful and ev_stream_session
-        # yielded their slots to emb_dspca, emb_qr_thin and emb_als;
-        # they join the r7 cohort deferring to r12
+        # ev_stream_windowed, ev_stream_stateful, ev_stream_session
+        # and ev_stream_dedup yielded their slots to emb_dspca,
+        # emb_qr_thin, emb_als and rec_row_llr; they join the r7
+        # cohort deferring to r12
     ]
     missing = set(rotation_r11) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"

@@ -4273,3 +4273,125 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_als()
     d["emb_als"] = o_emb_als()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-11: ROW similarity LLR (Mahout's spark-rowsimilarity — the
+# sibling driver tool of spark-itemsimilarity): documents similar by
+# the tokens they share, LLR-scored.  Structurally item_similarity_llr
+# with the TOKEN in the "user" role — the per-token doc-list cap IS
+# the tool's maxObservationsPerColumn df-cap (a stop-word's posting
+# list would otherwise pair every doc with every doc).
+# ------------------------------------------------------------------ #
+
+ROWSIM_K = 10
+ROWSIM_CAP = 100  # docs sampled per token (hash order) — the df-cap
+
+
+def q_rec_row_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-ROWSIM_K most-similar documents per document by LLR over
+    shared tokens (algorithms/cooccurrence.py:item_similarity_llr with
+    (token, doc) interactions).  N = distinct tokens; k11 = tokens two
+    docs share (within the df-cap sample); integer counts, stable LLR
+    — bit-exact replay."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        item_similarity_llr,
+    )
+    from mahout_samsara_book_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inter = docs.select(
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+        "doc_id",
+    )
+    out = item_similarity_llr(
+        inter, k=ROWSIM_K, max_prefs=ROWSIM_CAP, seed=REC_SEED,
+        user_col="tok", item_col="doc_id",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("other").cast("long").alias("other"),
+        _sci(F.col("llr")).alias("llr"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_rec_row_llr() -> str:
+    h = h60_sql(
+        f"concat('rec{REC_SEED}:', CAST(u AS VARCHAR), ':', "
+        "CAST(i AS VARCHAR))"
+    )
+
+    def kln(k, r, c):
+        return (
+            f"(CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE) * "
+            f"ln(CAST({k} AS DOUBLE) * CAST(k11 + k12 + k21 + k22 AS DOUBLE)"
+            f" / (CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE)))"
+            " ELSE 0.0 END)"
+        )
+
+    llr = (
+        "2.0 * ("
+        + kln("k11", "k11 + k12", "k11 + k21")
+        + " + "
+        + kln("k12", "k11 + k12", "k12 + k22")
+        + " + "
+        + kln("k21", "k21 + k22", "k11 + k21")
+        + " + "
+        + kln("k22", "k21 + k22", "k12 + k22")
+        + ")"
+    )
+    return f"""
+WITH inter AS (
+  SELECT DISTINCT unnest({TOKS_SQL}) AS u, doc_id AS i FROM documents
+),
+capped AS (
+  SELECT u, i FROM (
+    SELECT u, i,
+           row_number() OVER (PARTITION BY u ORDER BY {h}, i) AS rn
+    FROM inter
+  ) WHERE rn <= {ROWSIM_CAP}
+),
+nu AS (SELECT count(DISTINCT u) AS n_users FROM capped),
+ic AS (SELECT i, count(*) AS ni FROM capped GROUP BY 1),
+pc AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS k11
+  FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT ia, ib, k11,
+         ca.ni - k11 AS k12,
+         cb.ni - k11 AS k21,
+         nu.n_users - ca.ni - cb.ni + k11 AS k22
+  FROM pc JOIN ic ca ON ca.i = pc.ia JOIN ic cb ON cb.i = pc.ib, nu
+),
+scored AS (SELECT ia, ib, {llr} AS llr FROM cells),
+sym AS (
+  SELECT ia AS doc_id, ib AS other, llr FROM scored
+  UNION ALL
+  SELECT ib AS doc_id, ia AS other, llr FROM scored
+),
+r AS (
+  SELECT doc_id, other, llr,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(llr, 9) DESC, other) AS rank
+  FROM sym
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(other AS BIGINT) AS other,
+       {_sci_sql('llr')} AS llr, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {ROWSIM_K}
+"""
+
+
+QUERIES["rec_row_llr"] = q_rec_row_llr
+_oracles_pre_rowsim = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_rowsim()
+    d["rec_row_llr"] = o_rec_row_llr()
+    return d

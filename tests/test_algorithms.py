@@ -528,3 +528,32 @@ def test_als_project_near_optimal_rank_k(spark):
     overlap = np.linalg.norm(qu.T @ uu[:, :4])
     # ‖Quᵀ·U_svd‖_F = 2 when the 4-dim subspaces coincide
     assert overlap > 1.99, overlap
+
+
+def test_row_similarity_llr_via_token_role(spark):
+    """spark-rowsimilarity shape: docs sharing tokens rank each other;
+    a doc with disjoint vocabulary gets no neighbors."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        item_similarity_llr,
+    )
+    from mahout_samsara_book_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles partition the join keys"),
+            (2, "spark joins shuffle on the partition keys"),
+            (3, "violets are blue and roses are red"),
+        ],
+        "doc_id long, text string",
+    )
+    inter = docs.select(
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+        "doc_id",
+    )
+    out = item_similarity_llr(
+        inter, k=5, max_prefs=100, user_col="tok", item_col="doc_id"
+    ).collect()
+    pairs = {(r.doc_id, r.other) for r in out}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert not any(3 in p for p in pairs)

@@ -1269,6 +1269,31 @@ def main() -> int:
         )
     )
 
+    p49 = plan_of(_em10.q_rec_row_llr(spark, sf_dir))
+    checks.append(
+        (
+            "row-similarity LLR (rec_row_llr, spark-rowsimilarity twin)",
+            p49,
+            [
+                (
+                    "df-capped posting lists materialize once "
+                    "(InMemoryTableScan) for the five consumers",
+                    "InMemoryTableScan" in p49,
+                ),
+                (
+                    "top-k per doc pushes the rank limit into the "
+                    "shuffle (WindowGroupLimit)",
+                    "WindowGroupLimit" in p49,
+                ),
+                (
+                    "no cartesian/nested-loop in the doc-pair stream",
+                    "CartesianProduct" not in p49
+                    and "BroadcastNestedLoopJoin" not in p49,
+                ),
+            ],
+        )
+    )
+
     import entry_llm as _el7
 
     p35 = plan_of(_el7.q_multimodal_png(spark, sf_dir))
