@@ -316,3 +316,37 @@ def cross_similarity_llr(
             "rank",
         )
     )
+
+def similarity_analysis(
+    primary: DataFrame,
+    secondaries: list[DataFrame] | None = None,
+    k: int = 10,
+    max_prefs: int = 50,
+    seed: int = 31,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> list[DataFrame]:
+    """Mahout's ``SimilarityAnalysis.cooccurrences`` signature: the
+    primary action matrix plus any number of secondary action
+    matrices, returning ``[A′A indicator, A′B₁, A′B₂, ...]`` — the
+    full universal-recommender input in one call.  Element 0 is
+    :func:`item_similarity_llr` on the primary; each further element
+    is :func:`cross_similarity_llr` against that secondary (all with
+    the same caps/seed, so a serving layer can union them by source).
+    Pure composition — each indicator keeps its own one-exchange plan;
+    nothing is gained by fusing them (they share only the primary's
+    capped-history cache, which track() already dedups)."""
+    outs = [
+        item_similarity_llr(
+            primary, k=k, max_prefs=max_prefs, seed=seed,
+            user_col=user_col, item_col=item_col,
+        )
+    ]
+    for sec in secondaries or []:
+        outs.append(
+            cross_similarity_llr(
+                primary, sec, k=k, max_prefs=max_prefs, seed=seed,
+                user_col=user_col, item_col=item_col,
+            )
+        )
+    return outs

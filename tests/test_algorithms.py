@@ -557,3 +557,31 @@ def test_row_similarity_llr_via_token_role(spark):
     pairs = {(r.doc_id, r.other) for r in out}
     assert (1, 2) in pairs and (2, 1) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_similarity_analysis_composes_indicators(spark):
+    """SimilarityAnalysis.cooccurrences signature parity: element 0 is
+    the A'A indicator, element i the A'B_i cross indicator, all with
+    shared caps/seed."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        cross_similarity_llr,
+        item_similarity_llr,
+        similarity_analysis,
+    )
+
+    primary = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A")],
+        "user_id long, item_id string",
+    )
+    sec = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y")],
+        "user_id long, item_id string",
+    )
+    got = similarity_analysis(primary, [sec], k=5)
+    assert len(got) == 2
+    want0 = sorted(map(tuple, item_similarity_llr(primary, k=5).collect()))
+    want1 = sorted(
+        map(tuple, cross_similarity_llr(primary, sec, k=5).collect())
+    )
+    assert sorted(map(tuple, got[0].collect())) == want0
+    assert sorted(map(tuple, got[1].collect())) == want1
