@@ -509,3 +509,79 @@ def test_asof_wm_no_ttl_state_carried_forever():
         _drive_wm(fn, st, [(2, 7, "purchase", 10_000 * US)], wm_ms=20_000_000)
         == [(2, 1)]
     )
+
+
+def test_stream_asof_wm_idle_ttl_end_to_end(spark, tmp_path):
+    """Drive the idle-TTL eviction through the REAL engine: the
+    event-time timeout fires in a batch where the idle user has no
+    data, the state is removed, and a purchase arriving later (but
+    within the watermark) gets the null no-match payload.  The same
+    delivery WITHOUT a TTL attributes to the carried click — the
+    documented bounded-state trade, end to end."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mahout_samsara_book_spark.streaming.events import (
+        _run_bounded_stream,
+    )
+    from mahout_samsara_book_spark.streaming.stateful import (
+        asof_wm_stream,
+    )
+
+    US = 1_000_000
+    files = [
+        # f1: user 1's click; nothing else
+        [(101, 1, "click", 10 * US)],
+        # f2: user 2 advances event time -> wm jumps past 10s + ttl
+        [(201, 2, "click", 200 * US)],
+        # f3: user 2 again — a batch where user 1 has NO data, so its
+        # pending event-time timeout fires and (with ttl) evicts
+        [(202, 2, "click", 210 * US)],
+        # f4: user 1's purchase, event time AFTER the wm (not late)
+        [(102, 1, "purchase", 165 * US)],
+        # f5: heartbeat drains everything
+        [(-1, -1, "click", 10_000 * US)],
+    ]
+
+    def run(idle_ttl_us):
+        staging = str(
+            tmp_path / f"staging_{'ttl' if idle_ttl_us else 'no'}"
+        )
+        os.makedirs(staging)
+        schema = (
+            "event_id long, user_id long, event_type string, t_us long"
+        )
+        for i, part in enumerate(files):
+            tmp = f"{staging}/_w{i}"
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                tmp
+            )
+            (f,) = glob.glob(tmp + "/part-*.parquet")
+            shutil.move(f, f"{staging}/b{i:02d}.parquet")
+            shutil.rmtree(tmp)
+            os.utime(f"{staging}/b{i:02d}.parquet", (1e6 + i, 1e6 + i))
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staging)
+        )
+        out = _run_bounded_stream(
+            spark,
+            asof_wm_stream(
+                src, delay="60 seconds", idle_ttl_us=idle_ttl_us
+            ).filter(F.col("user_id") == 1),
+            f"asof_wm_ttl_{idle_ttl_us}",
+            "append",
+            4,
+        )
+        return {r.event_id: r.click_id for r in out.collect()}
+
+    # with a 60s idle TTL: the click (act_t=10s) is evicted when the
+    # watermark (140s after f2) passes 10s + 60s with no user-1 data
+    assert run(60 * US) == {102: None}
+    # without a TTL the same purchase reads the carried click
+    assert run(None) == {102: 101}
