@@ -585,3 +585,24 @@ def test_similarity_analysis_composes_indicators(spark):
     )
     assert sorted(map(tuple, got[0].collect())) == want0
     assert sorted(map(tuple, got[1].collect())) == want1
+
+
+def test_decompositions_partitioning_invariant(spark):
+    """The 7-digit gram/Ω quantization must absorb partial-sum ORDER
+    differences, not just one lucky partitioning: every decomposition
+    query is bit-identical under an adversarial session (64 KB splits,
+    7 shuffle partitions) vs the default one."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    q = e.queries()
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    ns.conf.set("spark.sql.shuffle.partitions", "7")
+    for name in ["emb_ssvd", "emb_dspca", "emb_qr_thin", "emb_als"]:
+        base = sorted(map(tuple, q[name](spark, sf).collect()))
+        got = sorted(map(tuple, q[name](ns, sf).collect()))
+        assert got == base, name
