@@ -2916,6 +2916,7 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
 DDX_REKEY2 = 1 << 41
 
 _DDX_LC3_SEQ = [0]
+_DDX_LC3_LAST: list = [None]
 _DDX_LC3_PRISTINE: dict[tuple, str] = {}
 
 
@@ -2981,11 +2982,17 @@ def q_dedup_ingest_lifecycle(
 
     from mahout_samsara_book_spark.operators.dedup import ingest_batch
 
+    # drop the PREVIOUS invocation's mutated working copy before
+    # creating a new one — bench reps would otherwise accumulate one
+    # full index copy per invocation in /tmp (GBs at sf10)
+    if _DDX_LC3_LAST[0] is not None:
+        shutil.rmtree(_DDX_LC3_LAST[0], ignore_errors=True)
     _DDX_LC3_SEQ[0] += 1
     path = (
         tempfile.gettempdir()
         + f"/spark_graft_ddxlc3_{os.getpid()}_{_DDX_LC3_SEQ[0]}"
     )
+    _DDX_LC3_LAST[0] = path
     shutil.rmtree(path, ignore_errors=True)
     shutil.copytree(_pristine_index(spark, sf_dir), path)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
