@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 from mahout_samsara_book_spark.operators.hashing import (
     P31,
     affine_sql,
@@ -2264,7 +2265,7 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str, emb) -> str:
     path = _IVF_IDX.get(key)
     if path is None or not os.path.exists(path + "/assign/_SUCCESS"):
         _IVF_IDX_SEQ[0] += 1
-        path = (
+        path = register_tmpdir(
             tempfile.gettempdir()
             + f"/spark_graft_ivfidx_{os.getpid()}_{_IVF_IDX_SEQ[0]}"
         )
@@ -2716,7 +2717,7 @@ def _dedup_index_path(spark: SparkSession, sf_dir: str) -> str:
     path = _DDX_IDX.get(key)
     if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
         _DDX_IDX_SEQ[0] += 1
-        path = (
+        path = register_tmpdir(
             tempfile.gettempdir()
             + f"/spark_graft_ddxidx_{os.getpid()}_{_DDX_IDX_SEQ[0]}"
         )
@@ -2813,7 +2814,7 @@ def _dedup_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
     path = _DDX_LC.get(key)
     if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
         _DDX_LC_SEQ[0] += 1
-        path = (
+        path = register_tmpdir(
             tempfile.gettempdir()
             + f"/spark_graft_ddxlc_{os.getpid()}_{_DDX_LC_SEQ[0]}"
         )
@@ -2941,7 +2942,7 @@ def _pristine_index(spark: SparkSession, sf_dir: str) -> str:
     path = _DDX_LC3_PRISTINE.get(key)
     if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
         _DDX_LC3_SEQ[0] += 1
-        path = (
+        path = register_tmpdir(
             tempfile.gettempdir()
             + f"/spark_graft_ddxlc3p_{os.getpid()}_{_DDX_LC3_SEQ[0]}"
         )
@@ -2988,7 +2989,7 @@ def q_dedup_ingest_lifecycle(
     if _DDX_LC3_LAST[0] is not None:
         shutil.rmtree(_DDX_LC3_LAST[0], ignore_errors=True)
     _DDX_LC3_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_ddxlc3_{os.getpid()}_{_DDX_LC3_SEQ[0]}"
     )
@@ -3013,12 +3014,12 @@ def q_dedup_ingest_lifecycle(
             seed=MINHASH_SEED, threshold=0.5,
         ).withColumn("batch", F.lit(i).cast("long"))
         # materialize NOW: the next ingest appends more index rows,
-        # which this batch's probe must not see.  The LAST batch needs
-        # no checkpoint — nothing appends after it, and its probe is
-        # idempotent against its own appended rows (the anti-join)
-        outs.append(
-            out if i == len(batches) else out.localCheckpoint()
-        )
+        # which this batch's probe must not see.  The LAST batch is
+        # checkpointed too (ADVICE r11): it makes the returned
+        # DataFrame self-contained, so the NEXT invocation's rmtree of
+        # this working copy can never invalidate a still-unexecuted
+        # result (the build-N+1-before-execute-N hazard)
+        outs.append(out.localCheckpoint())
     union = outs[0]
     for o in outs[1:]:
         union = union.unionByName(o)
@@ -3547,6 +3548,11 @@ def q_rec_cross_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item_id"),
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # drop events whose props lacks '$.k' (ADVICE r11): a NULL item_id
+    # would otherwise reach the cap window, where Spark's NULLS FIRST
+    # vs DuckDB's NULLS LAST ORDER BY defaults diverge — the current
+    # fixtures have zero such rows, but the filter makes the query
+    # robust to fixture regeneration instead of silently fragile
     secondary = ev.filter(
         F.col("event_type").isin("view", "click")
     ).select(
@@ -3554,7 +3560,7 @@ def q_rec_cross_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("props"), "$.k")
         .cast("long")
         .alias("item_id"),
-    )
+    ).filter(F.col("item_id").isNotNull())
     out = cross_similarity_llr(
         primary, secondary, k=REC_K, max_prefs=REC_X_CAP,
         max_prefs_secondary=REC_X_CAP_B, seed=REC_SEED,
@@ -3605,9 +3611,11 @@ WITH pa0 AS (
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 sb0 AS (
-  SELECT DISTINCT user_id AS u,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
-  FROM events WHERE event_type IN ('view', 'click')
+  SELECT u, i FROM (
+    SELECT DISTINCT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+    FROM events WHERE event_type IN ('view', 'click')
+  ) WHERE i IS NOT NULL
 ),
 pa AS (
   SELECT u, i FROM (

