@@ -608,53 +608,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-11 window (VERDICT r10 item 1 + the
+    # after ~50 queries.  Round-12 window (VERDICT r11 item 2 + the
     # standing rule): (1) every query ADDED or IMPLEMENTATION-CHANGED
-    # in round 11; (2) the 26 rows deferred from round 6 (named in the
-    # r10 rotation comment — after this head no graded row is older
-    # than r7); (3) 16 of the r7-stale rows (alphabetical prefix of
-    # the r7 cohort; the remaining r7 rows — fmt_*, graph_*,
-    # kmeans_lloyd, rel_fuzzy_join, sketch block et al. — defer to
-    # r12, all with 3+ green grades and code untouched since r7).
-    rotation_r11 = [
-        # -- (1) new in round 11
-        "rec_cross_llr",            # new: A'B cross-cooccurrence LLR
-        "emb_ssvd",                 # new: randomized dSSVD (Halko)
-        "emb_dspca",                # new: centered twin (bordered gram)
-        "emb_qr_thin",              # new: dqrThin (Cholesky-QR)
-        "emb_als",                  # new: dals (full-matrix ridge ALS)
-        "rec_row_llr",              # new: spark-rowsimilarity twin
-        "dedup_ingest_lifecycle",   # new: 3-batch ingest_batch compose
-        # -- (1) implementation changed in round 11
-        "rec_item_llr",             # r11: stable relative-entropy LLR
-        "dedup_incremental_append", # r11: re-key offset outside id domain
-        "dedup_semantic",           # r11: job-free plan build (explicit n)
-        "ev_stream_asof_wm",        # r11: strict t<wm flush + TTL machine
-        "dedup_incremental_persisted",  # r11: buckets-first append order
-        # -- (2) the 26 deferred r6 rows (r10 rotation comment)
-        "dedup_embedding", "dedup_simhash", "ev_sessionize",
-        "ev_stream_append", "ev_stream_join", "ev_windowed_counts",
-        "ivf_assign", "multimodal_decode", "multimodal_meta",
-        "rel_asof_events", "rel_asof_tolerance", "rel_cube",
-        "rel_incr_summary", "rel_lead_lag", "rel_percentiles",
-        "rel_profile", "rel_range_join", "rel_scalar_subquery",
-        "rel_setops", "rel_unpivot", "rel_upsert",
-        "skew_salted_group_sum", "dedup_minhash_sig",
-        "dedup_lsh_jaccard", "dedup_exact", "point_weights",
-        # -- (3) 16 stalest r7 rows
-        "ann_ivfpq_topk", "bloom_join_prune", "dedup_exact_substr",
-        "emb_pca_power", "emb_quantize_int8", "ev_anomalies",
-        "ev_attribution", "ev_gapfill", "ev_hourly_profile",
-        "ev_mad_outliers", "ev_markov_next", "ev_sliding_active",
-        # ev_stream_windowed, ev_stream_stateful, ev_stream_session
-        # and ev_stream_dedup yielded their slots to emb_dspca,
-        # emb_qr_thin, emb_als and rec_row_llr; they join the r7
-        # cohort deferring to r12
+    # in round 12; (2) the full 32-row r7-stale cohort (max graded
+    # round per name computed from CORRECTNESS_r*.json — after this
+    # head no graded row is older than r8); (3) the 8 stalest r8 rows
+    # (alphabetical prefix of the r8 cohort; the rest of r8 defers to
+    # r13, all with 3+ green grades and code untouched since r8).
+    rotation_r12 = [
+        # -- (1) new in round 12
+        "ev_stream_asof_ttl",       # new: idle-TTL as-of, eviction-graded
+        "rec_similarity_analysis",  # new: SimilarityAnalysis compose
+        "ev_stream_ingest",         # new: foreachBatch crawl-ingest
+        # -- (1) implementation changed in round 12
+        "dedup_ingest_lifecycle",   # r12: manifest commit + checkpointed
+        "dedup_incremental_persisted",  # r12: committed-batch semi-join
+        "dedup_incremental_append", # r12: committed-batch semi-join
+        "rec_cross_llr",            # r12: null-item_id secondary filter
+        "dedup_semantic",           # r12: count-cache file fingerprint
+        "emb_qr_thin",              # r12: thin_qr body → _chol_qr_pass
+        # -- (2) the 32 r7-stale rows
+        "ev_stream_dedup", "ev_stream_session", "ev_stream_stateful",
+        "ev_stream_windowed", "fmt_csv_roundtrip", "fmt_jsonl_roundtrip",
+        "fmt_partitioned_prune", "fmt_schema_merge", "graph_degree_hist",
+        "graph_pagerank", "rel_grouping_sets", "rel_pivot",
+        "rel_pricing_summary", "rel_revenue_by_nation",
+        "rel_running_totals", "rel_sales_rollup", "rel_semi_anti",
+        "rel_topk_customers", "sel_decontaminate_emb", "sim_lsh_buckets",
+        "text_argmax", "text_df_counts", "text_dictionary",
+        "text_fingerprint", "text_langid", "text_pii_redact",
+        "text_quality", "text_shingle_neighbors", "text_tfidf",
+        "text_token_stats", "text_tokenize_counts", "twcnb_train",
+        # -- (3) 9 stalest r8 rows (alphabetical prefix)
+        "dedup_clusters", "ev_burst_windows", "ev_ewma_smooth",
+        "graph_triangles", "rel_custdist", "rel_decile_revenue",
+        "rel_disjunctive_revenue", "rel_dq_expectations",
+        "rel_forecast_revenue",
     ]
-    missing = set(rotation_r11) - full.keys()
+    missing = set(rotation_r12) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    assert len(rotation_r11) == len(set(rotation_r11)) == 50, len(rotation_r11)
-    head = {n: full[n] for n in rotation_r11}
+    assert len(rotation_r12) == len(set(rotation_r12)) == 50, len(rotation_r12)
+    head = {n: full[n] for n in rotation_r12}
     return {**head, **full}
 
 

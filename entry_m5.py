@@ -2715,7 +2715,7 @@ def _dedup_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir, source_fingerprint(sf_dir, "documents"))
     path = _DDX_IDX.get(key)
-    if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
+    if path is None or not os.path.exists(path + "/manifest/_SUCCESS"):
         _DDX_IDX_SEQ[0] += 1
         path = register_tmpdir(
             tempfile.gettempdir()
@@ -2812,7 +2812,7 @@ def _dedup_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir, source_fingerprint(sf_dir, "documents"))
     path = _DDX_LC.get(key)
-    if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
+    if path is None or not os.path.exists(path + "/manifest/_SUCCESS"):
         _DDX_LC_SEQ[0] += 1
         path = register_tmpdir(
             tempfile.gettempdir()
@@ -2940,7 +2940,7 @@ def _pristine_index(spark: SparkSession, sf_dir: str) -> str:
 
     key = (sf_dir, source_fingerprint(sf_dir, "documents"))
     path = _DDX_LC3_PRISTINE.get(key)
-    if path is None or not os.path.exists(path + "/buckets/_SUCCESS"):
+    if path is None or not os.path.exists(path + "/manifest/_SUCCESS"):
         _DDX_LC3_SEQ[0] += 1
         path = register_tmpdir(
             tempfile.gettempdir()
@@ -4409,4 +4409,254 @@ _oracles_pre_rowsim = oracles
 def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_rowsim()
     d["rec_row_llr"] = o_rec_row_llr()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-12: SimilarityAnalysis.cooccurrences COMPOSE, driver-graded
+# (VERDICT r11 item 5): Mahout's actual entry-point signature —
+# [A'A indicator, A'B cross indicator] in one call — emitted as one
+# relation tagged by source, oracled by the union of the two
+# existing per-indicator oracles (caps align: REC_MAX_PREFS =
+# REC_X_CAP = REC_X_CAP_B = 25, same seed).
+# ------------------------------------------------------------------ #
+
+
+def q_rec_similarity_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``similarity_analysis(primary, [secondary])`` (algorithms/
+    cooccurrence.py — Mahout SimilarityAnalysis.cooccurrences,
+    SimilarityAnalysisSuite.scala use-shape): primary action =
+    purchases (orders ⋈ lineitem → customer × part), secondary =
+    view/click events; element 0 is the A'A LLR indicator, element 1
+    the A'B cross indicator.  The compose shares the primary's capped
+    histories via track() — two indicators, ONE primary cap pass."""
+    from mahout_samsara_book_spark.algorithms.cooccurrence import (
+        similarity_analysis,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    primary = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secondary = ev.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k")
+        .cast("long")
+        .alias("item_id"),
+    ).filter(F.col("item_id").isNotNull())
+    aa, ab = similarity_analysis(
+        primary, [secondary], k=REC_K, max_prefs=REC_MAX_PREFS,
+        seed=REC_SEED,
+    )
+    tagged = aa.withColumn("source", F.lit(0).cast("long")).unionByName(
+        ab.withColumn("source", F.lit(1).cast("long"))
+    )
+    return tagged.select(
+        "source",
+        F.col("item_id").cast("long").alias("item_id"),
+        F.col("other").cast("long").alias("other"),
+        _sci(F.col("llr")).alias("llr"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def o_rec_similarity_analysis() -> str:
+    return f"""
+SELECT CAST(0 AS BIGINT) AS source, * FROM (
+{o_rec_item_llr()}
+)
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS source, * FROM (
+{o_rec_cross_llr()}
+)
+"""
+
+
+QUERIES["rec_similarity_analysis"] = q_rec_similarity_analysis
+_oracles_pre_simana = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_simana()
+    d["rec_similarity_analysis"] = o_rec_similarity_analysis()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-12: idle-TTL streaming as-of, driver-graded (VERDICT r11
+# item 4): the TTL machine runs over an eviction-forcing five-batch
+# layout (streaming/stateful.py:_asof_ttl_staging) — user_id % 10 = 1
+# evicts (purchase gets the null no-match payload), % 10 = 0 survives
+# via a keep-alive click (purchase attributes to it).  A no-TTL run
+# over the same layout attributes BOTH classes, so the hash genuinely
+# pins the eviction semantics.
+# ------------------------------------------------------------------ #
+
+
+def q_ev_stream_asof_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mahout_samsara_book_spark.streaming.stateful import (
+        run_stream_asof_ttl,
+    )
+
+    out = run_stream_asof_ttl(spark, sf_dir)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        _sci(
+            (F.col("t_us") - F.col("ct_us")) / F.lit(1_000_000.0)
+        ).alias("gap_s"),
+    )
+
+
+def o_ev_stream_asof_ttl() -> str:
+    # the staged layout's closed form: one purchase row per selected
+    # user; survivors (u % 10 = 0) attribute to their keep-alive click
+    # at exactly (T2 - T1) µs before the purchase, evictees get null
+    from mahout_samsara_book_spark.streaming.stateful import (
+        ASOF_TTL_T1,
+        ASOF_TTL_T2,
+    )
+
+    gap = f"CAST({ASOF_TTL_T2 - ASOF_TTL_T1} AS DOUBLE) / 1000000.0"
+    return f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 10 < 2
+)
+SELECT user_id * 8 + 3 AS event_id,
+       user_id,
+       CASE WHEN user_id % 10 = 0 THEN user_id * 8 + 2 END AS click_id,
+       CASE WHEN user_id % 10 = 0 THEN {{sci_gap}} ELSE 'NA' END AS gap_s
+FROM u
+""".replace("{sci_gap}", _sci_sql(gap))
+
+
+QUERIES["ev_stream_asof_ttl"] = q_ev_stream_asof_ttl
+_oracles_pre_ttl = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_ttl()
+    d["ev_stream_asof_ttl"] = o_ev_stream_asof_ttl()
+    return d
+
+
+# ------------------------------------------------------------------ #
+# round-12: STREAMING crawl-ingest compose (VERDICT r11 item 8):
+# foreachBatch(ingest_batch) over the lifecycle's three batches
+# delivered as a real file stream (maxFilesPerTrigger=1, mtime order)
+# — micro-batches of documents deduping against the ever-growing
+# persisted index, graded by the SAME sequential-batch oracle as
+# dedup_ingest_lifecycle (foreachBatch delivers batches sequentially,
+# so the streaming compose computes the identical snapshot answers).
+# ------------------------------------------------------------------ #
+
+_DDX_STRM_BATCHES: dict[tuple, str] = {}
+_DDX_STRM_SEQ = [0]
+_DDX_STRM_LAST: list = [None]
+
+
+def _ddx_stream_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once staging of the three lifecycle batches as one
+    parquet file each (b00/b01/b02, ascending mtimes pin the
+    FileStreamSource order) per (sf_dir, fingerprint)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.tables import source_fingerprint
+
+    key = (sf_dir, source_fingerprint(sf_dir, "documents"))
+    path = _DDX_STRM_BATCHES.get(key)
+    if path is not None and os.path.exists(path + "/b02.parquet"):
+        return path
+    _DDX_STRM_SEQ[0] += 1
+    path = register_tmpdir(
+        tempfile.gettempdir()
+        + f"/spark_graft_ddxsb_{os.getpid()}_{_DDX_STRM_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 50 == 17)
+    b2 = docs.filter(F.col("doc_id") % 50 == 29).unionByName(
+        b1.select((F.col("doc_id") + DDX_REKEY).alias("doc_id"), "text")
+    )
+    b3 = docs.filter(F.col("doc_id") % 50 == 29).select(
+        (F.col("doc_id") + DDX_REKEY2).alias("doc_id"), "text"
+    )
+    for i, b in enumerate([b1, b2, b3]):
+        tmp = f"{path}/_w{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (f,) = glob.glob(tmp + "/part-*.parquet")
+        dst = f"{path}/b{i:02d}.parquet"
+        shutil.move(f, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    _DDX_STRM_BATCHES[key] = path
+    return path
+
+
+def q_ev_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-ingest: the three lifecycle batches arrive as
+    micro-batches (one file per trigger) and foreachBatch runs each
+    through ingest_batch against a fresh working copy of the pristine
+    index (streaming/ingest.py).  Epoch i = lifecycle batch i+1, so
+    o_dedup_ingest_lifecycle grades the run unchanged — the streaming
+    engine's sequential foreachBatch delivery IS the single-writer
+    lifecycle.  The result is localCheckpoint-materialized so the next
+    invocation's working-dir cleanup can never invalidate it."""
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.streaming.ingest import run_stream_ingest
+
+    # drop the PREVIOUS invocation's working copy + output (the
+    # lifecycle row's bench-rep discipline; results are checkpointed)
+    for prev in _DDX_STRM_LAST[0] or []:
+        shutil.rmtree(prev, ignore_errors=True)
+    _DDX_STRM_SEQ[0] += 1
+    base = (
+        tempfile.gettempdir()
+        + f"/spark_graft_ddxsi_{os.getpid()}_{_DDX_STRM_SEQ[0]}"
+    )
+    idx, outp = register_tmpdir(base + "_idx"), register_tmpdir(base + "_out")
+    _DDX_STRM_LAST[0] = [idx, outp]
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(outp, ignore_errors=True)
+    shutil.copytree(_pristine_index(spark, sf_dir), idx)
+    batches = _ddx_stream_batches(spark, sf_dir)
+    out = run_stream_ingest(
+        spark, batches, idx, outp,
+        n=3, k=MINHASH_K, bands=LSH_BANDS, seed=MINHASH_SEED,
+        threshold=0.5,
+    )
+    return out.select(
+        "batch", "doc_id", "keep", "dup_of",
+        _sci(F.col("jaccard")).alias("jaccard"),
+    ).localCheckpoint()
+
+
+QUERIES["ev_stream_ingest"] = q_ev_stream_ingest
+_oracles_pre_strmi = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_strmi()
+    d["ev_stream_ingest"] = o_dedup_ingest_lifecycle()
     return d

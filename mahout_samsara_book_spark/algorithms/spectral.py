@@ -389,7 +389,36 @@ def thin_qr(
     projections are bit-identical — all inputs identical, all ops
     IEEE-deterministic, no distributed float sums anywhere past the
     gram."""
-    g = _quantized_gram(emb, dim, id_col, vec_col)
+    return _chol_qr_pass(emb, dim, out_cols, id_col, vec_col)
+
+
+def _chol_qr_pass(
+    emb: DataFrame,
+    dim: int,
+    out_cols: int,
+    id_col: str,
+    vec_col: str,
+    quantize: bool = True,
+) -> tuple[list[list[float]], DataFrame]:
+    """One CholeskyQR pass (the :func:`thin_qr` body).  ``quantize``
+    keeps the graded row's 7-digit replay contract; :func:`thin_qr2`
+    turns it OFF — the second pass exists precisely to absorb the
+    first pass's full-precision rounding, which quantization would
+    re-poison at ~1e-7 per gram entry (fatal at κ² conditioning)."""
+    if quantize:
+        g = _quantized_gram(emb, dim, id_col, vec_col)
+    else:
+        from mahout_samsara_book_spark.drm.drm import FEAT, KEY, Drm
+
+        d = Drm(
+            emb.select(
+                F.col(id_col).cast("long").alias(KEY),
+                F.col(vec_col).cast("array<double>").alias(FEAT),
+            ),
+            ncol=dim,
+        )
+        gm = d.gram()
+        g = [[float(gm[i, j]) for j in range(dim)] for i in range(dim)]
     r = [[0.0] * dim for _ in range(dim)]
     for i in range(dim):
         s = 0.0
@@ -423,6 +452,54 @@ def thin_qr(
             ).alias(f"q{ci}")
         )
     return r, emb.select(F.col(id_col), *qcols)
+
+
+def thin_qr2(
+    emb: DataFrame,
+    dim: int,
+    out_cols: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """CholeskyQR2 (VERDICT r11 item 6 — the self-composition
+    :func:`thin_qr`'s docstring prescribes for κ-hard inputs):
+    ``R1 = cholQR(A)``, materialize ``Q1 = A·R1⁻¹`` as a full dim-wide
+    projection, then ``R2 = cholQR(Q1)`` and ``Q = Q1·R2⁻¹``,
+    returning ``(R2·R1, Q)`` — algebraically the same thin QR, but the
+    second pass orthonormalizes the FIRST pass's rounded Q1, driving
+    ‖QᵀQ − I‖ from ε·κ(A)² (single-pass CholeskyQR's classical
+    breakdown; ~1e-4 at κ = 1e6) back to working precision
+    (Yamamoto et al. 2015: CholeskyQR2 is unconditionally stable for
+    κ(A) ≲ ε^{-1/2} ≈ 1e8).
+
+    Cost: the single pass's one gram shuffle + one projection pass
+    becomes two of each — still O(n·dim²) work, zero extra exchange
+    types, the same two-corpus-pass shape at 100 TB (Q1 is never
+    persisted: its projection folds pipeline INTO the second gram's
+    partial aggregation, so pass 2 reads A once more, not a
+    materialized intermediate).  Both grams run UNQUANTIZED — the
+    7-digit replay quantization exists for the graded single-pass row
+    and would re-poison exactly the rounding this composition removes
+    (it caps recoverable κ at √(1e7) ≈ 3e3); thin_qr2 is therefore
+    pytest-gated on numerics (orthonormality + R upper-triangularity
+    + QR = A reconstruction) rather than oracle-replayed."""
+    r1, q1_wide = _chol_qr_pass(
+        emb, dim, dim, id_col, vec_col, quantize=False
+    )
+    q1 = q1_wide.select(
+        F.col(id_col),
+        F.array(*[F.col(f"q{i}") for i in range(dim)]).alias(vec_col),
+    )
+    r2, q = _chol_qr_pass(q1, dim, out_cols, id_col, vec_col, quantize=False)
+    # R = R2 · R1 — upper-triangular × upper-triangular, driver flops
+    r = [
+        [
+            sum(r2[i][l] * r1[l][j] for l in range(i, j + 1))
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    return r, q
 
 # ------------------------------------------------------------------ #
 # round-11: dALS (Samsara's decompositions.dals — with dssvd, dspca

@@ -778,16 +778,65 @@ def dedup_index_persist(
     and appends its own rows without re-clustering anything.  Buckets
     are partitioned by ``band`` so a probe that touches a band subset
     prunes whole partitions at the file level (PLANS.md 'incremental
-    dedup persisted-index probe')."""
+    dedup persisted-index probe').  Every row carries a ``batch_id``
+    and ``<path>/manifest`` lists the COMMITTED batch ids (the corpus
+    build commits as ``INDEX_CORPUS_BATCH``, written last) — see
+    :func:`dedup_index_append` for the crash-safe append protocol."""
     rows = k // bands
     sh_c = track(shingle_hashes(corpus, n, id_col, text_col))
-    sh_c.write.mode("overwrite").parquet(path + "/shingles")
+    sh_c.withColumn("batch_id", F.lit(INDEX_CORPUS_BATCH)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(path + "/shingles")
     bkt = band_buckets(
         minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col
     )
-    bkt.write.mode("overwrite").partitionBy("band").parquet(
-        path + "/buckets"
+    bkt.withColumn("batch_id", F.lit(INDEX_CORPUS_BATCH)).write.mode(
+        "overwrite"
+    ).partitionBy("band", "batch_id").parquet(path + "/buckets")
+    _manifest_commit(corpus.sparkSession, path, INDEX_CORPUS_BATCH)
+
+
+# reserved batch_id of the initial corpus build (dedup_index_persist)
+INDEX_CORPUS_BATCH = "corpus"
+
+
+def _manifest_commit(spark, path: str, batch_id: str) -> None:
+    """Append one committed-batch row to ``<path>/manifest`` — the
+    ATOMIC COMMIT of an index write (VERDICT r11 item 3): probes filter
+    bucket/shingle rows to manifest-listed batch ids, so data rows are
+    invisible until this row lands.  The row is a single tiny parquet
+    file whose append is an atomic rename on every sane filesystem;
+    the corpus build uses overwrite so a re-persist starts clean."""
+    row = spark.createDataFrame([(batch_id,)], "batch_id string")
+    mode = "overwrite" if batch_id == INDEX_CORPUS_BATCH else "append"
+    row.coalesce(1).write.mode(mode).parquet(path + "/manifest")
+
+
+def committed_index_tables(spark, path: str, id_col: str = "doc_id"):
+    """(buckets, shingles) of ``path`` restricted to COMMITTED batches:
+    each table left-semi-joins the broadcast manifest on ``batch_id``,
+    so rows from a crashed (uncommitted) append are invisible — a blind
+    re-run of a failed :func:`dedup_index_append` under a fresh
+    batch_id is therefore safe, with the orphaned rows remaining as
+    unreferenced garbage a compaction can drop later.  The manifest is
+    one row per committed batch — broadcast is always the right join
+    strategy, and the filter costs no extra shuffle.  ``batch_id`` is a
+    PARTITION column, so the commit filter is pure file pruning: the
+    data scans still read only (id, band, sig) / (id, h)."""
+    manifest = F.broadcast(
+        spark.read.parquet(path + "/manifest").select("batch_id")
     )
+    bkt = (
+        spark.read.parquet(path + "/buckets")
+        .join(manifest, "batch_id", "left_semi")
+        .select(id_col, "band", "sig")
+    )
+    sh = (
+        spark.read.parquet(path + "/shingles")
+        .join(manifest, "batch_id", "left_semi")
+        .select(id_col, "h")
+    )
+    return bkt, sh
 
 
 def dedup_index_append(
@@ -799,7 +848,9 @@ def dedup_index_append(
     seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+    batch_id: str | None = None,
+    _crash_point: str | None = None,
+) -> str:
     """Append a batch's OWN bucket + shingle rows to a persisted dedup
     index (round-10, VERDICT r9 item 3 — the half of the
     :func:`dedup_index_persist` lifecycle that was previously promised
@@ -818,31 +869,34 @@ def dedup_index_append(
     execution, so "create the probe first" would NOT hide the appended
     rows — measured, not assumed).
 
-    Failure atomicity (ADVICE r10): the two tables are appended in a
-    deliberate order — BUCKETS first, SHINGLES second — so a batch's
-    shingle rows are the COMMIT MARKER.  A crash between the writes
-    leaves buckets-without-shingles, which is fail-safe for
-    correctness: the orphaned bucket rows can only ADD candidate
-    pairs, and the Jaccard verify finds zero shared shingles for them
-    (no match emitted — a recall miss for that one batch, never a
-    false positive or a skewed Jaccard).  The reverse order would
-    strand shingles-without-buckets, and a blind retry would then
-    DOUBLE the batch's shingle rows — every future probe against it
-    would verify Jaccard over duplicated shingle sets (wrong
-    intersections/unions: silent corruption).  Recovering a failed
-    append therefore requires clearing the batch's rows from BOTH
-    tables (parquet has no delete — rewrite the touched band
-    partitions / shingle files without the batch ids) before
-    re-running; with buckets-first ordering, skipping recovery costs
-    recall only.
+    Failure atomicity (VERDICT r11 item 3 — manifest commit): every
+    data row carries this append's ``batch_id`` (a fresh uuid unless
+    the caller supplies one), and the append COMMITS by writing one
+    row to ``<path>/manifest`` AFTER both data writes.  Probes
+    (:func:`committed_index_tables`) filter both tables to
+    manifest-listed batch ids, so a crash anywhere before the manifest
+    row leaves the batch entirely INVISIBLE — not recall-degraded,
+    not Jaccard-skewed — and recovery is a blind re-run of the same
+    append (which draws a NEW batch_id; the crashed attempt's rows
+    stay unreferenced garbage that a future compaction can drop, never
+    double-counted because only one of the two batch_ids can ever be
+    committed).  Tested by crash injection via ``_crash_point``
+    (``"after_buckets"`` / ``"after_shingles"`` — raises after that
+    write, test-only) in tests/test_incremental_dedup.py.  Returns the
+    committed batch_id.
 
     Single-writer contract (VERDICT r10): the index supports ONE
     ingest stream.  Two batches racing probe-before-the-other's-append
     each miss the other's documents (each probes an index that does
-    not yet hold the other), and concurrent parquet appends into the
-    same partition directories are themselves undefined under crash.
-    Serialize ingest (the crawl-pipeline shape this models); shard the
-    corpus into per-writer indexes if parallel ingest is required."""
+    not yet hold the other) — the manifest makes concurrent appends
+    crash-safe at the storage level, but the contract is still "each
+    batch sees everything COMMITTED before it", so serialize ingest
+    (the crawl-pipeline shape this models); shard the corpus into
+    per-writer indexes if parallel ingest is required."""
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
     rows = k // bands
     sh_b = shingle_hashes(batch, n, id_col, text_col)
     bkt = band_buckets(
@@ -853,11 +907,27 @@ def dedup_index_append(
     # (256 per batch at the default 32), and a long-lived index decays
     # into a small-files swamp the probes pay for on every listing.
     # One narrow extra shuffle per batch buys exactly `bands` files
-    # per append — the 100 TB small-files discipline.
-    bkt.repartition(bands, "band").write.mode("append").partitionBy(
-        "band"
-    ).parquet(path + "/buckets")
-    sh_b.write.mode("append").parquet(path + "/shingles")
+    # per append — the 100 TB small-files discipline.  batch_id is a
+    # PARTITION column on both tables: probes take it from directory
+    # names (zero bytes read per row, ReadSchema untouched) and the
+    # manifest semi-join prunes uncommitted batches at FILE level; the
+    # trade is one directory per (band, batch) — a long-lived index
+    # compacts old batches into the corpus partition periodically,
+    # which also drops any crashed-append orphans.
+    bkt.withColumn("batch_id", F.lit(batch_id)).repartition(
+        bands, "band"
+    ).write.mode("append").partitionBy("band", "batch_id").parquet(
+        path + "/buckets"
+    )
+    if _crash_point == "after_buckets":
+        raise RuntimeError("injected crash: after_buckets")
+    sh_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "append"
+    ).partitionBy("batch_id").parquet(path + "/shingles")
+    if _crash_point == "after_shingles":
+        raise RuntimeError("injected crash: after_shingles")
+    _manifest_commit(batch.sparkSession, path, batch_id)
+    return batch_id
 
 
 def ingest_batch(
@@ -922,24 +992,19 @@ def incremental_dedup_persisted(
     bkt_b = band_buckets(
         minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col
     )
-    # the index may ALREADY hold this batch's own appended rows (the
-    # parquet reader lists files at execution, not at DataFrame
+    # COMMITTED rows only (manifest semi-join, VERDICT r11 item 3) —
+    # a crashed append's orphan rows never reach the probe.  Beyond
+    # that, the index may ALREADY hold this batch's own committed rows
+    # (the parquet reader lists files at execution, not at DataFrame
     # creation — re-probing after an append, or any probe/append race,
     # would otherwise self-match every doc and double its shingle set
     # in the Jaccard verify).  Batch and index ids are disjoint by the
     # ingest contract, so a broadcast anti-join on the batch's ids
     # strips exactly the self-rows and nothing else.
     own = F.broadcast(batch.select(id_col).distinct())
-    bkt_c = (
-        spark.read.parquet(path + "/buckets")
-        .select(id_col, "band", "sig")
-        .join(own, id_col, "left_anti")
-    )
-    sh_c = (
-        spark.read.parquet(path + "/shingles")
-        .select(id_col, "h")
-        .join(own, id_col, "left_anti")
-    )
+    bkt_all, sh_all = committed_index_tables(spark, path, id_col)
+    bkt_c = bkt_all.join(own, id_col, "left_anti")
+    sh_c = sh_all.join(own, id_col, "left_anti")
     return _incremental_match(
         batch, bkt_c, bkt_b, sh_c, sh_b, threshold, id_col
     )

@@ -1,0 +1,82 @@
+"""Streaming crawl-ingest compose (round-12, VERDICT r11 item 8):
+``foreachBatch`` around :func:`operators.dedup.ingest_batch` — the real
+crawl shape, where micro-batches of documents dedup against an
+ever-growing persisted index.
+
+Why ``foreachBatch`` and not a stateful operator: the dedup index IS
+the state, and it lives in storage (bucket/shingle/manifest tables),
+not in the state store — each micro-batch needs full relational access
+to it (band-bucket candidate join + Jaccard verify), which
+applyInPandasWithState cannot express.  ``foreachBatch`` gives exactly
+the contract the index requires: batches are delivered SEQUENTIALLY
+(one sink invocation at a time — the single-writer contract holds by
+construction), each batch probes the index snapshot every earlier
+batch committed into, and the manifest append (dedup.py) makes a
+mid-batch crash restartable — on recovery the batch re-runs under a
+fresh batch_id and the orphaned half-append stays invisible.
+
+Scale posture: per-batch cost is the lifecycle row's measured
+batch-proportional probe+append (sf10: ~1.8× per 100× data); the
+stream adds only micro-batch scheduling on top, so sustainable
+ingest rate = batch size / (probe+append wall) — the SCALING.md
+'streaming ingest' note records the measured ceiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mahout_samsara_book_spark.operators.dedup import ingest_batch
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def run_stream_ingest(
+    spark,
+    batches_dir: str,
+    index_path: str,
+    out_path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Consume ``batches_dir`` (one parquet file per crawl batch,
+    mtime-ordered) as a file stream with ``maxFilesPerTrigger=1`` and
+    run every micro-batch through :func:`ingest_batch` against the
+    persisted index at ``index_path``; each batch's keep/dup_of probe
+    result appends to ``out_path`` tagged with its 1-based batch
+    number.  Returns the accumulated result relation.  Batch numbering
+    is deterministic: one file per trigger in mtime order under a
+    fresh checkpoint means epoch i carries exactly file i."""
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(batches_dir)
+    )
+
+    def sink(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():  # trailing empty micro-batch — nothing to ingest
+            return
+        out = ingest_batch(
+            bdf.select("doc_id", "text"), index_path,
+            n=n, k=k, bands=bands, seed=seed, threshold=threshold,
+        )
+        out.withColumn(
+            "batch", (F.lit(int(epoch_id)) + 1).cast("long")
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:  # pragma: no cover — availableNow self-terminates
+            q.stop()
+    return spark.read.parquet(out_path)

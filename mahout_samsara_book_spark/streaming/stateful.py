@@ -725,3 +725,143 @@ def _asof_wm_staging(spark, sf_dir: str) -> str:
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
     _ASOF_WM_STAGING[key] = path
     return path
+
+
+# ------------------------------------------------------------------ #
+# round-12: idle-TTL as-of, DRIVER-GRADED (VERDICT r11 item 4).  The
+# TTL machine (make_asof_wm_update(idle_ttl_us)) was pytest-only; this
+# fixture stages a five-batch stream whose watermark schedule FORCES
+# one user class through eviction and keeps the other alive, so the
+# graded output pins both sides of the TTL trade under rotation.
+# ------------------------------------------------------------------ #
+
+ASOF_TTL_DELAY_US = 60_000_000           # watermark delay d = 60 s
+ASOF_TTL_US = 3_600_000_000              # idle TTL = 1 h
+ASOF_TTL_T0 = 1_600_000_000_000_000      # first click (all users)
+# advancer event: pushes the watermark to T0 + ttl + d, so every
+# drained user's idle alarm fires on the NEXT batch
+ASOF_TTL_A1 = ASOF_TTL_T0 + ASOF_TTL_US + 2 * ASOF_TTL_DELAY_US
+ASOF_TTL_T1 = ASOF_TTL_A1 + 1_000_000    # keep-alive click (survivors)
+ASOF_TTL_T2 = ASOF_TTL_T1 + 3_600_000_000  # purchase (all users)
+ASOF_TTL_HB = ASOF_TTL_T2 + 7_200_000_000  # final heartbeat
+
+_ASOF_TTL_STAGING: dict[tuple, str] = {}
+_ASOF_TTL_SEQ = [0]
+
+
+def _asof_ttl_staging(spark, sf_dir: str) -> str:
+    """Write-once five-file layout for the TTL-graded run.  Users are
+    the events table's distinct user_id with ``user_id % 10 IN (0, 1)``
+    (a 20% deterministic slice keeping both classes; the %10=0 class
+    SURVIVES, the %10=1 class EVICTS).  Files in mtime order:
+
+    - b00: one click per user at T0 (event_id = u·8+1)
+    - b01: one advancer click (user −2) at A1 = T0 + ttl + 2d — after
+      this batch the watermark is A1 − d = T0 + ttl + d, so during the
+      NEXT batch every user's idle alarm (armed at T0 when b00's click
+      is still buffered, re-armed at T0 + ttl once it drains) fires:
+      the %10=1 users flush their click, drain, and with
+      wm − act_t = ttl + d ≥ ttl their state is REMOVED
+    - b02: keep-alive clicks at T1 for the %10=0 users only
+      (event_id = u·8+2) — arriving in the same batch the alarm fires,
+      they keep the buffer non-empty, so those users survive
+    - b03: one purchase per user at T2 (event_id = u·8+3)
+    - b04: heartbeat (user −1) at HB — drains everything
+
+    Final emissions: every %10=0 purchase attributes to its keep-alive
+    click (gap exactly (T2−T1)/1e6 s); every %10=1 purchase gets the
+    null no-match payload — its pre-eviction click at T0 existed but
+    the TTL dropped it, which is precisely the documented trade (a
+    no-TTL run would attribute BOTH classes to their T0 clicks, so the
+    graded hash genuinely separates the machines)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.sources.tables import source_fingerprint
+    from pyspark.sql import functions as F
+
+    key = (sf_dir, source_fingerprint(sf_dir, "events"))
+    path = _ASOF_TTL_STAGING.get(key)
+    if path is not None and os.path.exists(path + "/b04.parquet"):
+        return path
+    _ASOF_TTL_SEQ[0] += 1
+    path = register_tmpdir(
+        tempfile.gettempdir()
+        + f"/spark_graft_asofttl_{os.getpid()}_{_ASOF_TTL_SEQ[0]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .filter(F.col("user_id") % 10 < 2)
+        .distinct()
+    )
+
+    def synth(df, eid_off: int, etype: str, t: int):
+        return df.select(
+            (F.col("user_id") * 8 + eid_off).alias("event_id"),
+            "user_id",
+            F.lit(etype).alias("event_type"),
+            F.lit(t).cast("long").alias("t_us"),
+        )
+
+    sentinel_schema = (
+        "event_id long, user_id long, event_type string, t_us long"
+    )
+    parts = [
+        synth(users, 1, "click", ASOF_TTL_T0),
+        spark.createDataFrame(
+            [(-2, -2, "click", ASOF_TTL_A1)], sentinel_schema
+        ),
+        synth(
+            users.filter(F.col("user_id") % 10 == 0),
+            2, "click", ASOF_TTL_T1,
+        ),
+        synth(users, 3, "purchase", ASOF_TTL_T2),
+        spark.createDataFrame(
+            [(-1, -1, "click", ASOF_TTL_HB)], sentinel_schema
+        ),
+    ]
+    for i, p in enumerate(parts):
+        tmp = f"{path}/_w{i}"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (f,) = glob.glob(tmp + "/part-*.parquet")
+        dst = f"{path}/b{i:02d}.parquet"
+        shutil.move(f, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    _ASOF_TTL_STAGING[key] = path
+    return path
+
+
+def run_stream_asof_ttl(spark, sf_dir: str) -> DataFrame:
+    """Execute the idle-TTL as-of through the real engine over the
+    eviction-forcing staged layout (see :func:`_asof_ttl_staging`) —
+    the driver-graded twin of the pytest TTL coverage."""
+    from mahout_samsara_book_spark.streaming.events import (
+        _adaptive_state_partitions,
+        _run_bounded_stream,
+    )
+    from pyspark.sql import functions as F
+
+    staging = _asof_ttl_staging(spark, sf_dir)
+    batch = spark.read.parquet(f"{staging}/b00.parquet")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staging)
+    )
+    out = asof_wm_stream(
+        src, delay="60 seconds", idle_ttl_us=ASOF_TTL_US
+    ).filter(F.col("user_id") >= 0)
+    return _run_bounded_stream(
+        spark,
+        out,
+        "ev_stream_asof_ttl",
+        "append",
+        _adaptive_state_partitions(sf_dir),
+    )

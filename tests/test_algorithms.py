@@ -606,3 +606,51 @@ def test_decompositions_partitioning_invariant(spark):
         base = sorted(map(tuple, q[name](spark, sf).collect()))
         got = sorted(map(tuple, q[name](ns, sf).collect()))
         assert got == base, name
+
+
+def test_thin_qr2_recovers_orthonormality_at_high_kappa(spark):
+    """CholeskyQR2 (VERDICT r11 item 6): at κ(A) = 1e6 the single
+    CholeskyQR pass loses orthonormality at the classical ε·κ² rate
+    (~1e-4), and the self-composition recovers it to working
+    precision while still reconstructing Q·R = A."""
+    import numpy as np
+
+    from mahout_samsara_book_spark.algorithms.spectral import (
+        _chol_qr_pass,
+        thin_qr2,
+    )
+
+    rng = np.random.RandomState(12)
+    n, dim = 400, 8
+    u, _ = np.linalg.qr(rng.randn(n, dim))
+    v, _ = np.linalg.qr(rng.randn(dim, dim))
+    s = np.logspace(0, -6, dim)  # kappa = 1e6
+    x = u @ np.diag(s) @ v.T
+    assert 3e5 < np.linalg.cond(x) < 3e6
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def q_mat(df):
+        rows = {r[0]: list(r[1:]) for r in df.collect()}
+        return np.array([rows[i] for i in range(n)])
+
+    # single pass (quantization off — isolating the FLOAT breakdown):
+    # visibly non-orthonormal at eps*kappa^2
+    _, q1_df = _chol_qr_pass(
+        emb, dim, dim, "vec_id", "embedding", quantize=False
+    )
+    q1 = q_mat(q1_df)
+    err1 = np.abs(q1.T @ q1 - np.eye(dim)).max()
+    assert err1 > 1e-8, f"fixture not kappa-hard enough: {err1}"
+
+    r, q_df = thin_qr2(emb, dim, out_cols=dim)
+    q = q_mat(q_df)
+    err2 = np.abs(q.T @ q - np.eye(dim)).max()
+    assert err2 < 1e-12, err2
+    assert err2 < err1 * 1e-3  # the second pass genuinely repaired it
+    r = np.array(r)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) > 0).all()
+    assert np.allclose(q @ r, x, atol=1e-9)
