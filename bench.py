@@ -66,6 +66,44 @@ def main() -> None:
     # narrow numeric colsum — no caches, no layouts, no Python loops.
     control_set = ("rel_pricing_summary", "text_tokenize_counts", "drm_colsums")
     CONTROL_REF_SEC = 2.004  # sum of min-of-5, sf0.1, round 8 (load ~8)
+    # Round-12 (VERDICT r11 item 1) — the min3 family gets its own
+    # QUIET-box reference so per-probe ratios read ~1.0 at rest and >1
+    # in a burst: 0.70 s is the min of every recorded end-bookend min3
+    # sum (r10 0.703 / r11 0.954 / last 0.706; the end bookend is the
+    # quiet edge).  The legacy CONTROL_REF_SEC (a LOADED round-8 box)
+    # stays for control_ratio continuity across rounds.
+    CONTROL_REF3_SEC = 0.70
+    # Disk-bound control probe (VERDICT r11 item 1b): copytree/append
+    # heavy rows (dedup_ingest_lifecycle, ev_stream_ingest) are
+    # invisible to CPU-bound controls — a co-tenant saturating the
+    # disk shows a clean cpu ratio while tripling those rows.  One
+    # probe = write an 8-file parquet of 200k synthetic rows +
+    # read-sum it back.  Reference pinned from a quiet-box min-of-5
+    # (round 12, load ~3.5: reps 0.607/0.492/0.500/0.480 after a
+    # 1.43 s writer-init first rep — the in-run probes always run
+    # warm, so the reference is the warm floor).
+    DISK_REF_SEC = 0.48
+
+    import tempfile
+
+    from mahout_samsara_book_spark.tmpdirs import register_tmpdir
+
+    disk_dir = register_tmpdir(
+        tempfile.gettempdir() + f"/spark_graft_benchdisk_{os.getpid()}"
+    )
+
+    def _disk_probe(reps: int = 3) -> float:
+        from pyspark.sql import functions as F
+
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000).select(
+                "id", (F.col("id") % 97).alias("v")
+            ).repartition(8).write.mode("overwrite").parquet(disk_dir)
+            spark.read.parquet(disk_dir).groupBy().sum("v").collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
 
     def _run_control(
         registry, reps: int = 5
@@ -116,10 +154,31 @@ def main() -> None:
         _t.sleep(1.0)
 
     registry = entry.queries()
+    _disk_probe(reps=1)  # warm the parquet write path (writer init ~1.4 s
+    # on first use — the pinned DISK_REF_SEC is the warm floor)
     control_start, control_start3 = _run_control(registry)
+    disk_start = _disk_probe()
     ordered = [
         (n, f) for n, f in registry.items() if n not in heavy_last
     ] + [(n, registry[n]) for n in heavy_last if n in registry]
+    # Probe ledger (VERDICT r11 item 1a): every control observation —
+    # bookends AND mid-run — lands here keyed by the query index it
+    # precedes, so each query can be normalized by its NEAREST probe
+    # instead of the min-of-bookends that hid the r11 start burst.
+    # cpu3/disk3 are min-of-3 seconds; the ratios divide by the
+    # QUIET-box references, clamped at 1.0 for normalization (a
+    # faster-than-reference box is never credited as a speedup).
+    probes: list[dict] = [
+        {
+            "pos": 0,
+            "cpu3": round(sum(control_start3.values()), 4),
+            "disk3": disk_start,
+            "cpu_ratio": round(
+                sum(control_start3.values()) / CONTROL_REF3_SEC, 3
+            ),
+            "disk_ratio": round(disk_start / DISK_REF_SEC, 3),
+        }
+    ]
     # Mid-run control probes (round-9, VERDICT r8 item 5): the start/end
     # control pair cannot see mid-run co-tenant bursts — the r8 sf1
     # table needed hand re-measurement of queries that ran during a
@@ -137,6 +196,7 @@ def main() -> None:
     for qi, (name, fn) in enumerate(ordered):
         if qi and qi % CONTROL_EVERY == 0:
             seg, _ = _run_control(registry, reps=3)
+            disk_mid = _disk_probe()
             control_mid.append(
                 {
                     "after_query": qi,
@@ -152,6 +212,17 @@ def main() -> None:
                         / (sum(control_start3.values()) or 1.0),
                         3,
                     ),
+                }
+            )
+            probes.append(
+                {
+                    "pos": qi,
+                    "cpu3": round(sum(seg.values()), 4),
+                    "disk3": disk_mid,
+                    "cpu_ratio": round(
+                        sum(seg.values()) / CONTROL_REF3_SEC, 3
+                    ),
+                    "disk_ratio": round(disk_mid / DISK_REF_SEC, 3),
                 }
             )
         best = float("inf")
@@ -187,6 +258,70 @@ def main() -> None:
             if worst_rep > settle_after_sec:
                 _settle(spark)
     control_end, control_end3 = _run_control(registry)
+    disk_end = _disk_probe()
+    probes.append(
+        {
+            "pos": len(ordered),
+            "cpu3": round(sum(control_end3.values()), 4),
+            "disk3": disk_end,
+            "cpu_ratio": round(
+                sum(control_end3.values()) / CONTROL_REF3_SEC, 3
+            ),
+            "disk_ratio": round(disk_end / DISK_REF_SEC, 3),
+        }
+    )
+    # Head re-run (VERDICT r11 item 1c): the r11 record carried a
+    # 142.6 s lifecycle row because the rotation head ran inside a
+    # start-of-run burst the min-of-bookends ratio could not see.
+    # When the start bookend was ≥1.5× hotter than the end bookend
+    # (on EITHER axis), the head block re-runs once now, on the box
+    # the end bookend just certified quiet, and each query keeps the
+    # min — the record itself becomes clean, not just explainable.
+    head_rerun: list[str] = []
+    start_p, end_p = probes[0], probes[-1]
+    if (
+        start_p["cpu3"] > 1.5 * end_p["cpu3"]
+        or start_p["disk3"] > 1.5 * end_p["disk3"]
+    ):
+        for name, fn in ordered[:CONTROL_EVERY]:
+            if name not in times:
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                if dt < times[name]:
+                    times[name] = round(dt, 3)
+                head_rerun.append(name)
+            except Exception:  # noqa: BLE001 — keep the recorded time
+                pass
+            finally:
+                release_tracked()
+        # the head block was re-measured on the end-bookend-quiet box:
+        # normalize it by THAT probe, keeping the hot original on
+        # record under pre_rerun
+        probes[0] = {
+            **end_p,
+            "pos": 0,
+            "rerun_of_head": True,
+            "pre_rerun": {
+                k: start_p[k]
+                for k in ("cpu3", "disk3", "cpu_ratio", "disk_ratio")
+            },
+        }
+    # Per-query normalization: divide each query by its NEAREST
+    # probe's hottest clamped ratio.  Raw `queries` stays the
+    # headline; `normalized_queries` is the burst-adjudicated view
+    # (never below raw/1.0 — a quiet box is not a speedup).
+    pos_of = {name: i for i, (name, _fn) in enumerate(ordered)}
+    normalized = {}
+    for name, t in times.items():
+        qpos = pos_of.get(name, 0)
+        near = min(probes, key=lambda p: abs(p["pos"] - qpos))
+        ratio = max(1.0, near["cpu_ratio"], near["disk_ratio"])
+        normalized[name] = round(t / ratio, 3)
     control_sec = round(
         min(sum(control_start.values()), sum(control_end.values())) or 1.0, 4
     )
@@ -204,7 +339,14 @@ def main() -> None:
         "control_mid": control_mid,
         "control_ref_sec": CONTROL_REF_SEC,
         "control_ratio": round(control_sec / CONTROL_REF_SEC, 3),
+        "control_ref3_sec": CONTROL_REF3_SEC,
+        "disk_ref_sec": DISK_REF_SEC,
+        "probes": probes,
+        "normalized_queries": normalized,
+        "normalized_total": round(sum(normalized.values()), 3),
     }
+    if head_rerun:
+        out["head_rerun"] = head_rerun
     # first-invocation ORC layout write time (round-9, ADVICE r8): the
     # fmt_orc_roundtrip number above times the READ path on warm reps;
     # surface the write edge's cost alongside so comparisons aren't

@@ -396,3 +396,97 @@ def test_stream_ingest_matches_sequential_ingest(spark, tmp_path):
     # the streamed batch 2 resolved through batch 1's append
     by_id = {t[0]: t for t in got}
     assert by_id[200][1] is False and by_id[200][2] == 100
+
+
+def test_index_compact_preserves_probes_and_collects_garbage(
+    spark, tmp_path
+):
+    """dedup_index_compact: after two ingests plus one crashed append,
+    compaction (1) preserves probe results bit-for-bit, (2) collapses
+    the per-batch directories to one generation, (3) deletes the
+    crashed append's orphan rows, and (4) a blind re-run from every
+    staged-swap crash point completes recovery."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_persist,
+        incremental_dedup_persisted,
+        ingest_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some existing corpus content entirely distinct here")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "a first-batch document about streams windows and joins")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(200, "second batch content with its own fresh wording")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ddx")
+    dedup_index_persist(corpus, path)
+    ingest_batch(b1, path)
+    ingest_batch(b2, path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_index_append(
+            spark.createDataFrame(
+                [(300, "orphaned crashed append text")],
+                "doc_id long, text string",
+            ),
+            path,
+            _crash_point="after_shingles",
+        )
+    probe = spark.createDataFrame(
+        [
+            (500, "a first-batch document about streams windows and joins"),
+            (501, "orphaned crashed append text"),
+        ],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(tuple, incremental_dedup_persisted(probe, path).collect())
+    )
+    n_dirs_before = len(glob.glob(path + "/shingles/batch_id=*"))
+    assert n_dirs_before == 4  # corpus + 2 ingests + 1 orphan
+    gen = dedup_index_compact(spark, path)
+    after = sorted(
+        map(tuple, incremental_dedup_persisted(probe, path).collect())
+    )
+    assert after == before
+    assert glob.glob(path + "/shingles/batch_id=*") == [
+        f"{path}/shingles/batch_id={gen}"
+    ]
+    for d in glob.glob(path + "/buckets/band=*/batch_id=*"):
+        assert d.endswith(f"batch_id={gen}")
+    # orphan text really gone from storage (501 kept on both probes —
+    # never matched — and no stray rows survive the GC)
+    assert [t for t in after if t[0] == 501][0][1] is True
+
+    # ---- staged-swap crash recovery: re-run completes from each point
+    # (a) crash after manifest_next written, before any rename
+    man, man_next, man_old = (
+        path + "/manifest", path + "/manifest_next", path + "/manifest_old"
+    )
+    shutil.copytree(man, man_next)
+    gen2 = dedup_index_compact(spark, path)
+    assert os.path.exists(man) and not os.path.exists(man_next)
+    assert not os.path.exists(man_old)
+    # (b) crash between the two renames: manifest absent
+    shutil.copytree(man, man_next)
+    os.rename(man, man_old)
+    gen3 = dedup_index_compact(spark, path)
+    assert os.path.exists(man) and not os.path.exists(man_next)
+    assert not os.path.exists(man_old)
+    final = sorted(
+        map(tuple, incremental_dedup_persisted(probe, path).collect())
+    )
+    assert final == before
