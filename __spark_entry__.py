@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_asof_ttl",       # new: idle-TTL as-of, eviction-graded
         "rec_similarity_analysis",  # new: SimilarityAnalysis compose
         "ev_stream_ingest",         # new: foreachBatch crawl-ingest
+        "dedup_compact_probe",      # new: probe-after-compaction
         # -- (1) implementation changed in round 12
         "dedup_ingest_lifecycle",   # r12: manifest commit + checkpointed
         "dedup_incremental_persisted",  # r12: committed-batch semi-join
@@ -639,11 +640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint", "text_langid", "text_pii_redact",
         "text_quality", "text_shingle_neighbors", "text_tfidf",
         "text_token_stats", "text_tokenize_counts", "twcnb_train",
-        # -- (3) 9 stalest r8 rows (alphabetical prefix)
+        # -- (3) 8 stalest r8 rows (alphabetical prefix; the rest of
+        # the r8 cohort, rel_forecast_revenue onward, defers to r13)
         "dedup_clusters", "ev_burst_windows", "ev_ewma_smooth",
         "graph_triangles", "rel_custdist", "rel_decile_revenue",
         "rel_disjunctive_revenue", "rel_dq_expectations",
-        "rel_forecast_revenue",
     ]
     missing = set(rotation_r12) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"

@@ -13,6 +13,15 @@ and JIT for that query's operator mix, so rep ≥ 2 measures steady-state
 engine throughput. On this shared box the min is also the least-noise
 estimator (co-tenant spikes are one-sided). Set
 ``SPARK_GRAFT_BENCH_REPS=1`` for a cold-plan run.
+
+Box-noise protocol (round 12): a control probe — min-of-3 cpu trio +
+one disk-bound parquet write/read — runs at the bookends and every 30
+queries; the JSON carries the full probe ledger, a per-query
+``normalized_queries`` map (each query divided by its nearest probe's
+hottest clamped ratio), and, when the start bookend was ≥1.5× hotter
+than the end bookend, the head block re-measures once on the quiet box
+(``head_rerun``).  Raw ``queries`` stays the headline; normalization
+adjudicates co-tenant bursts per query instead of per run.
 """
 
 from __future__ import annotations

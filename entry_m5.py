@@ -4660,3 +4660,67 @@ def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
     d = _oracles_pre_strmi()
     d["ev_stream_ingest"] = o_dedup_ingest_lifecycle()
     return d
+
+
+# ------------------------------------------------------------------ #
+# round-12: compaction graded (dedup.py:dedup_index_compact): probe a
+# COMPACTED copy of the two-batch lifecycle index with the same
+# re-keyed batch as dedup_incremental_append — compaction folds
+# corpus + batch 1 into one generation and GCs the rest, and the
+# probe must still resolve every copy to its batch-1/corpus dup_of
+# with identical jaccards, so the two rows share an oracle.  A
+# compaction bug that dropped or doubled any committed row flips the
+# hash.
+# ------------------------------------------------------------------ #
+
+_DDX_CPT_SEQ = [0]
+_DDX_CPT_LAST: list = [None]
+
+
+def q_dedup_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        dedup_index_compact,
+        incremental_dedup_persisted,
+    )
+
+    if _DDX_CPT_LAST[0] is not None:
+        shutil.rmtree(_DDX_CPT_LAST[0], ignore_errors=True)
+    _DDX_CPT_SEQ[0] += 1
+    path = register_tmpdir(
+        tempfile.gettempdir()
+        + f"/spark_graft_ddxcpt_{os.getpid()}_{_DDX_CPT_SEQ[0]}"
+    )
+    _DDX_CPT_LAST[0] = path
+    shutil.rmtree(path, ignore_errors=True)
+    # fresh copy: compaction MUTATES the index (new generation + GC),
+    # and the shared lifecycle fixture must keep its layout for
+    # dedup_incremental_append's own grading
+    shutil.copytree(_dedup_lifecycle_path(spark, sf_dir), path)
+    dedup_index_compact(spark, path, bands=LSH_BANDS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch2 = docs.filter(F.col("doc_id") % 50 == 17).select(
+        (F.col("doc_id") + DDX_REKEY).alias("doc_id"), "text"
+    )
+    out = incremental_dedup_persisted(
+        batch2, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
+        seed=MINHASH_SEED, threshold=0.5,
+    )
+    return out.select(
+        "doc_id", "keep", "dup_of", _sci(F.col("jaccard")).alias("jaccard")
+    ).localCheckpoint()
+
+
+QUERIES["dedup_compact_probe"] = q_dedup_compact_probe
+_oracles_pre_cpt = oracles
+
+
+def oracles() -> dict[str, str]:  # noqa: F811 — extend the registry
+    d = _oracles_pre_cpt()
+    d["dedup_compact_probe"] = o_dedup_incremental_append()
+    return d

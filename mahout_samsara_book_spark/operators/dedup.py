@@ -806,8 +806,14 @@ def _manifest_commit(spark, path: str, batch_id: str) -> None:
     bucket/shingle rows to manifest-listed batch ids, so data rows are
     invisible until this row lands.  The row is a single tiny parquet
     file whose append is an atomic rename on every sane filesystem;
-    the corpus build uses overwrite so a re-persist starts clean."""
-    row = spark.createDataFrame([(batch_id,)], "batch_id string")
+    the corpus build uses overwrite so a re-persist starts clean.
+
+    The row is built as ``range(1).select(lit(...))`` — a pure JVM
+    literal plan — NOT ``createDataFrame([(batch_id,)])``: the
+    local-relation write path round-trips through Python workers and
+    measured 6-9 s per one-row commit on local[32] (vs 0.16 s for the
+    literal plan), which tripled the whole ingest_batch wall."""
+    row = spark.range(1).select(F.lit(batch_id).alias("batch_id"))
     mode = "overwrite" if batch_id == INDEX_CORPUS_BATCH else "append"
     row.coalesce(1).write.mode(mode).parquet(path + "/manifest")
 
@@ -896,7 +902,8 @@ def dedup_index_compact(spark, path: str, bands: int = 8) -> str:
     sh.withColumn("batch_id", F.lit(gen)).write.mode(
         "append"
     ).partitionBy("batch_id").parquet(path + "/shingles")
-    spark.createDataFrame([(gen,)], "batch_id string").coalesce(
+    # JVM-literal one-row plan — see _manifest_commit's write-path note
+    spark.range(1).select(F.lit(gen).alias("batch_id")).coalesce(
         1
     ).write.mode("overwrite").parquet(man_next)
     os.rename(man, man_old)

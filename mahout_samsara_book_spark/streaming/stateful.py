@@ -633,6 +633,20 @@ def run_stream_asof_wm(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentinel_row(spark, ident: int, etype: str, t_us: int):
+    """One synthetic event as a JVM-literal plan (see the write-path
+    note at its call sites — createDataFrame local relations write
+    pathologically slowly on local[32])."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        F.lit(ident).cast("long").alias("event_id"),
+        F.lit(ident).cast("long").alias("user_id"),
+        F.lit(etype).alias("event_type"),
+        F.lit(t_us).cast("long").alias("t_us"),
+    )
+
+
 _ASOF_WM_STAGING: dict[tuple, str] = {}
 _ASOF_WM_SEQ = [0]
 ASOF_WM_SENTINEL_US = 7_200_000_000  # 2 h past max event time
@@ -709,12 +723,10 @@ def _asof_wm_staging(spark, sf_dir: str) -> str:
         if hi_b is not None:
             p = p.filter(F.col("t_us") <= hi_b)
         parts.append(p)
-    parts.append(
-        spark.createDataFrame(
-            [(-1, -1, "click", hi + ASOF_WM_SENTINEL_US)],
-            "event_id long, user_id long, event_type string, t_us long",
-        )
-    )
+    # JVM-literal one-row plan, not createDataFrame: the local-
+    # relation WRITE path measured 6-9 s per file on local[32] (round
+    # 12, dedup._manifest_commit note) — pure lit() rows write in ~0.2 s
+    parts.append(_sentinel_row(spark, -1, "click", hi + ASOF_WM_SENTINEL_US))
     for i, p in enumerate(parts):
         tmp = f"{path}/_w{i}"
         p.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -808,22 +820,15 @@ def _asof_ttl_staging(spark, sf_dir: str) -> str:
             F.lit(t).cast("long").alias("t_us"),
         )
 
-    sentinel_schema = (
-        "event_id long, user_id long, event_type string, t_us long"
-    )
     parts = [
         synth(users, 1, "click", ASOF_TTL_T0),
-        spark.createDataFrame(
-            [(-2, -2, "click", ASOF_TTL_A1)], sentinel_schema
-        ),
+        _sentinel_row(spark, -2, "click", ASOF_TTL_A1),
         synth(
             users.filter(F.col("user_id") % 10 == 0),
             2, "click", ASOF_TTL_T1,
         ),
         synth(users, 3, "purchase", ASOF_TTL_T2),
-        spark.createDataFrame(
-            [(-1, -1, "click", ASOF_TTL_HB)], sentinel_schema
-        ),
+        _sentinel_row(spark, -1, "click", ASOF_TTL_HB),
     ]
     for i, p in enumerate(parts):
         tmp = f"{path}/_w{i}"
