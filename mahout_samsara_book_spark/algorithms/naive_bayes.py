@@ -208,9 +208,11 @@ def save_nb_model(
     df_counts.write.mode("overwrite").parquet(f"{path}/df_counts")
     labels = [r["label"] for r in weights.select("label").distinct().collect()]
     meta = {"alpha": alpha, "is_complementary": True, "labels": sorted(map(str, labels))}
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/meta")
+    # JVM-literal one-row plan — local-relation writes cost 6-9 s on
+    # local[32] (see operators/dedup.py:_manifest_commit, round 12)
+    spark.range(1).select(
+        F.lit(json.dumps(meta)).alias("meta")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def load_nb_model(spark: SparkSession, path: str) -> dict:
