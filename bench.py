@@ -163,6 +163,18 @@ def main() -> None:
         _t.sleep(1.0)
 
     registry = entry.queries()
+    # debugging subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the run to
+    # those queries (controls still run — they're registry members).
+    # The driver never sets this; official runs are always full.
+    only = set(
+        filter(None, os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(","))
+    )
+    if only:
+        registry = {
+            n: f
+            for n, f in registry.items()
+            if n in only or n in control_set
+        }
     _disk_probe(reps=1)  # warm the parquet write path (writer init ~1.4 s
     # on first use — the pinned DISK_REF_SEC is the warm floor)
     control_start, control_start3 = _run_control(registry)
@@ -385,9 +397,12 @@ def main() -> None:
     # leaves the FULL per-query JSON in-tree — round-over-round
     # comparison stays mechanical without hand-reconstruction
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_last.queries.json"), "w") as f:
-            f.write(line + "\n")
+        if not only:  # subset debug runs must not clobber the record
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(
+                os.path.join(here, "BENCH_last.queries.json"), "w"
+            ) as f:
+                f.write(line + "\n")
     except Exception:  # noqa: BLE001 — reporting only
         pass
     spark.stop()

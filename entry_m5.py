@@ -4647,7 +4647,10 @@ def q_ev_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
     )
     return out.select(
-        "batch", "doc_id", "keep", "dup_of",
+        # `batch` is a discovered partition column (int) — the
+        # exactly-once sink overwrites one batch=<i> dir per epoch
+        F.col("batch").cast("long").alias("batch"),
+        "doc_id", "keep", "dup_of",
         _sci(F.col("jaccard")).alias("jaccard"),
     ).localCheckpoint()
 

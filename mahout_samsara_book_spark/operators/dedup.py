@@ -1026,6 +1026,8 @@ def ingest_batch(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
+    skip_if_committed: bool = False,
 ) -> DataFrame:
     """One full crawl-ingest step against a persisted index: probe the
     batch (:func:`incremental_dedup_persisted`), then append its rows
@@ -1035,6 +1037,20 @@ def ingest_batch(
     execute the returned DataFrame before OR after the append runs;
     within-batch pairs are handled by the probe's own batch-batch arm
     (min-id-wins).
+
+    EXACTLY-ONCE under retries (round 12): with a caller-supplied
+    deterministic ``batch_id`` and ``skip_if_committed=True``, a
+    re-delivered batch whose first attempt already COMMITTED skips the
+    append entirely (one tiny manifest lookup) and just re-derives the
+    probe — identical by the self-row anti-join.  This is the
+    at-least-once → exactly-once bridge for streaming delivery
+    (foreachBatch may re-run an epoch whose sink finished but whose
+    stream checkpoint didn't land; without the guard BOTH appends
+    would be committed and every future Jaccard against the batch
+    would run over doubled shingle sets).  An UNcommitted first
+    attempt (crashed mid-append) is invisible by the manifest
+    protocol, so the retry appends cleanly — blind re-delivery is safe
+    in every interleaving.
 
     SINGLE-WRITER: ingest_batch calls against one index must be
     serialized.  Two batches ingested concurrently each probe an index
@@ -1048,9 +1064,19 @@ def ingest_batch(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         threshold=threshold, id_col=id_col, text_col=text_col,
     )
+    if skip_if_committed and batch_id is not None:
+        already = (
+            batch.sparkSession.read.parquet(path + "/manifest")
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if already:
+            return out
     dedup_index_append(
         batch, path, n=n, k=k, bands=bands, seed=seed,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, batch_id=batch_id,
     )
     return out
 

@@ -25,7 +25,6 @@ ingest rate = batch size / (probe+append wall) — the SCALING.md
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from mahout_samsara_book_spark.operators.dedup import ingest_batch
 
@@ -47,10 +46,22 @@ def run_stream_ingest(
     mtime-ordered) as a file stream with ``maxFilesPerTrigger=1`` and
     run every micro-batch through :func:`ingest_batch` against the
     persisted index at ``index_path``; each batch's keep/dup_of probe
-    result appends to ``out_path`` tagged with its 1-based batch
+    result lands under ``out_path`` tagged with its 1-based batch
     number.  Returns the accumulated result relation.  Batch numbering
     is deterministic: one file per trigger in mtime order under a
-    fresh checkpoint means epoch i carries exactly file i."""
+    fresh checkpoint means epoch i carries exactly file i.
+
+    EXACTLY-ONCE: foreachBatch is an at-least-once sink — an epoch can
+    re-run after its side effects finished (sink completed, stream
+    checkpoint didn't land; or the whole stream is replayed under a
+    fresh checkpoint).  Both side effects are therefore idempotent per
+    epoch: the index append runs under the DETERMINISTIC batch_id
+    ``epoch-<i>`` with ``skip_if_committed`` (a committed epoch's
+    retry probes but never re-appends — the manifest is the
+    exactly-once ledger), and the probe output OVERWRITES its own
+    ``batch=<i+1>`` partition directory instead of appending.  Blind
+    full-stream replay over a mutated index is a no-op that
+    regenerates identical outputs (tested)."""
     src = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -59,15 +70,39 @@ def run_stream_ingest(
     )
 
     def sink(bdf: DataFrame, epoch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
         if bdf.isEmpty():  # trailing empty micro-batch — nothing to ingest
             return
+        bid = f"epoch-{int(epoch_id)}"
+        dst = f"{out_path}/batch={int(epoch_id) + 1}"
+        committed = (
+            spark.read.parquet(index_path + "/manifest")
+            .filter(F.col("batch_id") == bid)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if committed and os.path.exists(dst + "/_SUCCESS"):
+            # fully-processed epoch re-delivered: a FULL no-op.  The
+            # probe must not re-run here — on a whole-stream replay the
+            # index already holds LATER batches, so a recomputed probe
+            # would see the future; the preserved output is the one
+            # this epoch's true snapshot produced.
+            return
+        # committed-but-no-output can only mean the stream died between
+        # the manifest commit and the output write — no later epoch ran
+        # (foreachBatch serializes) — so the recomputed probe sees
+        # exactly {corpus + earlier batches + own committed rows}, and
+        # the self-row anti-join makes it identical to first-attempt
         out = ingest_batch(
             bdf.select("doc_id", "text"), index_path,
             n=n, k=k, bands=bands, seed=seed, threshold=threshold,
+            batch_id=bid, skip_if_committed=True,
         )
-        out.withColumn(
-            "batch", (F.lit(int(epoch_id)) + 1).cast("long")
-        ).write.mode("append").parquet(out_path)
+        out.write.mode("overwrite").parquet(dst)
 
     q = (
         src.writeStream.foreachBatch(sink)

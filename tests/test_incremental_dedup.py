@@ -397,6 +397,32 @@ def test_stream_ingest_matches_sequential_ingest(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[200][1] is False and by_id[200][2] == 100
 
+    # EXACTLY-ONCE under re-delivery: replay the WHOLE stream against
+    # the already-mutated index (fresh checkpoint = every epoch
+    # re-runs, the at-least-once worst case).  Committed epochs skip
+    # their appends and the per-epoch output overwrites are
+    # idempotent, so the index shingle multiset and the output are
+    # byte-identical to the first run.
+    from mahout_samsara_book_spark.operators.dedup import (
+        committed_index_tables,
+    )
+
+    sh_before = sorted(
+        map(tuple, committed_index_tables(spark, idx_s)[1].collect())
+    )
+    out2 = run_stream_ingest(
+        spark, batches, idx_s, str(tmp_path / "out")
+    )
+    got2 = sorted(
+        (d, k, df_, j, b)
+        for (d, k, df_, j, b) in map(tuple, out2.collect())
+    )
+    assert got2 == want
+    sh_after = sorted(
+        map(tuple, committed_index_tables(spark, idx_s)[1].collect())
+    )
+    assert sh_after == sh_before, "replay re-appended a committed epoch"
+
 
 def test_index_compact_preserves_probes_and_collects_garbage(
     spark, tmp_path
