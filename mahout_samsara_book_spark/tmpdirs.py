@@ -16,7 +16,10 @@ any Spark plan that read them has either executed or never will.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
+import signal
+import threading
 
 _DIRS: set[str] = set()
 
@@ -35,3 +38,26 @@ def _purge() -> None:
 
 
 atexit.register(_purge)
+
+
+def _sigterm_purge(signum, frame):  # pragma: no cover — signal path
+    _purge()
+    signal.signal(signum, signal.SIG_DFL)
+    os.kill(os.getpid(), signum)
+
+
+# Python's default SIGTERM disposition kills the process WITHOUT
+# running atexit hooks — a `timeout`-terminated bench/oracle run would
+# leave every staged fixture behind (observed: a TERM-killed run left
+# its asof/ingest stagings in /tmp while normal exits cleaned up).
+# Install a purge-then-reraise handler, but only when nothing else has
+# claimed SIGTERM and we're on the main thread (signal.signal throws
+# elsewhere); hosts with their own handlers keep them.
+try:
+    if (
+        threading.current_thread() is threading.main_thread()
+        and signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    ):
+        signal.signal(signal.SIGTERM, _sigterm_purge)
+except Exception:  # noqa: BLE001 — cleanup must never break import
+    pass
