@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.sources.tables import load_table
+
 from mahout_samsara_book_spark.operators.hashing import (
     P31,
     h31_sql,
@@ -89,7 +91,7 @@ def _gram_cte(src: str, n: int = DECON_N) -> str:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.selection import decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     draw = (
@@ -125,7 +127,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_mix_sample,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return domain_mix_sample(
         docs,
         "lang",
@@ -164,7 +166,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_stats,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = repetition_stats(docs)
     return out.select(
         "doc_id",
@@ -209,7 +211,7 @@ FROM agg
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.sketches import heavy_hitters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, k=HH_K)
 
 
@@ -272,7 +274,7 @@ penc AS MATERIALIZED (
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import pq_encode
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = pq_encode(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
     return out.select(
         "vec_id", "m", "code", _sci(F.col("d2")).alias("d2")
@@ -291,7 +293,7 @@ FROM penc
 def q_pq_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import pq_mse
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = pq_mse(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
     return out.select("vec_id", _sci(F.col("mse")).alias("mse"))
 
@@ -321,7 +323,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice (portable md5, seed 29) replays in the oracle's qsel CTE."""
     from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     h = F.conv(
         F.substring(
             F.md5(
@@ -364,7 +366,7 @@ def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape's Θ(n^1.5) (ann_ivfpq_topk; SCALING.md sf1 call-out)."""
     from mahout_samsara_book_spark.operators.similarity import ann_ivfpq_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     h = F.conv(
         F.substring(
             F.md5(
@@ -482,7 +484,7 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import funnel_steps
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return funnel_steps(ev, FUNNEL_STEPS)
 
 
@@ -508,7 +510,7 @@ FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import retention_cohorts
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev)
 
 
@@ -573,7 +575,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = frame_sample(
         attach_media(docs), stride=FRAME_STRIDE, max_frames=FRAME_MAX
     )
@@ -605,7 +607,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_media(docs), out_dim=8)
     pooled = resize_features(feats, RESIZE_OUT)
     return pooled.select(
@@ -654,7 +656,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wav_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     media = attach_wav(docs, n_samples=WAV_SAMPLES, rate=WAV_RATE)
     out = decode_wav_features(media, segments=WAV_SEGMENTS)
     return out.select("doc_id", "rate", "n_samples", "seg", "seg_sum")
@@ -689,7 +691,7 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_ppm_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     media = attach_ppm(docs, width=PPM_W, height=PPM_H)
     out = decode_ppm_features(media)
     return out.select("doc_id", "width", "height", "channel", "ch_sum")
@@ -731,7 +733,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_png_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     media = attach_png(docs, width=PNG_W, height=PNG_H)
     out = decode_png_features(media)
     return out.select("doc_id", "width", "height", "channel", "ch_sum")

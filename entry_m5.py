@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.sources.tables import load_table
+
 from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 from mahout_samsara_book_spark.operators.hashing import (
     P31,
@@ -78,7 +80,7 @@ LSH_BANDS = 4  # 4 bands × 2 rows over k=8
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     dups = docs.filter(F.col("doc_id") < 10).select(
@@ -304,14 +306,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import simhash
 
     return simhash(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.dedup import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     # plant 10 exact-duplicate vectors (mirrors _AUG_DOCS_SQL for documents)
@@ -338,7 +340,7 @@ def q_sel_decontaminate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_embeddings,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     dups = emb.filter(F.col("vec_id") < 10).select(
@@ -387,7 +389,7 @@ FROM s WHERE round(cosine, 9) >= 0.9
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, k=3)
     return out.select(
         "vec_id",
@@ -400,14 +402,14 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import lsh_sign_buckets
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     return lsh_sign_buckets(emb, n_planes=8, seed=5)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     # n_planes='auto' = max(3, min(12, ceil(log2(n/64)))); the oracle
     # bakes all 12 plane-bit literals and masks to the SAME data-derived
     # count, so query and oracle agree at every SF (9 planes at sf1)
@@ -433,7 +435,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mahout_samsara_book_spark.operators.similarity import auto_n_centers
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     centers = ivf_centers(emb, auto_n_centers(emb), IVF_SEED)
     return ivf_assign(emb, centers)
 
@@ -441,7 +443,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     # n_centers='auto' = max(16, isqrt(n//2)); the oracle CTE computes
     # the SAME count from the data, so query and oracle agree at every
     # SF, not just the driver-checked one (see auto_n_centers)
@@ -493,7 +495,7 @@ def o_ivf_assign() -> str:
 def q_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import ivf_refine
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_refine(emb, n_centers="auto", seed=IVF_SEED)
     return out.select(
         "cid",
@@ -545,7 +547,7 @@ FROM rk WHERE rank <= 3
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import language_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = language_id(docs)
     return out.select(
         "doc_id", "lang_pred", _sci(F.col("lang_score")).alias("lang_score")
@@ -555,7 +557,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = quality_score(docs)
     return out.select(
         "doc_id",
@@ -569,7 +571,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import token_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = token_stats(docs)
     return out.select(
         "doc_id",
@@ -582,14 +584,14 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return fingerprint(docs)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.multimodal import attach_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return attach_media(docs).select("doc_id", "media_type", "n_bytes", "checksum")
 
 
@@ -599,7 +601,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_features,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_media(docs), out_dim=8)
     return feats.select(
         "doc_id", F.posexplode("features").alias("pos", "v")
@@ -679,7 +681,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-9 under fresh ids (near-dups of corpus members, keep=false)."""
     from mahout_samsara_book_spark.operators.dedup import incremental_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     corpus = docs.filter(F.col("doc_id") % 50 != 17)
@@ -1155,7 +1157,7 @@ II_HEAD_K = 100
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text import inverted_index
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = inverted_index(docs, min_df=II_MIN_DF, head_k=II_HEAD_K)
     return out.select(
         "term",
@@ -1207,7 +1209,7 @@ PMI_MIN_COOC = 5
 def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text_analysis import pmi_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = pmi_pairs(docs, min_cooc=PMI_MIN_COOC)
     return out.select(
         "a",
@@ -1313,7 +1315,7 @@ KM_ITERS = 2
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.similarity import kmeans_lloyd
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     out = kmeans_lloyd(emb, iters=KM_ITERS, seed=IVF_SEED)
@@ -1451,7 +1453,7 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mahout_samsara_book_spark.functions.text import tfidf
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     ti = tfidf(docs)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
@@ -1505,7 +1507,7 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         js_divergence_by_group,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = js_divergence_by_group(docs, "lang")
     return out.select("grp_a", "grp_b", _sci(F.col("js")).alias("js"))
 
@@ -1579,7 +1581,7 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         language_id,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     pred = language_id(docs).select("doc_id", "lang_pred")
     out = (
         docs.select("doc_id", "lang")
@@ -1688,7 +1690,7 @@ def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB contract; see operators/dedup.py:exact_substr_spans."""
     from mahout_samsara_book_spark.operators.dedup import exact_substr_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = exact_substr_spans(
         docs, window=SUBSTR_WINDOW, max_df=SUBSTR_MAX_DF
     )
@@ -1765,7 +1767,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines replace identically."""
     from mahout_samsara_book_spark.operators.privacy import redact_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = redact_pii(_pii_augment_spark(docs))
     return out.select(
         "doc_id",
@@ -1984,7 +1986,7 @@ def q_text_zipf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mahout_samsara_book_spark.operators.dedup import shingle_hashes
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     sh = shingle_hashes(docs, n=2, distinct=False)
@@ -2072,7 +2074,7 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline), so ln/division drift can't flip the tiebreak."""
     from mahout_samsara_book_spark.functions.text import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = bm25_topk(
         docs, BM25_QUERIES, topk=BM25_TOPK, k1=BM25_K1, b=BM25_B
     )
@@ -2165,7 +2167,7 @@ def q_sel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = ensure_min_partitions(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
     )
@@ -2287,7 +2289,7 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk_persisted,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     path = _ivf_index_path(spark, sf_dir, emb)
     out = ivf_topk_persisted(emb, path, k=3, nprobe=IVF_NPROBE)
     return out.select(
@@ -2316,7 +2318,7 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk_persisted,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     path = _ivf_index_path(spark, sf_dir, emb)
     h = F.conv(
         F.substring(
@@ -2411,7 +2413,7 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_probes,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     corpus = emb.filter(F.col("vec_id") % 50 != 17)
@@ -2525,7 +2527,7 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     only: the cleanest possible hash gate for an iterative trainer."""
     from mahout_samsara_book_spark.functions.text import bpe_merges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = bpe_merges(docs, k=BPE_K)
     return out.select(
         "merge_rank", "tok_a", "tok_b", "merged",
@@ -2610,7 +2612,7 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     rules = bpe_merges(docs, k=BPE_K).collect()
     s0 = F.concat(
         F.lit(" "), F.concat_ws(" ", tokenize(F.col("text"))), F.lit(" ")
@@ -2666,7 +2668,7 @@ def q_text_bpe_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level trainer; see functions/text.py:bpe_merges."""
     from mahout_samsara_book_spark.functions.text import bpe_merges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = bpe_merges(docs, k=BPE_CHARS_K, level="char")
     return out.select(
         "merge_rank", "tok_a", "tok_b", "merged",
@@ -2723,7 +2725,7 @@ def _dedup_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         shutil.rmtree(path, ignore_errors=True)
         corpus = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            load_table(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .filter(F.col("doc_id") % 50 != 17)
         )
@@ -2752,7 +2754,7 @@ def q_dedup_incremental_persisted(
         incremental_dedup_persisted,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     batch = (
@@ -2819,7 +2821,7 @@ def _dedup_lifecycle_path(spark: SparkSession, sf_dir: str) -> str:
             + f"/spark_graft_ddxlc_{os.getpid()}_{_DDX_LC_SEQ[0]}"
         )
         shutil.rmtree(path, ignore_errors=True)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         dedup_index_persist(
@@ -2863,7 +2865,7 @@ def q_dedup_incremental_append(
     )
 
     path = _dedup_lifecycle_path(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     batch2 = docs.filter(F.col("doc_id") % 50 == 17).select(
@@ -2947,7 +2949,7 @@ def _pristine_index(spark: SparkSession, sf_dir: str) -> str:
             + f"/spark_graft_ddxlc3p_{os.getpid()}_{_DDX_LC3_SEQ[0]}"
         )
         shutil.rmtree(path, ignore_errors=True)
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         dedup_index_persist(
@@ -2996,7 +2998,7 @@ def q_dedup_ingest_lifecycle(
     _DDX_LC3_LAST[0] = path
     shutil.rmtree(path, ignore_errors=True)
     shutil.copytree(_pristine_index(spark, sf_dir), path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     b1 = docs.filter(F.col("doc_id") % 50 == 17)
@@ -3100,7 +3102,7 @@ def q_text_bm25_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_bm25_topk's, over the wider query set."""
     from mahout_samsara_book_spark.functions.text import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = bm25_topk(
         docs, BM25_WIDE_QUERIES, topk=BM25_TOPK, k1=BM25_K1, b=BM25_B,
         literal_fold_max_terms=BM25_HOF_MAX_LITERAL,
@@ -3179,7 +3181,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     dups = emb.filter(F.col("vec_id") < 10).select(
@@ -3300,7 +3302,7 @@ def q_emb_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         leading_components,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     _, out = leading_components(
@@ -3411,10 +3413,10 @@ def q_rec_item_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         item_similarity_llr,
     )
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     inter = o.join(li, o.o_orderkey == li.l_orderkey).select(
@@ -3537,17 +3539,17 @@ def q_rec_cross_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_similarity_llr,
     )
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     primary = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.col("o_custkey").alias("user_id"),
         F.col("l_partkey").alias("item_id"),
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     # drop events whose props lacks '$.k' (ADVICE r11): a NULL item_id
     # would otherwise reach the cap window, where Spark's NULLS FIRST
     # vs DuckDB's NULLS LAST ORDER BY defaults diverge — the current
@@ -3701,7 +3703,7 @@ def q_emb_ssvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram and Ω)."""
     from mahout_samsara_book_spark.algorithms.spectral import ssvd_project
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     _, sigmas, out = ssvd_project(
@@ -3844,7 +3846,7 @@ def q_emb_dspca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ssvd on the bordered-gram-derived centered gram."""
     from mahout_samsara_book_spark.algorithms.spectral import dspca_project
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     _, sigmas, out = dspca_project(
@@ -3956,7 +3958,7 @@ def q_emb_qr_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant columns (pinning the triangular factor into the hash)."""
     from mahout_samsara_book_spark.algorithms.spectral import thin_qr
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     r, out = thin_qr(emb, dim=SSVD_DIM, out_cols=QR_COLS)
@@ -4086,7 +4088,7 @@ def q_emb_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         als_project,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     v, _w, out = als_project(
@@ -4314,7 +4316,7 @@ def q_rec_row_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mahout_samsara_book_spark.functions.text import tokenize
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     inter = docs.select(
@@ -4436,17 +4438,17 @@ def q_rec_similarity_analysis(
         similarity_analysis,
     )
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     primary = o.join(li, o.o_orderkey == li.l_orderkey).select(
         F.col("o_custkey").alias("user_id"),
         F.col("l_partkey").alias("item_id"),
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     secondary = ev.filter(
         F.col("event_type").isin("view", "click")
     ).select(
@@ -4589,7 +4591,7 @@ def _ddx_stream_batches(spark: SparkSession, sf_dir: str) -> str:
     )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     b1 = docs.filter(F.col("doc_id") % 50 == 17)
@@ -4704,7 +4706,7 @@ def q_dedup_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_incremental_append's own grading
     shutil.copytree(_dedup_lifecycle_path(spark, sf_dir), path)
     dedup_index_compact(spark, path, bands=LSH_BANDS)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     batch2 = docs.filter(F.col("doc_id") % 50 == 17).select(

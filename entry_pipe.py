@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.sources.tables import load_table
+
 from mahout_samsara_book_spark.operators.hashing import h60_sql
 
 _sci = None
@@ -51,7 +53,7 @@ def _doc_hash_sql(seed: int = SEED) -> str:
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.selection import split_assign
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return split_assign(docs, seed=SEED)
 
 
@@ -70,7 +72,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = stratified_sample(docs, "lang", STRATA_FRACTIONS, seed=SEED)
     return out.select("doc_id", "lang")
 
@@ -92,7 +94,7 @@ WHERE {draw} % 10000 < (CASE {cases} ELSE 0 END)
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.selection import shard_assign
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = shard_assign(docs, N_SHARDS, seed=SEED)
     return out.select(
         "doc_id",
@@ -116,7 +118,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.functions.text import tokenize
     from mahout_samsara_book_spark.operators.selection import pack_sequences
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokenize(F.col("text"))).alias("n_tok")
     )
     out = pack_sequences(
@@ -156,7 +158,7 @@ FROM c
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.sketches import kmv_distinct
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, "event_type", "user_id", k=KMV_K)
 
 
@@ -193,7 +195,7 @@ def q_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_union_distinct,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
         F.get_json_object(F.col("props"), "$.k").alias("k_str"),
@@ -389,7 +391,7 @@ def _bloom_pos_list_sql(hexpr: str) -> str:
 def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.bloom import bloom_build
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return bloom_build(ev, "event_type", "user_id", m_bits=BLOOM_M, k=BLOOM_K)
 
 
@@ -411,7 +413,7 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_probe,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     bloom = bloom_build(ev, "event_type", "user_id", m_bits=BLOOM_M, k=BLOOM_K)
     present = ev.select("event_type", "user_id").distinct()
     absent = present.select(
@@ -526,7 +528,7 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_layout_stats,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("y"),
     )
@@ -563,7 +565,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = chunk_documents(docs, size=200, stride=150)
     return out.select(
         "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk_text"
@@ -684,7 +686,7 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_centroids,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = label_centroids(emb)
     return out.select(
         F.col("label").cast("long").alias("label"),
@@ -717,7 +719,7 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_outliers,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = centroid_outliers(emb)
     return out.select(
         "vec_id",
@@ -760,7 +762,7 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     probes = heavy_hitters(docs, k=CMS_PROBES)
     return cms_estimate(
         docs, probes, width=CMS_W, depth=CMS_D, seed=CMS_SEED
@@ -801,7 +803,7 @@ GROUP BY pb.term
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.sketches import hll_distinct
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_type", "user_id", b=HLL_B)
 
 
@@ -853,7 +855,7 @@ WITH hashed AS (SELECT event_type AS grp, {h} AS h FROM events),
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.selection import priority_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = priority_sample(
         docs, "lang", F.octet_length("text"), k=PRI_K, seed=PRI_SEED
     )
@@ -893,7 +895,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_edges,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     edges = transition_edges(ev)
     out = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
     return out.select("node", _sci(F.col("pr")).alias("pr"))
@@ -959,7 +961,7 @@ SELECT node, {_sci_sql('pr')} AS pr FROM r{PR_ITERS}
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.fuzzy import fuzzy_self_join
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = load_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.min("p_partkey").alias("id")
     )
@@ -1022,8 +1024,8 @@ def q_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         universe_sample,
     )
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     so = universe_sample(orders, "o_orderkey", UNIV_PCT, UNIV_SEED)
     sl = universe_sample(li, "l_orderkey", UNIV_PCT, UNIV_SEED)
     out = (
@@ -1093,7 +1095,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     # pack_ids=True: part keys are 32-bit-bounded in this corpus; the
     # packed single-long pair key makes the projection aggregate 2.3x
     # cheaper at sf10 (round-8), with a codegen'd overflow guard
@@ -1140,7 +1142,7 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         degrees,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     out = degrees(cooccurrence_edges(li, pack_ids=True))
     return (
         out.groupBy("deg")
@@ -1165,7 +1167,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_recon_stats,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table(spark, sf_dir, "embeddings")
     out = int8_recon_stats(emb)
     return out.select(
         "vec_id",
@@ -1212,7 +1214,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_lm_scores,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     out = bigram_lm_scores(docs)
     return out.select(
         "doc_id",
@@ -1267,7 +1269,7 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_quantiles,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = sample_quantiles(
         ev, "event_type", "value", "event_id",
         quantiles=SQ_QS, k=SQ_K, seed=SQ_SEED,
@@ -1394,7 +1396,7 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mahout_samsara_book_spark.drm.drm import Drm
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("row_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
             "features"
@@ -1463,7 +1465,7 @@ def q_ev_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         transition_edges,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = top_transitions(transition_edges(ev), k=MARKOV_TOPK)
     return out.select(
         "src",
@@ -1501,7 +1503,7 @@ FROM rk WHERE rank <= {MARKOV_TOPK}
 
 
 def q_rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     bucket = F.least(
         F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)).cast("long"),
         F.lit(HIST_MAX_BUCKET).cast("long"),
@@ -1554,10 +1556,10 @@ BPJ_K = 4
 def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.bloom import bloom_prune_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_acctbal") > BPJ_MIN_BAL
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     pruned = bloom_prune_join(
         cust, orders, "c_custkey", "o_custkey",
         m_bits=BPJ_M_BITS, k=BPJ_K,
@@ -1615,7 +1617,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         kcore_peel,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     out = kcore_peel(cooccurrence_edges(li, pack_ids=True), k=KCORE_K, rounds=KCORE_ROUNDS)
     return out.select(
         F.col("node").cast("long").alias("node"),
@@ -1713,7 +1715,7 @@ def q_rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-format-free and engine-portable by construction."""
     from mahout_samsara_book_spark.operators.hashing import h60
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     rowkey = F.concat_ws(
         ":",
         F.col("l_orderkey").cast("string"),
@@ -1806,7 +1808,7 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value domain) carries distinctness; numeric extremes format through
     the engine's %.7e convention.  The two 5-row sides broadcast-join
     on column name."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
     ext_aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for c, kind in _PROFILE_COLS:
         col = F.col(c)
@@ -1907,7 +1909,7 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_intersect_distinct,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = kmv_intersect_distinct(ev, "event_type", "user_id", k=KMV_I_K)
     return out.select(
         "grp_a",
@@ -1981,7 +1983,7 @@ def q_sel_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     order with no global total sort."""
     from mahout_samsara_book_spark.operators.selection import epoch_shuffle
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return epoch_shuffle(docs, epoch=EPOCH, n_shards=EPOCH_SHARDS)
 
 
@@ -2011,7 +2013,7 @@ def q_sel_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         leakage_safe_split,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs, seed=LSPLIT_SEED, buckets=LSPLIT_BUCKETS)
 
 

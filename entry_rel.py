@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mahout_samsara_book_spark.sources.tables import load_table
+
 from mahout_samsara_book_spark.functions import relational as R
 from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 
@@ -288,7 +290,7 @@ FROM events GROUP BY 1, 2
 def q_ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import session_window_agg
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = session_window_agg(ev, gap_minutes=20)
     return out.select(
         F.col("user_id").cast("long").alias("user_id"),
@@ -598,7 +600,7 @@ GROUP BY 1, 2
 def q_ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.streaming.events import value_anomalies
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = value_anomalies(ev, z_thresh=3.0)
     return out.select(
         "event_id", "event_type", _sci(F.col("value")).alias("value"),
@@ -626,10 +628,10 @@ WHERE abs((value - mu) / sd) > 3.0
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mahout_samsara_book_spark.operators.skew import salted_join
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
     out = (
@@ -1673,7 +1675,7 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid/partition skyline algorithms."""
     from pyspark.sql import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
     w = (
@@ -2063,10 +2065,10 @@ def q_rel_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit null)."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -2227,11 +2229,11 @@ def q_rel_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's own sum by the region window total."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -2334,7 +2336,7 @@ def q_rel_decile_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     different deciles on different engines. Scale: the window runs over
     the per-customer aggregate (|customers|, not |orders|); the decile
     assignment is a single global sort of that contracted relation."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
     cust = orders.groupBy("o_custkey").agg(

@@ -818,28 +818,64 @@ def _manifest_commit(spark, path: str, batch_id: str) -> None:
     row.coalesce(1).write.mode(mode).parquet(path + "/manifest")
 
 
+def manifest_batch_ids(spark, path: str) -> list[str]:
+    """The COMMITTED batch ids of the index at ``path`` — the manifest
+    is O(number of batches) single-row parquet files, i.e. tiny
+    metadata, so it is read DRIVER-SIDE (pyarrow over the local
+    filesystem) instead of through a Spark job: the round-12 probe
+    previously paid one broadcast-exchange job per table per probe
+    just to semi-join a handful of ids (guide §2.4 — remove exchanges
+    the data does not need).  Non-local paths (hdfs:/s3:/...) fall
+    back to a one-row-per-batch Spark collect, which is the same
+    declared-small driver transfer the broadcast build did anyway."""
+    import glob as _glob
+    import os as _os
+
+    mdir = path + "/manifest"
+    local = mdir[5:].lstrip("/") if mdir.startswith("file:") else mdir
+    if mdir.startswith("file:"):
+        local = "/" + local
+    if _os.path.isdir(local):
+        import pyarrow.parquet as _pq
+
+        ids: list[str] = []
+        for f in sorted(_glob.glob(local + "/*.parquet")):
+            ids.extend(
+                _pq.read_table(f, columns=["batch_id"])
+                .column("batch_id")
+                .to_pylist()
+            )
+        return ids
+    return [
+        r["batch_id"]
+        for r in spark.read.parquet(mdir).select("batch_id").collect()
+    ]
+
+
 def committed_index_tables(spark, path: str, id_col: str = "doc_id"):
     """(buckets, shingles) of ``path`` restricted to COMMITTED batches:
-    each table left-semi-joins the broadcast manifest on ``batch_id``,
-    so rows from a crashed (uncommitted) append are invisible — a blind
-    re-run of a failed :func:`dedup_index_append` under a fresh
-    batch_id is therefore safe, with the orphaned rows remaining as
-    unreferenced garbage a compaction can drop later.  The manifest is
-    one row per committed batch — broadcast is always the right join
-    strategy, and the filter costs no extra shuffle.  ``batch_id`` is a
-    PARTITION column, so the commit filter is pure file pruning: the
-    data scans still read only (id, band, sig) / (id, h)."""
-    manifest = F.broadcast(
-        spark.read.parquet(path + "/manifest").select("batch_id")
-    )
+    each table filters ``batch_id IN (manifest ids)``, so rows from a
+    crashed (uncommitted) append are invisible — a blind re-run of a
+    failed :func:`dedup_index_append` under a fresh batch_id is
+    therefore safe, with the orphaned rows remaining as unreferenced
+    garbage a compaction can drop later.  The manifest ids come from a
+    driver-side metadata read (:func:`manifest_batch_ids` — tiny by
+    construction), and ``batch_id`` is a PARTITION column on both
+    tables, so the commit filter is pure file pruning at plan time:
+    no broadcast exchange, no extra job, and the data scans still
+    read only (id, band, sig) / (id, h).  Binding the committed set
+    at BUILD time also pins the probe to the exact index snapshot it
+    was created against (the lifecycle's localCheckpoint barriers
+    previously enforced this at execution time)."""
+    committed = manifest_batch_ids(spark, path)
     bkt = (
         spark.read.parquet(path + "/buckets")
-        .join(manifest, "batch_id", "left_semi")
+        .filter(F.col("batch_id").isin(committed))
         .select(id_col, "band", "sig")
     )
     sh = (
         spark.read.parquet(path + "/shingles")
-        .join(manifest, "batch_id", "left_semi")
+        .filter(F.col("batch_id").isin(committed))
         .select(id_col, "h")
     )
     return bkt, sh
@@ -936,6 +972,8 @@ def dedup_index_append(
     text_col: str = "text",
     batch_id: str | None = None,
     _crash_point: str | None = None,
+    _sh: DataFrame | None = None,
+    _sig: DataFrame | None = None,
 ) -> str:
     """Append a batch's OWN bucket + shingle rows to a persisted dedup
     index (round-10, VERDICT r9 item 3 — the half of the
@@ -984,10 +1022,17 @@ def dedup_index_append(
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     rows = k // bands
-    sh_b = shingle_hashes(batch, n, id_col, text_col)
-    bkt = band_buckets(
-        minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col
+    # round-12 (guide §1.2/§2.4): a caller that already shingled and
+    # minhashed this batch (ingest_batch's probe) passes the persisted
+    # relations in, so the append's two writes re-derive nothing — the
+    # batch text is tokenized once per ingest, not once per consumer.
+    sh_b = (
+        shingle_hashes(batch, n, id_col, text_col) if _sh is None else _sh
     )
+    sig = (
+        minhash_signatures(sh_b, k, seed, id_col) if _sig is None else _sig
+    )
+    bkt = band_buckets(sig, bands, rows, id_col)
     # repartition by band before the dynamic-partition append: without
     # it every append lands numShufflePartitions × bands small files
     # (256 per batch at the default 32), and a long-lived index decays
@@ -1060,23 +1105,29 @@ def ingest_batch(
     other" (see :func:`dedup_index_append` for the full contract and
     the failed-append recovery rule).  Tested in
     tests/test_incremental_dedup.py."""
+    # shingle + minhash the batch ONCE for the whole ingest step: the
+    # probe consumes both relations (buckets for candidates, shingles
+    # for the Jaccard verify) and the append writes both — without
+    # sharing, the batch text was tokenized/shingled and min-aggregated
+    # up to four separate times per ingest (guide §1.2: remove work
+    # before tuning it).  Both persists are batch-sized (tiny relative
+    # to the index) and released by the host's release_tracked.
+    sh_b = track(shingle_hashes(batch, n, id_col, text_col))
+    sig_b = track(minhash_signatures(sh_b, k, seed, id_col))
     out = incremental_dedup_persisted(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         threshold=threshold, id_col=id_col, text_col=text_col,
+        _sh=sh_b, _sig=sig_b,
     )
     if skip_if_committed and batch_id is not None:
-        already = (
-            batch.sparkSession.read.parquet(path + "/manifest")
-            .filter(F.col("batch_id") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
-        if already:
+        # driver-side metadata read (manifest_batch_ids) — the previous
+        # limit(1).count() ran a Spark job per re-delivery check
+        if batch_id in manifest_batch_ids(batch.sparkSession, path):
             return out
     dedup_index_append(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         id_col=id_col, text_col=text_col, batch_id=batch_id,
+        _sh=sh_b, _sig=sig_b,
     )
     return out
 
@@ -1091,19 +1142,32 @@ def incremental_dedup_persisted(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _sh: DataFrame | None = None,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a PERSISTED index (see
     :func:`dedup_index_persist`): only the BATCH is shingled/minhashed;
     the corpus side is two parquet probes (buckets for candidate
     generation, shingles for Jaccard verification).  Result is
     identical to the in-session build with the same parameters (the
-    index content is deterministic), so the two share an oracle."""
+    index content is deterministic), so the two share an oracle.
+
+    Callers that already hold the batch's shingle/signature relations
+    (:func:`ingest_batch`, where probe AND append consume them) pass
+    them via ``_sh``/``_sig`` so the batch text is tokenized once per
+    ingest.  A standalone probe keeps the lazy recompute: measured at
+    sf0.1, persisting here ADDS wall time (two extra cache
+    materialization barriers against ~0.3 s of saved recompute that
+    Catalyst otherwise pipelines into branches that run anyway)."""
     spark = batch.sparkSession
     rows = k // bands
-    sh_b = shingle_hashes(batch, n, id_col, text_col)
-    bkt_b = band_buckets(
-        minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col
+    sh_b = (
+        shingle_hashes(batch, n, id_col, text_col) if _sh is None else _sh
     )
+    sig_b = (
+        minhash_signatures(sh_b, k, seed, id_col) if _sig is None else _sig
+    )
+    bkt_b = band_buckets(sig_b, bands, rows, id_col)
     # COMMITTED rows only (manifest semi-join, VERDICT r11 item 3) —
     # a crashed append's orphan rows never reach the probe.  Beyond
     # that, the index may ALREADY hold this batch's own committed rows

@@ -71,8 +71,35 @@ def ts_us(ev: DataFrame, col: str = "ts") -> F.Column:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Base-table reader with a RESOLUTION memo (round 12, guide §6):
+    every ``spark.read.parquet`` pays ~100 ms of driver work (file
+    listing + footer schema read + relation resolution), and the bench
+    registry re-resolves the same ten fixture tables hundreds of times
+    per run.  The memo returns the already-resolved DataFrame for the
+    same (SparkContext, path, file fingerprint) — the local-mode analog
+    of the catalog/file-index caching the optimization guide prescribes
+    for repeatedly-scanned tables (``filesourcePartitionFileCacheSize``).
+
+    This caches a PLAN handle, never data or results: every action on
+    the returned DataFrame re-reads the parquet bytes.  The
+    :func:`source_fingerprint` (size + mtime_ns) in the key means a
+    regenerated fixture at the same path misses the memo, and the
+    applicationId scopes entries to the live SparkContext."""
     ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        source_fingerprint(sf_dir, name),
+    )
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _TABLE_MEMO[key] = df
+    return df
+
+
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
 def source_fingerprint(sf_dir: str, name: str) -> tuple:

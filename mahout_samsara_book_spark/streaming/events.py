@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mahout_samsara_book_spark.sources.tables import ts_us
+from mahout_samsara_book_spark.sources.tables import load_table, ts_us
 from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 
 US_PER_SEC = 1_000_000
@@ -493,13 +493,13 @@ def run_stream_enriched_counts(spark, sf_dir: str) -> DataFrame:
     oracle exactly — the registry's proof that stream-static
     enrichment computes the batch answer through the actual streaming
     engine (micro-batches + state store), not a batch shortcut."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customers = load_table(spark, sf_dir, "customer")
     out = enriched_nation_counts(ev_stream, customers)
     return _run_bounded_stream(
         spark, out, "ev_stream_enriched", "complete", _adaptive_state_partitions(sf_dir)
@@ -524,7 +524,7 @@ def run_stream_windowed_counts(
     ``availableNow`` bounds the run (process the snapshot, then stop),
     which is also the standard incremental-backfill trigger in
     production."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -563,7 +563,7 @@ def run_stream_windowed_append(
     (``window_start + width ≤ max_event_second``) the DuckDB oracle
     applies to the batch aggregation, so the append run stays exactly
     hash-checkable."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -592,7 +592,7 @@ def run_stream_session_counts(
     closed before the final watermark; the only rows withheld are each
     user's trailing still-open session — a closed-form condition the
     batch oracle replays (see ``o_ev_stream_session``)."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -632,7 +632,7 @@ def run_stream_click_error_join(
     which a bounded replay never exercises). The result is therefore
     exactly the batch join on truncated-to-second event times, which
     the DuckDB oracle replays closed-form."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
 
     def _src():
         return (
@@ -668,7 +668,7 @@ def run_stream_dedup(spark, sf_dir: str, watermark: str = "30 minutes") -> DataF
     src = register_tmpdir(tempfile.mkdtemp(prefix="sg_dedup_src_"))
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = spark.readStream.schema(batch_schema).parquet(src)
     out = stream_dedup_events(ev_stream, watermark=watermark)
     try:

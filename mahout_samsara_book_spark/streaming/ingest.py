@@ -72,20 +72,23 @@ def run_stream_ingest(
     def sink(bdf: DataFrame, epoch_id: int) -> None:
         import os
 
-        from pyspark.sql import functions as F
+        from mahout_samsara_book_spark.operators.dedup import (
+            manifest_batch_ids,
+        )
 
         if bdf.isEmpty():  # trailing empty micro-batch — nothing to ingest
             return
         bid = f"epoch-{int(epoch_id)}"
         dst = f"{out_path}/batch={int(epoch_id) + 1}"
-        committed = (
-            spark.read.parquet(index_path + "/manifest")
-            .filter(F.col("batch_id") == bid)
-            .limit(1)
-            .count()
-            > 0
+        # the output _SUCCESS check is a free local stat — test it FIRST
+        # so the normal forward path (no prior output) never reads the
+        # manifest here at all (ingest_batch's own skip_if_committed
+        # check covers the committed-but-no-output recovery case); the
+        # manifest read itself is driver-side metadata, not a Spark job
+        committed = os.path.exists(dst + "/_SUCCESS") and bid in (
+            manifest_batch_ids(spark, index_path)
         )
-        if committed and os.path.exists(dst + "/_SUCCESS"):
+        if committed:
             # fully-processed epoch re-delivered: a FULL no-op.  The
             # probe must not re-run here — on a whole-stream replay the
             # index already holds LATER batches, so a recomputed probe

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mahout_samsara_book_spark.sources.tables import load_table
 from mahout_samsara_book_spark.tmpdirs import register_tmpdir
 
 OUTPUT_SCHEMA = "event_type string, n long, total_value double"
@@ -87,7 +88,7 @@ def run_stream_stateful_totals(spark, sf_dir: str) -> DataFrame:
         BOUNDED_STATE_PARTITIONS,
     )
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = load_table(spark, sf_dir, "events").schema
     ev_stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -392,14 +393,14 @@ def run_stream_asof_click(spark, sf_dir: str) -> DataFrame:
     bounded fixture arrives in micro-batch 0 under availableNow, so
     the emitted rows equal the batch as-of exactly — ev_asof_click's
     DuckDB oracle grades both."""
-    from mahout_samsara_book_spark.sources.tables import ts_us
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
     from mahout_samsara_book_spark.streaming.events import (
         _adaptive_state_partitions,
         _run_bounded_stream,
     )
     from pyspark.sql import functions as F
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = load_table(spark, sf_dir, "events")
     ev_stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
@@ -608,7 +609,7 @@ def run_stream_asof_wm(spark, sf_dir: str) -> DataFrame:
     DuckDB oracle grades the run.  Within-batch arrival order is
     irrelevant by construction (the buffer sorts on event time), which
     is the contract run_stream_asof_click cannot give."""
-    from mahout_samsara_book_spark.sources.tables import ts_us
+    from mahout_samsara_book_spark.sources.tables import load_table, ts_us
     from mahout_samsara_book_spark.streaming.events import (
         _adaptive_state_partitions,
         _run_bounded_stream,
@@ -791,7 +792,10 @@ def _asof_ttl_staging(spark, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    from mahout_samsara_book_spark.sources.tables import source_fingerprint
+    from mahout_samsara_book_spark.sources.tables import (
+        load_table,
+        source_fingerprint,
+    )
     from pyspark.sql import functions as F
 
     key = (sf_dir, source_fingerprint(sf_dir, "events"))
@@ -806,7 +810,7 @@ def _asof_ttl_staging(spark, sf_dir: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     users = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_table(spark, sf_dir, "events")
         .select("user_id")
         .filter(F.col("user_id") % 10 < 2)
         .distinct()
