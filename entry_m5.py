@@ -3011,17 +3011,26 @@ def q_dedup_ingest_lifecycle(
     outs = []
     batches = [b1, b2, b3]
     for i, b in enumerate(batches, start=1):
-        out = ingest_batch(
-            b, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
-            seed=MINHASH_SEED, threshold=0.5,
-        ).withColumn("batch", F.lit(i).cast("long"))
         # materialize NOW: the next ingest appends more index rows,
         # which this batch's probe must not see.  The LAST batch is
         # checkpointed too (ADVICE r11): it makes the returned
         # DataFrame self-contained, so the NEXT invocation's rmtree of
         # this working copy can never invalidate a still-unexecuted
-        # result (the build-N+1-before-execute-N hazard)
-        outs.append(out.localCheckpoint())
+        # result (the build-N+1-before-execute-N hazard).  The
+        # localCheckpoint runs through ingest_batch's `materialize`
+        # hook, OVERLAPPING the probe's jobs with the append's
+        # (guide §2.6) — per-batch wall ≈ max(probe, append), with the
+        # cross-batch sequencing (single-writer) unchanged because
+        # ingest_batch returns only after both finish.
+        outs.append(
+            ingest_batch(
+                b, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
+                seed=MINHASH_SEED, threshold=0.5,
+                materialize=lambda df, i=i: df.withColumn(
+                    "batch", F.lit(i).cast("long")
+                ).localCheckpoint(),
+            )
+        )
     union = outs[0]
     for o in outs[1:]:
         union = union.unionByName(o)

@@ -138,6 +138,39 @@ def _hashed_shingles(shingle_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_sig_fused(
+    docs: DataFrame,
+    n: int,
+    k: int,
+    seed: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(distinct shingle hashes, minhash signatures) for ``docs``
+    sharing ONE hash(id) exchange (round-12, guide §2.4): repartition
+    the raw docs by ``id_col`` once, then the shingle explode preserves
+    that partitioning, so BOTH the (id, h) distinct (clustered-by a
+    superset of the partitioning) and the per-id min-aggregation run
+    exchange-free on top of it.  The unfused form paid three exchanges
+    (parallelism widen + distinct on (id, h) + signature groupBy(id));
+    plan depth — and with AQE, stage-job count — drops by two per
+    consumer, and at scale one pass of raw doc bytes replaces a full
+    shingle-relation shuffle plus the signature exchange.  Content is
+    identical (set semantics; partitioning-invariant aggregations).
+    Residual: a single pathologically huge document tokenizes inside
+    one partition here, where the unfused distinct spread its shingles
+    — bounded by the crawl-batch document-size cap, same class as the
+    per-user history cap (cooccurrence.py)."""
+    spark = docs.sparkSession
+    pre = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = shingle_hashes(
+        pre, n, id_col, text_col, distinct=False
+    ).dropDuplicates()
+    return sh, minhash_signatures(sh, k, seed, id_col)
+
+
 def minhash_signatures(
     shingle_df: DataFrame, k: int = 16, seed: int = 7, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -189,7 +222,10 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard(
-    shingle_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    shingle_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    _small_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (doc_a, doc_b) pairs over HASHED
     shingle sets: |A∩B| via an equi-join on the 8-byte hash restricted
@@ -197,15 +233,26 @@ def ngram_jaccard(
     ``(doc_a, doc_b, jaccard)``. Accepts string shingles too (hashed on
     the fly); the oracle replays the identical hashed-set semantics, so
     a (vanishingly rare) within-doc hash collision cannot desync the
-    two engines."""
+    two engines.
+
+    ``_small_pairs`` (round-12): callers whose pair relation is
+    BOUNDED by contract (the incremental probe — pairs ≤ batch ×
+    bucket-width) set it to broadcast the candidate-id and pair
+    relations explicitly (guide §3.1/§3.2: broadcast semi-join), so
+    the shingle relation — the 100 TB side — is filtered map-side and
+    never shuffled for the semi.  Corpus-scale callers
+    (minhash_lsh_dedup et al.) leave it False: their pair stream can
+    exceed broadcast limits, and the shuffled semi-join is the safe
+    shape."""
     hs = _hashed_shingles(shingle_df, id_col)
     # Candidate docs are a tiny fraction of the corpus after banding:
     # semi-filter the shingle relation to them BEFORE any join, so the
     # intersect/size machinery never shuffles the full corpus's shingle
     # set — only the candidate slice (which AQE then broadcast-joins).
     # The semi joins themselves are scale-safe if pairs ever get large.
-    da = pairs.select(F.col("doc_a").alias(id_col)).distinct()
-    db = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    maybe_b = F.broadcast if _small_pairs else (lambda df: df)
+    da = maybe_b(pairs.select(F.col("doc_a").alias(id_col)).distinct())
+    db = maybe_b(pairs.select(F.col("doc_b").alias(id_col)).distinct())
     sa = hs.join(da, id_col, "leftsemi").select(
         F.col(id_col).alias("doc_a"), F.col("h")
     )
@@ -213,13 +260,13 @@ def ngram_jaccard(
         F.col(id_col).alias("doc_b"), F.col("h")
     )
     inter = (
-        pairs.join(sa, "doc_a")
+        maybe_b(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    za = sa.groupBy("doc_a").agg(F.count("*").alias("sz_a"))
-    zb = sb.groupBy("doc_b").agg(F.count("*").alias("sz_b"))
+    za = maybe_b(sa.groupBy("doc_a").agg(F.count("*").alias("sz_a")))
+    zb = maybe_b(sb.groupBy("doc_b").agg(F.count("*").alias("sz_b")))
     return (
         inter.join(za, "doc_a")
         .join(zb, "doc_b")
@@ -695,10 +742,12 @@ def incremental_dedup(
     shingle slices (see ngram_jaccard's semi-filter discipline).
     Corpus and batch ids must be disjoint."""
     rows = k // bands
-    sh_c = shingle_hashes(corpus, n, id_col, text_col)
-    sh_b = shingle_hashes(batch, n, id_col, text_col)
-    bkt_c = band_buckets(minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col)
-    bkt_b = band_buckets(minhash_signatures(sh_b, k, seed, id_col), bands, rows, id_col)
+    # fused shingle+signature build: one hash(id) exchange per side
+    # instead of three (see _shingle_sig_fused)
+    sh_c, sig_c = _shingle_sig_fused(corpus, n, k, seed, id_col, text_col)
+    sh_b, sig_b = _shingle_sig_fused(batch, n, k, seed, id_col, text_col)
+    bkt_c = band_buckets(sig_c, bands, rows, id_col)
+    bkt_b = band_buckets(sig_b, bands, rows, id_col)
     return _incremental_match(
         batch, bkt_c, bkt_b, sh_c, sh_b, threshold, id_col
     )
@@ -719,13 +768,22 @@ def _incremental_match(
     best match per batch doc."""
     newer = bkt_b.select(F.col(id_col).alias("doc_b"), "band", "sig")
     # corpus docs are ALWAYS the "existing" side regardless of id order;
-    # batch-batch pairs defer to the earlier (smaller) id
-    cross = newer.join(
+    # batch-batch pairs defer to the earlier (smaller) id.
+    # The BATCH bucket relation is broadcast explicitly (guide §3.1):
+    # it is batch-bounded (≤ bands rows per batch doc) by the ingest
+    # contract, while bkt_c is the INDEX — the side that must never
+    # shuffle at 100 TB.  The planner's size estimates pick the right
+    # side at fixture scale but invert at real scale (the index side
+    # looks small at sf0.1 and was the build side in the recorded r12
+    # plans); the hint pins the probe-the-index-with-the-batch shape.
+    cross = F.broadcast(newer).join(
         bkt_c.select(F.col(id_col).alias("doc_a"), "band", "sig"),
         ["band", "sig"],
     )
     within = newer.join(
-        bkt_b.select(F.col(id_col).alias("doc_a"), "band", "sig"),
+        F.broadcast(
+            bkt_b.select(F.col(id_col).alias("doc_a"), "band", "sig")
+        ),
         ["band", "sig"],
     ).filter(F.col("doc_a") < F.col("doc_b"))
     cand = track(
@@ -734,7 +792,9 @@ def _incremental_match(
         .distinct()
     )
     sh_all = sh_c.unionByName(sh_b)
-    verified = ngram_jaccard(sh_all, cand, id_col).filter(
+    verified = ngram_jaccard(
+        sh_all, cand, id_col, _small_pairs=True
+    ).filter(
         F.col("jaccard") >= F.lit(threshold)
     )
     w = Window.partitionBy("doc_b").orderBy(
@@ -749,7 +809,14 @@ def _incremental_match(
             "jaccard",
         )
     )
-    return batch.select(id_col).join(best, id_col, "left").select(
+    # `best` is batch-bounded (≤ one row per batch doc) by the ingest
+    # contract — broadcasting it turns the final attach into a
+    # BroadcastHashJoin LeftOuter, so the batch side is never shuffled
+    # or sorted for it (guide §3.1; was SortMergeJoin + an Exchange +
+    # Sort of the batch relation).  The big/index side was never here.
+    return batch.select(id_col).join(
+        F.broadcast(best), id_col, "left"
+    ).select(
         id_col,
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
@@ -783,16 +850,34 @@ def dedup_index_persist(
     build commits as ``INDEX_CORPUS_BATCH``, written last) — see
     :func:`dedup_index_append` for the crash-safe append protocol."""
     rows = k // bands
-    sh_c = track(shingle_hashes(corpus, n, id_col, text_col))
-    sh_c.withColumn("batch_id", F.lit(INDEX_CORPUS_BATCH)).write.mode(
-        "overwrite"
-    ).partitionBy("batch_id").parquet(path + "/shingles")
-    bkt = band_buckets(
-        minhash_signatures(sh_c, k, seed, id_col), bands, rows, id_col
-    )
-    bkt.withColumn("batch_id", F.lit(INDEX_CORPUS_BATCH)).write.mode(
-        "overwrite"
-    ).partitionBy("band", "batch_id").parquet(path + "/buckets")
+    # fused shingle+signature build (one hash(id) exchange, see
+    # _shingle_sig_fused); the two table writes are independent and
+    # invisible until the manifest commit, so they overlap (guide §2.6)
+    fsh, fsig = _shingle_sig_fused(corpus, n, k, seed, id_col, text_col)
+    sh_c = track(fsh)
+    bkt = band_buckets(fsig, bands, rows, id_col)
+
+    def _write_shingles() -> None:
+        sh_c.withColumn(
+            "batch_id", F.lit(INDEX_CORPUS_BATCH)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
+            path + "/shingles"
+        )
+
+    def _write_buckets() -> None:
+        bkt.withColumn(
+            "batch_id", F.lit(INDEX_CORPUS_BATCH)
+        ).write.mode("overwrite").partitionBy("band", "batch_id").parquet(
+            path + "/buckets"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(_write_shingles)
+        fb = pool.submit(_write_buckets)
+        fs.result()
+        fb.result()
     _manifest_commit(corpus.sparkSession, path, INDEX_CORPUS_BATCH)
 
 
@@ -808,11 +893,47 @@ def _manifest_commit(spark, path: str, batch_id: str) -> None:
     file whose append is an atomic rename on every sane filesystem;
     the corpus build uses overwrite so a re-persist starts clean.
 
-    The row is built as ``range(1).select(lit(...))`` — a pure JVM
-    literal plan — NOT ``createDataFrame([(batch_id,)])``: the
-    local-relation write path round-trips through Python workers and
-    measured 6-9 s per one-row commit on local[32] (vs 0.16 s for the
-    literal plan), which tripled the whole ingest_batch wall."""
+    The manifest is O(batches) rows of pure METADATA, so on a local
+    filesystem it is WRITTEN driver-side (pyarrow to a temp file, then
+    an atomic os.rename into place) exactly as it is already READ
+    driver-side (:func:`manifest_batch_ids`) — the transaction-log
+    shape (guide §5: the driver owns metadata, executors own data).
+    The previous JVM-literal one-row Spark write cost a full job +
+    commit protocol (~0.16 s and one job per ingest on local[32];
+    the earlier ``createDataFrame`` variant measured 6-9 s).  A
+    ``_SUCCESS`` marker is kept because fixture builders use
+    ``manifest/_SUCCESS`` as the build-complete sentinel.  Non-local
+    paths (hdfs:/s3:/...) keep the Spark write."""
+    mdir = path + "/manifest"
+    local = mdir[5:] if mdir.startswith("file:") else mdir
+    if local.startswith("//"):
+        local = local[1:]
+    if "://" not in local:
+        import os
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        if batch_id == INDEX_CORPUS_BATCH and os.path.isdir(local):
+            import shutil as _shutil
+
+            _shutil.rmtree(local)
+        os.makedirs(local, exist_ok=True)
+        tbl = _pa.table({"batch_id": _pa.array([batch_id], _pa.string())})
+        tmp = f"{local}/.part-{_uuid.uuid4().hex}.parquet.tmp"
+        _pq.write_table(tbl, tmp)
+        os.rename(tmp, f"{local}/part-{_uuid.uuid4().hex}.parquet")
+        with open(local + "/_SUCCESS", "w"):
+            pass
+        # Spark never lists the local manifest (reads are pyarrow too),
+        # but a prior Spark-side read in this session may have cached a
+        # stale listing — invalidate defensively.
+        try:
+            spark.catalog.refreshByPath(mdir)
+        except Exception:  # noqa: BLE001 — cache invalidation only
+            pass
+        return
     row = spark.range(1).select(F.lit(batch_id).alias("batch_id"))
     mode = "overwrite" if batch_id == INDEX_CORPUS_BATCH else "append"
     row.coalesce(1).write.mode(mode).parquet(path + "/manifest")
@@ -868,13 +989,25 @@ def committed_index_tables(spark, path: str, id_col: str = "doc_id"):
     was created against (the lifecycle's localCheckpoint barriers
     previously enforced this at execution time)."""
     committed = manifest_batch_ids(spark, path)
+    # The index layout IS a schema contract (dedup_index_persist writes
+    # it; every appended batch must match), so declare it instead of
+    # letting every probe re-infer it from parquet footers — schema
+    # inference cost 76 ms per table per probe at sf0.1 (measured,
+    # guide §1: each probe paid ~150 ms of driver time re-discovering
+    # what the protocol already guarantees; explicit schemas read in
+    # 16 ms).  Partition columns (band, batch_id) keep their
+    # discovery-inferred types.
     bkt = (
-        spark.read.parquet(path + "/buckets")
+        spark.read.schema(
+            f"{id_col} long, sig string, band int, batch_id string"
+        )
+        .parquet(path + "/buckets")
         .filter(F.col("batch_id").isin(committed))
         .select(id_col, "band", "sig")
     )
     sh = (
-        spark.read.parquet(path + "/shingles")
+        spark.read.schema(f"{id_col} long, h long, batch_id string")
+        .parquet(path + "/shingles")
         .filter(F.col("batch_id").isin(committed))
         .select(id_col, "h")
     )
@@ -930,18 +1063,46 @@ def dedup_index_compact(spark, path: str, bands: int = 8) -> str:
         shutil.rmtree(man_old)
     gen = "gen-" + uuid.uuid4().hex
     bkt, sh = committed_index_tables(spark, path)
-    bkt.withColumn("batch_id", F.lit(gen)).repartition(
-        bands, "band"
-    ).write.mode("append").partitionBy("band", "batch_id").parquet(
-        path + "/buckets"
-    )
-    sh.withColumn("batch_id", F.lit(gen)).write.mode(
-        "append"
-    ).partitionBy("batch_id").parquet(path + "/shingles")
-    # JVM-literal one-row plan — see _manifest_commit's write-path note
-    spark.range(1).select(F.lit(gen).alias("batch_id")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(man_next)
+
+    def _rewrite_buckets() -> None:
+        bkt.withColumn("batch_id", F.lit(gen)).repartition(
+            bands, "band"
+        ).write.mode("append").partitionBy("band", "batch_id").parquet(
+            path + "/buckets"
+        )
+
+    def _rewrite_shingles() -> None:
+        sh.withColumn("batch_id", F.lit(gen)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(path + "/shingles")
+
+    # the two generation rewrites are independent jobs over disjoint
+    # tables and both invisible until the manifest swap — overlap them
+    # (guide §2.6), same discipline as dedup_index_append's writes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(_rewrite_buckets)
+        fs = pool.submit(_rewrite_shingles)
+        fb.result()
+        fs.result()
+    # driver-side metadata write (atomic temp+rename), mirroring
+    # _manifest_commit — the one-row manifest_next needs no Spark job
+    if "://" not in man_next:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        os.makedirs(man_next, exist_ok=True)
+        tbl = _pa.table({"batch_id": _pa.array([gen], _pa.string())})
+        tmp = f"{man_next}/.part-{uuid.uuid4().hex}.parquet.tmp"
+        _pq.write_table(tbl, tmp)
+        os.rename(tmp, f"{man_next}/part-{uuid.uuid4().hex}.parquet")
+        with open(man_next + "/_SUCCESS", "w"):
+            pass
+    else:  # pragma: no cover — remote-filesystem fallback
+        spark.range(1).select(F.lit(gen).alias("batch_id")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(man_next)
     os.rename(man, man_old)
     os.rename(man_next, man)
     shutil.rmtree(man_old)
@@ -1045,18 +1206,42 @@ def dedup_index_append(
     # trade is one directory per (band, batch) — a long-lived index
     # compacts old batches into the corpus partition periodically,
     # which also drops any crashed-append orphans.
-    bkt.withColumn("batch_id", F.lit(batch_id)).repartition(
-        bands, "band"
-    ).write.mode("append").partitionBy("band", "batch_id").parquet(
-        path + "/buckets"
-    )
-    if _crash_point == "after_buckets":
-        raise RuntimeError("injected crash: after_buckets")
-    sh_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "append"
-    ).partitionBy("batch_id").parquet(path + "/shingles")
-    if _crash_point == "after_shingles":
-        raise RuntimeError("injected crash: after_shingles")
+    def _write_buckets() -> None:
+        bkt.withColumn("batch_id", F.lit(batch_id)).repartition(
+            bands, "band"
+        ).write.mode("append").partitionBy("band", "batch_id").parquet(
+            path + "/buckets"
+        )
+
+    def _write_shingles() -> None:
+        sh_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(path + "/shingles")
+
+    if _crash_point is not None:
+        # crash-injection tests pin a deterministic write order
+        _write_buckets()
+        if _crash_point == "after_buckets":
+            raise RuntimeError("injected crash: after_buckets")
+        _write_shingles()
+        if _crash_point == "after_shingles":
+            raise RuntimeError("injected crash: after_shingles")
+    else:
+        # The two data writes are INDEPENDENT jobs over the shared
+        # cached batch relations, and neither is visible to probes
+        # until the manifest row lands — so they overlap (guide §2.6:
+        # submit independent jobs from driver threads so one job's
+        # task tail back-fills the other's idle cores).  Write order
+        # stopped being a safety property when the manifest became
+        # the commit marker (VERDICT r11 item 3): any interleaving of
+        # a crash leaves the batch invisible-by-manifest.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(_write_buckets)
+            fs = pool.submit(_write_shingles)
+            fb.result()
+            fs.result()
     _manifest_commit(batch.sparkSession, path, batch_id)
     return batch_id
 
@@ -1073,6 +1258,7 @@ def ingest_batch(
     text_col: str = "text",
     batch_id: str | None = None,
     skip_if_committed: bool = False,
+    materialize=None,
 ) -> DataFrame:
     """One full crawl-ingest step against a persisted index: probe the
     batch (:func:`incremental_dedup_persisted`), then append its rows
@@ -1082,6 +1268,19 @@ def ingest_batch(
     execute the returned DataFrame before OR after the append runs;
     within-batch pairs are handled by the probe's own batch-batch arm
     (min-id-wins).
+
+    ``materialize`` (round-12, guide §2.6): an optional callable
+    ``DataFrame -> Any`` that EXECUTES the probe result (e.g.
+    ``lambda df: df.localCheckpoint()`` or a parquet write).  When
+    given, it runs in a driver thread CONCURRENTLY with the append's
+    jobs — probe and append are independent by the self-row anti-join
+    (above) and by the manifest protocol (the append is invisible to
+    any probe until its manifest row lands, which happens strictly
+    after both data writes), so overlapping them cuts the ingest wall
+    to ~max(probe, append) instead of their sum, and ingest_batch
+    returns only after BOTH finish (the sequential single-writer
+    contract across batches is untouched).  Returns ``materialize``'s
+    result instead of the lazy DataFrame.
 
     EXACTLY-ONCE under retries (round 12): with a caller-supplied
     deterministic ``batch_id`` and ``skip_if_committed=True``, a
@@ -1112,8 +1311,9 @@ def ingest_batch(
     # up to four separate times per ingest (guide §1.2: remove work
     # before tuning it).  Both persists are batch-sized (tiny relative
     # to the index) and released by the host's release_tracked.
-    sh_b = track(shingle_hashes(batch, n, id_col, text_col))
-    sig_b = track(minhash_signatures(sh_b, k, seed, id_col))
+    fsh, fsig = _shingle_sig_fused(batch, n, k, seed, id_col, text_col)
+    sh_b = track(fsh)
+    sig_b = track(fsig)
     out = incremental_dedup_persisted(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         threshold=threshold, id_col=id_col, text_col=text_col,
@@ -1123,13 +1323,29 @@ def ingest_batch(
         # driver-side metadata read (manifest_batch_ids) — the previous
         # limit(1).count() ran a Spark job per re-delivery check
         if batch_id in manifest_batch_ids(batch.sparkSession, path):
-            return out
-    dedup_index_append(
-        batch, path, n=n, k=k, bands=bands, seed=seed,
-        id_col=id_col, text_col=text_col, batch_id=batch_id,
-        _sh=sh_b, _sig=sig_b,
-    )
-    return out
+            return materialize(out) if materialize is not None else out
+    if materialize is None:
+        dedup_index_append(
+            batch, path, n=n, k=k, bands=bands, seed=seed,
+            id_col=id_col, text_col=text_col, batch_id=batch_id,
+            _sh=sh_b, _sig=sig_b,
+        )
+        return out
+    # overlap the probe's materialization with the append (see
+    # docstring); the probe's committed-id set was bound driver-side
+    # when the plan was built above, and the append's rows stay
+    # invisible behind the manifest until after both writes — either
+    # completion order computes the identical snapshot answer.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(materialize, out)
+        dedup_index_append(
+            batch, path, n=n, k=k, bands=bands, seed=seed,
+            id_col=id_col, text_col=text_col, batch_id=batch_id,
+            _sh=sh_b, _sig=sig_b,
+        )
+    return fut.result()
 
 
 def incremental_dedup_persisted(
@@ -1161,12 +1377,17 @@ def incremental_dedup_persisted(
     Catalyst otherwise pipelines into branches that run anyway)."""
     spark = batch.sparkSession
     rows = k // bands
-    sh_b = (
-        shingle_hashes(batch, n, id_col, text_col) if _sh is None else _sh
-    )
-    sig_b = (
-        minhash_signatures(sh_b, k, seed, id_col) if _sig is None else _sig
-    )
+    if _sh is None or _sig is None:
+        # standalone probe: fused build (one hash(id) exchange for
+        # shingles + signatures, see _shingle_sig_fused); ingest_batch
+        # passes its own tracked pair in instead
+        _fsh, _fsig = _shingle_sig_fused(
+            batch, n, k, seed, id_col, text_col
+        )
+        sh_b = _fsh if _sh is None else _sh
+        sig_b = _fsig if _sig is None else _sig
+    else:
+        sh_b, sig_b = _sh, _sig
     bkt_b = band_buckets(sig_b, bands, rows, id_col)
     # COMMITTED rows only (manifest semi-join, VERDICT r11 item 3) —
     # a crashed append's orphan rows never reach the probe.  Beyond

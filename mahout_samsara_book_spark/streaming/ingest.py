@@ -100,12 +100,19 @@ def run_stream_ingest(
         # (foreachBatch serializes) — so the recomputed probe sees
         # exactly {corpus + earlier batches + own committed rows}, and
         # the self-row anti-join makes it identical to first-attempt
-        out = ingest_batch(
+        # the probe-output write runs through ingest_batch's
+        # `materialize` hook, overlapping it with the index append
+        # (guide §2.6) — safe in every interleaving because the append
+        # is invisible behind the manifest and the probe anti-joins
+        # its own batch ids; epochs stay sequential (foreachBatch)
+        ingest_batch(
             bdf.select("doc_id", "text"), index_path,
             n=n, k=k, bands=bands, seed=seed, threshold=threshold,
             batch_id=bid, skip_if_committed=True,
+            materialize=lambda df: df.write.mode("overwrite").parquet(
+                dst
+            ),
         )
-        out.write.mode("overwrite").parquet(dst)
 
     q = (
         src.writeStream.foreachBatch(sink)
