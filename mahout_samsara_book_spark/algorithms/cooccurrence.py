@@ -82,6 +82,28 @@ def llr_expr(k11, k12, k21, k22):
     )
 
 
+def _distinct_by_user(
+    df: DataFrame, user_col: str, item_col: str
+) -> DataFrame:
+    """(u, i) distinct interactions, hash-partitioned by u (round-12,
+    guide §2.4): repartition the RAW relation by user once, then the
+    (u, i) distinct (clustered by a superset of the partitioning) and
+    every per-user consumer downstream — the cap window, the history
+    collect_list — run exchange-free on top of the same exchange.  The
+    unfused form paid two full shuffles of the relation (distinct on
+    (u, i), then the window's repartition by u); this pays one shuffle
+    of the raw rows — a win whenever the duplicate factor is below 2
+    (sf0.1 purchases: 1.02×; the events side: <1.5×), and one fewer
+    exchange/stage at every scale.  Skew note: a power user's raw rows
+    land in one partition here, which is exactly the skew the cap
+    window already had to absorb — same bound, one stage earlier."""
+    return (
+        df.select(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+        .repartition("u")
+        .distinct()
+    )
+
+
 def item_similarity_llr(
     interactions: DataFrame,
     k: int = 10,
@@ -89,14 +111,19 @@ def item_similarity_llr(
     seed: int = 31,
     user_col: str = "user_id",
     item_col: str = "item_id",
+    _inter: DataFrame | None = None,
 ) -> DataFrame:
     """``(item_id, other, llr, rank)`` — each item's top-k most-similar
     items by LLR over capped user histories.  Similarity is symmetric;
     both orientations of a pair are ranked so every item gets its own
-    neighbor list (the serving-index shape)."""
-    inter = interactions.select(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i")
-    ).distinct()
+    neighbor list (the serving-index shape).  ``_inter`` lets
+    :func:`similarity_analysis` pass the shared distinct (u, i)
+    relation so the compose scans the primary once."""
+    inter = (
+        _distinct_by_user(interactions, user_col, item_col)
+        if _inter is None
+        else _inter
+    )
     w_cap = Window.partitionBy("u").orderBy(
         h60(
             F.concat(
@@ -113,6 +140,12 @@ def item_similarity_llr(
     # caching, Catalyst re-derives the interaction scan + cap window
     # once per branch — 6 scans of the interaction log at 100 TB.
     # track() persists it once; the n_users count below warms it.
+    # (Round-12 tried folding the count into the plan as a one-row
+    # broadcast scalar to save this job — measured SLOWER, min 10.8 s
+    # vs 8.1 s at sf0.1 with 19-45 s spikes: the BroadcastExchange
+    # build serializes the cache materialization against the main
+    # query's stages and the BroadcastNestedLoopJoin breaks codegen
+    # around the score projection.  The eager count stays.)
     capped = track(
         inter.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= max_prefs)
@@ -194,6 +227,7 @@ def cross_similarity_llr(
     seed: int = 31,
     user_col: str = "user_id",
     item_col: str = "item_id",
+    _inter_primary: DataFrame | None = None,
 ) -> DataFrame:
     """CROSS-cooccurrence — Mahout's ``SimilarityAnalysis.cooccurrences``
     with a secondary action matrix (round-11): the A′B indicator of the
@@ -226,10 +260,15 @@ def cross_similarity_llr(
     no distributed float sums, bit-exact oracle replay."""
     cap_b = max_prefs if max_prefs_secondary is None else max_prefs_secondary
 
-    def _capped(df: DataFrame, tag: str, cap: int) -> DataFrame:
-        rel = df.select(
-            F.col(user_col).alias("u"), F.col(item_col).alias("i")
-        ).distinct()
+    def _capped(df: DataFrame, tag: str, cap: int, pre=None) -> DataFrame:
+        # one hash(u) exchange shared by the distinct AND the cap
+        # window (see _distinct_by_user); `pre` is the compose's shared
+        # distinct primary
+        rel = (
+            _distinct_by_user(df, user_col, item_col)
+            if pre is None
+            else pre
+        )
         w = Window.partitionBy("u").orderBy(
             h60(
                 F.concat(
@@ -250,7 +289,7 @@ def cross_similarity_llr(
     # each capped side feeds three consumers (its item counts, the
     # user-universe count, its pair-join side) — track() persists one
     # scan + cap window per side; the N count below warms both
-    pa = track(_capped(primary, f"recxA{seed}:", max_prefs))
+    pa = track(_capped(primary, f"recxA{seed}:", max_prefs, _inter_primary))
     sb = track(_capped(secondary, f"recxB{seed}:", cap_b))
     n_users = (
         pa.select("u").unionByName(sb.select("u")).distinct().count()
@@ -333,13 +372,19 @@ def similarity_analysis(
     :func:`item_similarity_llr` on the primary; each further element
     is :func:`cross_similarity_llr` against that secondary (all with
     the same caps/seed, so a serving layer can union them by source).
-    Pure composition — each indicator keeps its own one-exchange plan;
-    nothing is gained by fusing them (they share only the primary's
-    capped-history cache, which track() already dedups)."""
+    The compose shares ONE distinct (u, i) primary relation across
+    every indicator (round-12): the cap windows differ per indicator
+    (independent hash tags — Mahout's uncorrelated downsampling), but
+    the distinct interactions they cap are the same rows, so the
+    primary scan + repartition + distinct runs once and is cached;
+    each extra secondary previously re-derived it (a full interaction
+    scan + shuffle per indicator at 100 TB).  Each indicator keeps its
+    own plan otherwise."""
+    shared = track(_distinct_by_user(primary, user_col, item_col))
     outs = [
         item_similarity_llr(
             primary, k=k, max_prefs=max_prefs, seed=seed,
-            user_col=user_col, item_col=item_col,
+            user_col=user_col, item_col=item_col, _inter=shared,
         )
     ]
     for sec in secondaries or []:
@@ -347,6 +392,7 @@ def similarity_analysis(
             cross_similarity_llr(
                 primary, sec, k=k, max_prefs=max_prefs, seed=seed,
                 user_col=user_col, item_col=item_col,
+                _inter_primary=shared,
             )
         )
     return outs
