@@ -441,14 +441,21 @@ def _adaptive_state_partitions(
     4-store optimum while anything sf1-plus widens. Results are
     partitioning-invariant (hash-checked), so the dial is pure
     throughput; a real deployment sizes it to key cardinality ×
-    cluster width the same way."""
+    cluster width the same way.
+
+    Round-12 refinement: a third measured point at sf0.1 (2 MB events,
+    10k users — the per-key pandas overhead regime) put the optimum at
+    8 stores (min-of-3: 8 → 6.1 s, 4 → 7.6 s, 16 → 7.9 s, 32 → 13.5 s
+    for the watermarked as-of), so the curve grows one store per
+    ~256 KB of source instead of per 2 MB — the sf0.01 floor (4) and
+    the sf10 ceiling (32) keep their previously measured optima."""
     import os
 
     try:
         sz = os.path.getsize(os.path.join(sf_dir, fname))
     except OSError:
         return BOUNDED_STATE_PARTITIONS
-    return max(BOUNDED_STATE_PARTITIONS, min(32, sz // (2 << 20)))
+    return max(BOUNDED_STATE_PARTITIONS, min(32, sz // (256 << 10)))
 
 
 def _run_bounded_stream(

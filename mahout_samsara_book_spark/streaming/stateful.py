@@ -373,15 +373,19 @@ def _asof_update(key, pdf_iter, state: GroupState):
             out_t.append(int(t))
     if last_t is not None:
         state.update((last_t, last_id))
-    yield pd.DataFrame(
-        {
-            "event_id": pd.array(out_e, dtype="Int64"),
-            "user_id": pd.array([int(uid)] * len(out_e), dtype="Int64"),
-            "click_id": pd.array(out_c, dtype="Int64"),
-            "ct_us": pd.array(out_ct, dtype="Int64"),
-            "t_us": pd.array(out_t, dtype="Int64"),
-        }
-    )
+    # keys with nothing to emit yield NOTHING: building an empty
+    # 5-column nullable-Int64 frame cost ~0.1 ms per key per batch —
+    # pure per-key machinery tax at 10k+ users/batch (guide §4)
+    if out_e:
+        yield pd.DataFrame(
+            {
+                "event_id": pd.array(out_e, dtype="Int64"),
+                "user_id": pd.array([int(uid)] * len(out_e), dtype="Int64"),
+                "click_id": pd.array(out_c, dtype="Int64"),
+                "ct_us": pd.array(out_ct, dtype="Int64"),
+                "t_us": pd.array(out_t, dtype="Int64"),
+            }
+        )
 
 
 def run_stream_asof_click(spark, sf_dir: str) -> DataFrame:
@@ -552,15 +556,22 @@ def make_asof_wm_update(idle_ttl_us: int | None = None):
                 state.setTimeoutTimestamp(
                     (act_t + idle_ttl_us) // 1000 + 1
                 )
-        yield pd.DataFrame(
-            {
-                "event_id": pd.array(out_e, dtype="Int64"),
-                "user_id": pd.array([int(uid)] * len(out_e), dtype="Int64"),
-                "click_id": pd.array(out_c, dtype="Int64"),
-                "ct_us": pd.array(out_ct, dtype="Int64"),
-                "t_us": pd.array(out_t, dtype="Int64"),
-            }
-        )
+        # emit nothing for keys with no finalized purchases this batch
+        # (the common case: batch 0 pre-watermark, keep-alive-only
+        # batches) — the empty-frame construction was ~0.1 ms of pure
+        # per-key overhead per batch (guide §4)
+        if out_e:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.array(out_e, dtype="Int64"),
+                    "user_id": pd.array(
+                        [int(uid)] * len(out_e), dtype="Int64"
+                    ),
+                    "click_id": pd.array(out_c, dtype="Int64"),
+                    "ct_us": pd.array(out_ct, dtype="Int64"),
+                    "t_us": pd.array(out_t, dtype="Int64"),
+                }
+            )
 
     return _update
 

@@ -207,7 +207,12 @@ def test_asof_update_two_batch_arrival_order():
         pdf = pd.DataFrame(
             rows, columns=["event_id", "user_id", "event_type", "t_us"]
         )
-        (out,) = list(_asof_update((7,), iter([pdf]), st))
+        outs = list(_asof_update((7,), iter([pdf]), st))
+        # keys with nothing to emit yield NO frame (round-12 per-key
+        # overhead cut) — semantically the same empty emission
+        if not outs:
+            return []
+        (out,) = outs
         return list(
             zip(out["event_id"].tolist(), out["click_id"].tolist())
         )
@@ -274,7 +279,10 @@ def test_asof_wm_update_cross_batch_out_of_order():
             if rows
             else []
         )
-        (out,) = list(_asof_wm_update((7,), iter(pdfs), st))
+        outs = list(_asof_wm_update((7,), iter(pdfs), st))
+        if not outs:  # nothing finalized -> no frame yielded (round-12)
+            return []
+        (out,) = outs
         return list(
             zip(out["event_id"].tolist(), out["click_id"].tolist())
         )
@@ -428,7 +436,10 @@ def _drive_wm(fn, st, rows, wm_ms):
         if rows
         else []
     )
-    (out,) = list(fn((7,), iter(pdfs), st))
+    outs = list(fn((7,), iter(pdfs), st))
+    if not outs:  # nothing finalized -> no frame yielded (round-12)
+        return []
+    (out,) = outs
     return list(zip(out["event_id"].tolist(), out["click_id"].tolist()))
 
 
