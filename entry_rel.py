@@ -1830,8 +1830,22 @@ def q_fmt_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    write_bucketed(li, f"{db}.lineitem_b", ["l_orderkey"], 4, ["l_orderkey"])
-    write_bucketed(orders, f"{db}.orders_b", ["o_orderkey"], 4, ["o_orderkey"])
+    # the two bucketed writes are independent jobs into disjoint tables
+    # — overlap them from driver threads (guide §2.6), same discipline
+    # as the dedup index's bucket/shingle writes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(
+            write_bucketed,
+            li, f"{db}.lineitem_b", ["l_orderkey"], 4, ["l_orderkey"],
+        )
+        fo = pool.submit(
+            write_bucketed,
+            orders, f"{db}.orders_b", ["o_orderkey"], 4, ["o_orderkey"],
+        )
+        fl.result()
+        fo.result()
     lb = bucketed_table(spark, f"{db}.lineitem_b")
     ob = bucketed_table(spark, f"{db}.orders_b")
     out = (

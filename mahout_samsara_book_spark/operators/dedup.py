@@ -296,9 +296,12 @@ def minhash_lsh_dedup(
     rows = k // bands
     # the hashed shingle set feeds BOTH the signature build and the
     # exact-Jaccard verify — persist it once (longs, not gram strings)
-    # instead of re-tokenizing the corpus
-    sh = track(shingle_hashes(docs, n, id_col, text_col))
-    sig = minhash_signatures(sh, k, seed, id_col)
+    # instead of re-tokenizing the corpus.  Fused build (round-12): the
+    # distinct and the signature aggregation share one hash(id)
+    # exchange (_shingle_sig_fused); the signature plan's shingle
+    # subtree matches the tracked relation, so the cache serves it.
+    fsh, sig = _shingle_sig_fused(docs, n, k, seed, id_col, text_col)
+    sh = track(fsh)
     # the verify stage reads the candidate set three times (both doc-side
     # semi filters + the intersect join) — cache the banding join's output
     cand = track(lsh_candidate_pairs(sig, bands, rows, id_col))
@@ -1502,10 +1505,23 @@ def connected_components_lsls(
             .distinct()
             .localCheckpoint()
         )
-        # fixed point: the round left the edge set unchanged
-        delta = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(
-            ss
-        ).limit(1).count()
+        # fixed point: the round left the edge set unchanged.  Both
+        # sides are canonical DISTINCT edge relations, so set
+        # difference suffices, and the two directions union into ONE
+        # limit(1) job (round-12, guide §1.2: this check ran as two
+        # full exceptAll jobs per round — the convergence probe cost
+        # as much as the contraction it was guarding)
+        delta = (
+            ss.join(edges, ["u", "v"], "left_anti")
+            .select(F.lit(1).alias("one"))
+            .unionAll(
+                edges.join(ss, ["u", "v"], "left_anti").select(
+                    F.lit(1).alias("one")
+                )
+            )
+            .limit(1)
+            .count()
+        )
         edges = ss
         if delta == 0:
             break
