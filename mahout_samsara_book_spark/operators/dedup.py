@@ -1448,15 +1448,37 @@ def connected_components_lsls(
     rounds pathological, ~2^30-diameter chains)."""
     if on_exhaustion not in ("warn", "raise"):
         raise ValueError(f"on_exhaustion must be warn|raise, got {on_exhaustion!r}")
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
-    edges = (
+    # Round-13 (guide §1.2): the fixed-point probe below is exact but
+    # costs one job per round.  A (count, xor-of-pair-hashes) summary
+    # rides each round's checkpoint job as observe() metrics — equal
+    # SETS always have equal summaries, so a summary CHANGE proves the
+    # round moved and the exact probe can be skipped for that round.
+    # Only when the summaries match (normally exactly once, at the
+    # fixed point) does the exact both-direction anti-join probe run —
+    # a summary collision can cost one redundant probe job, never a
+    # wrong early stop.
+    def _ckpt_with_summary(df: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        ck = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+            ).alias("x"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["x"])
+
+    edges, e_sum = _ckpt_with_summary(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # large-star: group edges by u over the SYMMETRIZED view, emit
@@ -1503,26 +1525,31 @@ def connected_components_lsls(
                 F.greatest("u", "v").alias("v"),
             )
             .distinct()
-            .localCheckpoint()
         )
+        ss, s_sum = _ckpt_with_summary(ss)
         # fixed point: the round left the edge set unchanged.  Both
         # sides are canonical DISTINCT edge relations, so set
-        # difference suffices, and the two directions union into ONE
-        # limit(1) job (round-12, guide §1.2: this check ran as two
-        # full exceptAll jobs per round — the convergence probe cost
-        # as much as the contraction it was guarding)
-        delta = (
-            ss.join(edges, ["u", "v"], "left_anti")
-            .select(F.lit(1).alias("one"))
-            .unionAll(
-                edges.join(ss, ["u", "v"], "left_anti").select(
-                    F.lit(1).alias("one")
+        # difference suffices; the (count, xor) summaries riding the
+        # checkpoint jobs prove inequality for free (round-13), and
+        # only a summary MATCH runs the exact probe — the two
+        # directions union into ONE limit(1) job (round-12, guide
+        # §1.2: this check once ran as two full exceptAll jobs per
+        # round).  Stopping stays exact: the probe, not the summary,
+        # decides convergence.
+        delta = 1
+        if s_sum == e_sum:
+            delta = (
+                ss.join(edges, ["u", "v"], "left_anti")
+                .select(F.lit(1).alias("one"))
+                .unionAll(
+                    edges.join(ss, ["u", "v"], "left_anti").select(
+                        F.lit(1).alias("one")
+                    )
                 )
+                .limit(1)
+                .count()
             )
-            .limit(1)
-            .count()
-        )
-        edges = ss
+        edges, e_sum = ss, s_sum
         if delta == 0:
             break
     else:

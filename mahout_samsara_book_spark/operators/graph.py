@@ -382,15 +382,27 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     monotonically, so an empty frontier means every remaining round is
     a no-op. (An all-isolated frontier likewise converges: it clears
     the zero-degree rows in one extra node-sized pass, touching no
-    edges.) The frontier count is a cheap job over the
-    already-materialized node-sized checkpoint."""
+    edges.) The frontier count rides the degree checkpoint itself as an
+    ``observe()`` metric (round-13, guide §1.2: the separate count job
+    over the materialized checkpoint cost one job floor per round —
+    CollectMetrics folds it into the job that materializes the
+    relation, so each round runs exactly two jobs, not three)."""
+    from pyspark.sql import Observation
+
+    def _ckpt_with_frontier(deg_df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        ck = deg_df.observe(
+            obs,
+            F.count(F.when(F.col("deg") < F.lit(int(k)), 1)).alias("f"),
+        ).localCheckpoint(eager=True)
+        return ck, int(obs.get["f"])
+
     e = edges
-    deg = degrees(e).localCheckpoint(eager=True)
+    deg, n_removed = _ckpt_with_frontier(degrees(e))
     for _ in range(rounds):
-        removed = deg.filter(F.col("deg") < F.lit(int(k))).select("node")
-        n_removed = removed.count()
         if n_removed == 0:
             break
+        removed = deg.filter(F.col("deg") < F.lit(int(k))).select("node")
         if n_removed <= KCORE_FRONTIER_BCAST_LIMIT:
             # one broadcast of the frontier replaces TWO full shuffles
             # of the edge relation (join by a, then by b) with map-side
@@ -426,7 +438,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").alias("_lost"))
         )
-        deg = (
+        deg, n_removed = _ckpt_with_frontier(
             deg.filter(F.col("deg") >= F.lit(int(k)))
             .join(loss, "node", "left")
             .select(
@@ -435,7 +447,6 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
                     F.col("deg") - F.coalesce(F.col("_lost"), F.lit(0))
                 ).alias("deg"),
             )
-            .localCheckpoint(eager=True)
         )
     # the maintained relation equals degrees(e) except it also carries
     # survivors peeled down to zero remaining edges — degrees() never
