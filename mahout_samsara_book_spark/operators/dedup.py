@@ -145,6 +145,7 @@ def _shingle_sig_fused(
     seed: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(distinct shingle hashes, minhash signatures) for ``docs``
     sharing ONE hash(id) exchange (round-12, guide §2.4): repartition
@@ -160,7 +161,23 @@ def _shingle_sig_fused(
     Residual: a single pathologically huge document tokenizes inside
     one partition here, where the unfused distinct spread its shingles
     — bounded by the crawl-batch document-size cap, same class as the
-    per-user history cap (cooccurrence.py)."""
+    per-user history cap (cooccurrence.py).
+
+    ``materialize=True`` (round-13, guide §5 — driver plan-analysis
+    tax): eagerly ``localCheckpoint`` the shingle relation and build
+    the signatures ON TOP of the checkpoint, so every downstream
+    consumer's logical plan sees a LogicalRDD leaf instead of the
+    ~100-node fused subtree.  For a caller that consumes BOTH
+    relations more than once per step (ingest_batch: probe + append),
+    the probe's per-batch Catalyst analysis re-walked that subtree at
+    every reference (~350 ms of analyzer wall per probe measured in
+    r12); the checkpoint replaces it with one batch-sized
+    materialization job whose work the first consumer was paying
+    anyway (track() persisted the same bytes lazily — and two
+    concurrent first consumers could both compute it).  Leave False
+    for single-consumer / corpus-scale callers: the checkpoint barrier
+    only pays for itself when the relation is re-analyzed and re-read
+    repeatedly."""
     spark = docs.sparkSession
     pre = docs.select(F.col(id_col), F.col(text_col)).repartition(
         spark.sparkContext.defaultParallelism, F.col(id_col)
@@ -168,6 +185,12 @@ def _shingle_sig_fused(
     sh = shingle_hashes(
         pre, n, id_col, text_col, distinct=False
     ).dropDuplicates()
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+        sig = minhash_signatures(sh, k, seed, id_col).localCheckpoint(
+            eager=True
+        )
+        return sh, sig
     return sh, minhash_signatures(sh, k, seed, id_col)
 
 
@@ -756,6 +779,13 @@ def incremental_dedup(
     )
 
 
+# candidate-pair count at or below which the incremental verify's
+# relations (pairs, candidate-id sets, per-doc sizes) broadcast
+# explicitly — ~32 MB of packed pair longs at the limit; above it the
+# shuffled semi-join shape is the scale-safe fallback (ADVICE r12)
+PAIRS_BCAST_LIMIT = 2_000_000
+
+
 def _incremental_match(
     batch: DataFrame,
     bkt_c: DataFrame,
@@ -789,14 +819,32 @@ def _incremental_match(
         ),
         ["band", "sig"],
     ).filter(F.col("doc_a") < F.col("doc_b"))
-    cand = track(
+    # The candidate relation feeds the verify stage THREE times (both
+    # doc-side semi filters + the intersect join): eagerly
+    # localCheckpoint it with an observe() count riding the same job
+    # (round-13).  Two birds: (1) every verify consumer's plan sees a
+    # LogicalRDD leaf instead of the bucket-probe subtree — the probe's
+    # per-batch Catalyst analysis shrinks by the whole candidate
+    # pipeline; (2) the MEASURED pair count — not a fixture-scale
+    # assumption — gates the verify's explicit broadcasts (ADVICE r12:
+    # pairs are batch × bucket-width, and bucket width on the index
+    # side is unbounded for a hot band signature in a near-dup-heavy
+    # corpus; above the cap the verify falls back to the scale-safe
+    # shuffled semi-joins instead of OOMing the driver at 100 TB).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cand = (
         cross.unionByName(within)
         .select("doc_a", "doc_b")
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_cand = int(obs.get["n"])
     sh_all = sh_c.unionByName(sh_b)
     verified = ngram_jaccard(
-        sh_all, cand, id_col, _small_pairs=True
+        sh_all, cand, id_col, _small_pairs=n_cand <= PAIRS_BCAST_LIMIT
     ).filter(
         F.col("jaccard") >= F.lit(threshold)
     )
@@ -1312,11 +1360,15 @@ def ingest_batch(
     # for the Jaccard verify) and the append writes both — without
     # sharing, the batch text was tokenized/shingled and min-aggregated
     # up to four separate times per ingest (guide §1.2: remove work
-    # before tuning it).  Both persists are batch-sized (tiny relative
-    # to the index) and released by the host's release_tracked.
-    fsh, fsig = _shingle_sig_fused(batch, n, k, seed, id_col, text_col)
-    sh_b = track(fsh)
-    sig_b = track(fsig)
+    # before tuning it).  Round-13: the pair is eagerly
+    # localCheckpoint-ed (materialize=True) instead of lazily cached —
+    # the four consumers' plans shrink to LogicalRDD leaves (the probe
+    # re-analyzed the fused subtree per reference, ~350 ms/probe), and
+    # the overlapped probe/append threads can no longer both compute
+    # an unmaterialized cache entry.  Both relations are batch-sized.
+    sh_b, sig_b = _shingle_sig_fused(
+        batch, n, k, seed, id_col, text_col, materialize=True
+    )
     out = incremental_dedup_persisted(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         threshold=threshold, id_col=id_col, text_col=text_col,
@@ -1472,8 +1524,19 @@ def connected_components_lsls(
         m = obs.get
         return ck, (m["n"], m["x"])
 
+    # Materialize the raw pair relation ONCE (round-13): it feeds both
+    # the canonical edge build below and the isolated-self-pair check
+    # at the end — without the cut, the `singles` branch re-executed
+    # the caller's entire pair pipeline (for the LSH consumers, a
+    # ~100-Exchange subtree) a second time just to list node ids.
+    # Post-LSH pair graphs are orders of magnitude smaller than the
+    # corpus (the premise of this whole operator), so the checkpoint
+    # is edge-sized.
+    pairs0 = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint(
+        eager=True
+    )
     edges, e_sum = _ckpt_with_summary(
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        pairs0.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -1573,7 +1636,7 @@ def connected_components_lsls(
     # original isolated self-pairs (u == v in the input) — keep parity
     # with dup_clusters, which labels every doc appearing in a pair
     singles = (
-        pairs.select(F.explode(F.array(a_col, b_col)).alias("doc_id"))
+        pairs0.select(F.explode(F.array(a_col, b_col)).alias("doc_id"))
         .distinct()
         .join(members.select("doc_id"), "doc_id", "left_anti")
         .join(roots.select("doc_id"), "doc_id", "left_anti")
