@@ -113,7 +113,18 @@ def q_text_shingle_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _augmented_docs(spark, sf_dir)
     from mahout_samsara_book_spark.operators.dedup import shingle_hashes
 
-    counts = shingle_hashes(docs, n=3).select(
+    # one hash(doc_id) exchange feeds the (doc_id, h) distinct AND —
+    # through the weighted relation tfidf_neighbors builds on top —
+    # the per-doc norm aggregate (round-13, guide §2.4: the same fused
+    # discipline as dedup's _shingle_sig_fused; the unfused form
+    # shuffled the full exploded shingle relation for the distinct and
+    # again for the s2 groupBy)
+    pre = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    counts = shingle_hashes(
+        pre, n=3, distinct=False
+    ).dropDuplicates().select(
         "doc_id", F.col("h").alias("term"), F.lit(1).cast("long").alias("tf")
     )
     out = tfidf_neighbors(docs, k=5, max_df=50, counts=counts)

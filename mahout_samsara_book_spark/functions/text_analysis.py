@@ -329,28 +329,60 @@ def pmi_pairs(
     boilerplate phrases and template artifacts that repeat across
     documents).
 
-    Scale shape: per-doc DISTINCT token sets (``array_distinct``
-    map-side before the explode), then the same basket projection as
-    graph.cooccurrence_edges — one shuffle to baskets, map-side pair
-    fan-out, one counting aggregate with the ``min_cooc`` HAVING filter
-    keeping the pair relation sparse — plus a df aggregate and two
-    equi-joins back on token keys. The PMI arithmetic is a fixed
-    double-op sequence so the oracle replays it bit-for-bit. Per-doc
-    pair fan-out is quadratic in distinct-token count; cap or chunk
-    pathological documents upstream (sel_chunk_docs) before mining."""
+    Scale shape (round-13, guide §2.4): the per-doc DISTINCT token SET
+    is already the basket — ``array_sort(array_distinct(tokenize))``
+    is row-local — so the basket projection that
+    graph.cooccurrence_edges pays a groupBy(doc)+collect_set shuffle
+    for here costs ZERO exchanges, and the one tokenize pass is shared
+    (tracked) by both consumers: the map-side pair fan-out feeding the
+    pair-keyed counting aggregate (with the ``min_cooc`` HAVING filter
+    keeping the pair relation sparse), and the df aggregate.  The
+    previous form scanned + tokenized the corpus twice AND shuffled
+    the full exploded token stream into baskets.  The PMI arithmetic
+    is a fixed double-op sequence so the oracle replays it
+    bit-for-bit. Per-doc pair fan-out is quadratic in distinct-token
+    count; cap or chunk pathological documents upstream
+    (sel_chunk_docs) before mining."""
+    from mahout_samsara_book_spark.cache import track
     from mahout_samsara_book_spark.functions.text import tokenize
-    from mahout_samsara_book_spark.operators.graph import (
-        cooccurrence_edges,
+    from mahout_samsara_book_spark.partitioning import (
+        ensure_min_partitions,
     )
 
-    items = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t"),
+    base = track(
+        ensure_min_partitions(docs.select(F.col(text_col))).select(
+            F.array_sort(
+                F.array_distinct(tokenize(F.col(text_col)))
+            ).alias("xs")
+        )
     )
-    pairs = cooccurrence_edges(
-        items, id_col, "t", min_weight=min_cooc, keep_weight=True
-    ).withColumnRenamed("w", "cooc")
-    dfc = items.groupBy("t").agg(F.count("*").alias("dfc"))
+    xs = F.col("xs")
+    # identical pair emission to cooccurrence_edges' unpacked path:
+    # (a, b) with a < b from the sorted distinct-token array, exploded
+    # map-side, repartitioned on the pair key BEFORE the counting
+    # aggregate (the round-8 scale fix — the pair stream is almost all
+    # unique keys, so a raw-stream partial aggregate combines nothing)
+    pair_structs = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + F.lit(2), F.size(xs) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        base.filter(F.size(xs) >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .repartition("a", "b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= F.lit(int(min_cooc)))
+    )
+    dfc = base.select(F.explode(xs).alias("t")).groupBy("t").agg(
+        F.count("*").alias("dfc")
+    )
     n_docs = cached_count(docs)
     num = F.col("cooc").cast("double") * F.lit(float(n_docs))
     den = F.col("dfa").cast("double") * F.col("dfb").cast("double")

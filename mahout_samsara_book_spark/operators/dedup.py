@@ -785,6 +785,11 @@ def incremental_dedup(
 # shuffled semi-join shape is the scale-safe fallback (ADVICE r12)
 PAIRS_BCAST_LIMIT = 2_000_000
 
+# plan-audit escape hatch: True keeps the candidate relation lazy (no
+# eager checkpoint) so the full probe tree is visible to explain();
+# the executed subplan is identical either way
+_LAZY_CAND = False
+
 
 def _incremental_match(
     batch: DataFrame,
@@ -833,15 +838,21 @@ def _incremental_match(
     # shuffled semi-joins instead of OOMing the driver at 100 TB).
     from pyspark.sql import Observation
 
-    obs = Observation()
-    cand = (
-        cross.unionByName(within)
-        .select("doc_a", "doc_b")
-        .distinct()
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    n_cand = int(obs.get["n"])
+    cand_lazy = cross.unionByName(within).select("doc_a", "doc_b").distinct()
+    if _LAZY_CAND:
+        # plan-audit hook (tools/explain_audit.py): the SAME candidate
+        # tree, minus the checkpoint barrier, so auditors can assert
+        # DPP / column pruning on the bucket scan that otherwise
+        # executes inside the checkpoint job
+        cand = track(cand_lazy)
+        n_cand = 0
+    else:
+        obs = Observation()
+        cand = (
+            cand_lazy.observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_cand = int(obs.get["n"])
     sh_all = sh_c.unionByName(sh_b)
     verified = ngram_jaccard(
         sh_all, cand, id_col, _small_pairs=n_cand <= PAIRS_BCAST_LIMIT

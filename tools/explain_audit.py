@@ -922,7 +922,17 @@ def main() -> int:
 
     import entry_m5 as _em9
 
-    p37 = plan_of(_em9.q_dedup_incremental_persisted(spark, sf_dir))
+    # the probe eagerly checkpoints its candidate relation (round-13),
+    # which truncates the final plan at a LogicalRDD — flip the audit
+    # hook so the identical lazy candidate tree (bucket scans, DPP,
+    # pruning) is visible to explain()
+    from mahout_samsara_book_spark.operators import dedup as _ddmod
+
+    _ddmod._LAZY_CAND = True
+    try:
+        p37 = plan_of(_em9.q_dedup_incremental_persisted(spark, sf_dir))
+    finally:
+        _ddmod._LAZY_CAND = False
     checks.append(
         (
             "incremental dedup persisted-index probe "
