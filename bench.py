@@ -66,22 +66,29 @@ def main() -> None:
     # on untouched code by hand.  A fixed 3-query control set runs
     # min-of-5 at the START and END of every bench; the recorded JSON
     # carries both plus `control_ratio` = measured control wall /
-    # CONTROL_REF_SEC (pinned from a quiet-box min-of-5 at sf0.1,
-    # round 8).  Round-over-round comparisons should divide the
+    # CONTROL_REF_SEC (re-pinned round 13 to the memo-bypassing form —
+    # see the constants below).  Round-over-round comparisons should divide the
     # headline drift by control_ratio before flagging regressions —
     # a control_ratio of 1.4 means the box, not the code, is 1.4x
     # slower this run.  Control queries are deliberately boring: a
     # codegen'd TPC-H aggregate, a tokenize+explode+groupBy, and a
     # narrow numeric colsum — no caches, no layouts, no Python loops.
     control_set = ("rel_pricing_summary", "text_tokenize_counts", "drm_colsums")
-    CONTROL_REF_SEC = 2.004  # sum of min-of-5, sf0.1, round 8 (load ~8)
-    # Round-12 (VERDICT r11 item 1) — the min3 family gets its own
-    # QUIET-box reference so per-probe ratios read ~1.0 at rest and >1
-    # in a burst: 0.70 s is the min of every recorded end-bookend min3
-    # sum (r10 0.703 / r11 0.954 / last 0.706; the end bookend is the
-    # quiet edge).  The legacy CONTROL_REF_SEC (a LOADED round-8 box)
-    # stays for control_ratio continuity across rounds.
-    CONTROL_REF3_SEC = 0.70
+    # Round-13 (VERDICT r12 item 3): controls now run with the table-
+    # resolution memo BYPASSED (see _run_control), so the references
+    # are re-pinned to the bypassing form — the old refs (0.70 min3 /
+    # 2.004 min5) were measured through code whose speed the rounds
+    # were themselves optimizing, so control_ratio conflated box drift
+    # with real optimization.  New quiet-box floor = quiet memoized
+    # end-bookend min3 (0.59-0.70 across r10-r13 records) + the
+    # per-call spark.read.parquet resolution cost the bypass
+    # re-introduces (~0.1 s × 3-4 resolutions); the box never went
+    # quiet during this round's pinning session (bypassing trio
+    # 1.69-2.6 under a 1.5-2x co-tenant load), so the floor is pinned
+    # from the decomposition above and should be re-pinned from the
+    # first quiet end bookend a future run records.
+    CONTROL_REF_SEC = 1.00  # min-of-5 family, bypassing form
+    CONTROL_REF3_SEC = 1.05  # min-of-3 family, bypassing form
     # Disk-bound control probe (VERDICT r11 item 1b): copytree/append
     # heavy rows (dedup_ingest_lifecycle, ev_stream_ingest) are
     # invisible to CPU-bound controls — a co-tenant saturating the
@@ -121,25 +128,41 @@ def main() -> None:
         query.  The second dict makes the 5-rep bookends directly
         comparable to the 3-rep mid-run probes (ADVICE r9: min-of-3 has
         a systematic high bias vs min-of-5, so the two ratio families
-        must not share a reference silently)."""
+        must not share a reference silently).
+
+        Round-13 (VERDICT r12 item 3): controls run with the table-
+        resolution memo BYPASSED — the r12 memo made the control trio
+        faster for code reasons, so round-over-round control ratios
+        conflated box drift with real optimization.  Bypass reads pay
+        the full per-call resolution cost every time, making the
+        yardstick code-independent again; the references below are
+        re-pinned to the bypassing form."""
+        from mahout_samsara_book_spark.sources import tables as _tables
+
         out: dict[str, float] = {}
         out3: dict[str, float] = {}
-        for cname in control_set:
-            cfn = registry.get(cname)
-            if cfn is None:
-                continue
-            cbest = float("inf")
-            cbest3 = float("inf")
-            for rep in range(reps):
-                t0 = time.perf_counter()
-                cfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                cbest = min(cbest, dt)
-                if rep < 3:
-                    cbest3 = min(cbest3, dt)
-            release_tracked()
-            out[cname] = round(cbest, 4)
-            out3[cname] = round(cbest3, 4)
+        _tables.MEMO_BYPASS = True
+        try:
+            for cname in control_set:
+                cfn = registry.get(cname)
+                if cfn is None:
+                    continue
+                cbest = float("inf")
+                cbest3 = float("inf")
+                for rep in range(reps):
+                    t0 = time.perf_counter()
+                    cfn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    cbest = min(cbest, dt)
+                    if rep < 3:
+                        cbest3 = min(cbest3, dt)
+                release_tracked()
+                out[cname] = round(cbest, 4)
+                out3[cname] = round(cbest3, 4)
+        finally:
+            _tables.MEMO_BYPASS = False
         return out, out3
 
     # Order-contamination guard (round-7): queries scheduled right after
@@ -291,37 +314,41 @@ def main() -> None:
             "disk_ratio": round(disk_end / DISK_REF_SEC, 3),
         }
     )
-    # Head re-run (VERDICT r11 item 1c): the r11 record carried a
-    # 142.6 s lifecycle row because the rotation head ran inside a
-    # start-of-run burst the min-of-bookends ratio could not see.
-    # When the start bookend was ≥1.5× hotter than the end bookend
-    # (on EITHER axis), the head block re-runs once now, on the box
-    # the end bookend just certified quiet, and each query keeps the
-    # min — the record itself becomes clean, not just explainable.
+    # Head re-run (VERDICT r11 item 1c; made UNCONDITIONAL in round 13
+    # per VERDICT r12 items 2c/5): the r11 record carried a 142.6 s
+    # lifecycle row because the rotation head ran inside a start-of-run
+    # burst.  The r12 fix re-ran the head block only when the start
+    # bookend was ≥1.5× hotter than the end bookend — a one-sided
+    # protocol (head rows got min-of-3 only on rounds where the
+    # trigger fired, exactly the rounds showcasing them).  Now the
+    # first CONTROL_EVERY queries ALWAYS get one extra rep after the
+    # end bookend, every round, and each keeps its min — symmetric
+    # reps round over round, and the record stays clean when the run
+    # started hot.
     head_rerun: list[str] = []
     start_p, end_p = probes[0], probes[-1]
+    for name, fn in ordered[:CONTROL_EVERY]:
+        if name not in times:
+            continue
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if dt < times[name]:
+                times[name] = round(dt, 3)
+            head_rerun.append(name)
+        except Exception:  # noqa: BLE001 — keep the recorded time
+            pass
+        finally:
+            release_tracked()
     if (
         start_p["cpu3"] > 1.5 * end_p["cpu3"]
         or start_p["disk3"] > 1.5 * end_p["disk3"]
     ):
-        for name, fn in ordered[:CONTROL_EVERY]:
-            if name not in times:
-                continue
-            try:
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                if dt < times[name]:
-                    times[name] = round(dt, 3)
-                head_rerun.append(name)
-            except Exception:  # noqa: BLE001 — keep the recorded time
-                pass
-            finally:
-                release_tracked()
-        # the head block was re-measured on the end-bookend-quiet box:
-        # normalize it by THAT probe, keeping the hot original on
+        # the head block's minima now come from the end-bookend-quiet
+        # box: normalize by THAT probe, keeping the hot original on
         # record under pre_rerun
         probes[0] = {
             **end_p,
