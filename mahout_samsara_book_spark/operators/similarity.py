@@ -449,6 +449,7 @@ def ivf_probes(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_rank: bool = False,
 ) -> DataFrame:
     """``(q_id, cid)`` — each vector's ``nprobe`` nearest centroid
     cells in (d2, cid) lexicographic order, the IVF probe-list step.
@@ -459,7 +460,13 @@ def ivf_probes(
     takes the chunk's top-nprobe (ties → lowest cid), the survivors are
     re-ordered by cid so the cross-chunk candidate matrix stays
     cid-ascending among equal d2, and one final stable argsort on d2
-    yields the global (d2, cid) order."""
+    yields the global (d2, cid) order.
+
+    ``with_rank=True`` appends the 1-based probe rank (round-13):
+    rank 1 is the vector's NEAREST cell under the same (d2, cid) tie
+    contract as :func:`ivf_assign`, so ``filter(rank = 1)`` IS the IVF
+    assignment — composed consumers (ivf_topk, ann_ivfpq_topk) derive
+    assign + probes from ONE corpus pass instead of two."""
     import numpy as np
     import pandas as pd
 
@@ -504,16 +511,20 @@ def ivf_probes(
             pick = np.argsort(all_d, axis=1, kind="stable")[:, :p]
             out_c = np.take_along_axis(all_c, pick, axis=1)
             n_out = out_c.shape[1]
-            yield pd.DataFrame(
-                {
-                    "q_id": np.repeat(
-                        pdf[id_col].to_numpy(dtype=np.int64), n_out
-                    ),
-                    "cid": out_c.reshape(-1),
-                }
-            )
+            cols = {
+                "q_id": np.repeat(
+                    pdf[id_col].to_numpy(dtype=np.int64), n_out
+                ),
+                "cid": out_c.reshape(-1),
+            }
+            if with_rank:
+                cols["rank"] = np.tile(
+                    np.arange(1, n_out + 1, dtype=np.int64), b
+                )
+            yield pd.DataFrame(cols)
 
-    return base.mapInPandas(op, schema="q_id long, cid long")
+    schema = "q_id long, cid long" + (", rank long" if with_rank else "")
+    return base.mapInPandas(op, schema=schema)
 
 
 def ivf_topk(
@@ -544,10 +555,19 @@ def ivf_topk(
     centers = _centers_matrix(
         ivf_centers(emb, n_centers, seed, id_col, vec_col)
     )
-    assign = ivf_assign(emb, centers, id_col, vec_col)
-    probes = ivf_probes(emb, centers, nprobe, id_col, vec_col)
-    members = assign.select(
-        F.col(id_col).alias("neighbor"), F.col("cid")
+    # ONE rank-carrying BLAS pass serves assign AND probes (round-13,
+    # guide §1.2): rank 1 under the (d2, cid) tie contract IS the IVF
+    # assignment, so the second full-corpus Arrow scan is gone; the
+    # n·nprobe-row (3 longs) probe relation persists once and both
+    # consumers read the cache.
+    from mahout_samsara_book_spark.cache import track
+
+    pr = track(
+        ivf_probes(emb, centers, nprobe, id_col, vec_col, with_rank=True)
+    )
+    probes = pr.select("q_id", "cid")
+    members = pr.filter(F.col("rank") == 1).select(
+        F.col("q_id").alias("neighbor"), F.col("cid")
     )
     cand = (
         probes.join(members, "cid")
@@ -1248,21 +1268,37 @@ def ann_ivfpq_topk(
         F.col("code").alias("ccode"),
     )
     # IVF candidate generation (same shape as ivf_topk); the center
-    # matrix is collected ONCE and shared by assign + probes
+    # matrix is collected ONCE, and ONE rank-carrying BLAS pass serves
+    # assign AND probes (round-13 — rank 1 IS the assignment; the
+    # cached n·nprobe-row relation replaces a second full-corpus
+    # Arrow scan)
+    from mahout_samsara_book_spark.cache import track
+
     centers = _centers_matrix(
         ivf_centers(emb, n_centers, ivf_seed, id_col, vec_col)
     )
-    assign = ivf_assign(emb, centers, id_col, vec_col)
+    pr = track(
+        ivf_probes(emb, centers, nprobe, id_col, vec_col, with_rank=True)
+    )
+    members = pr.filter(F.col("rank") == 1).select(
+        F.col("q_id").alias("neighbor"), F.col("cid")
+    )
     probe_src = emb
+    probes = pr.select("q_id", "cid")
     if query_ids is not None:
-        # bounded query set: semi-restrict BEFORE probe generation so
-        # probe ranking, candidate generation, and the ADC LUT are all
-        # Q-sized, not corpus-sized
+        # bounded query set: semi-restrict the probe list and the ADC
+        # LUT source so candidate generation and the LUT are Q-sized,
+        # not corpus-sized
         probe_src = probe_src.join(
             F.broadcast(query_ids.select(id_col)), id_col, "leftsemi"
         )
-    probes = ivf_probes(probe_src, centers, nprobe, id_col, vec_col)
-    members = assign.select(F.col(id_col).alias("neighbor"), F.col("cid"))
+        probes = probes.join(
+            F.broadcast(
+                query_ids.select(F.col(id_col).alias("q_id"))
+            ),
+            "q_id",
+            "leftsemi",
+        )
     cand = (
         probes.join(members, "cid")
         .filter(F.col("q_id") != F.col("neighbor"))
@@ -1348,10 +1384,14 @@ def kmeans_lloyd(
     one broadcast-assign linear scan (centers are O(√n) rows) plus one
     (cid, pos) hash-aggregate whose shuffled payload is
     O(centers·dim·partitions) — corpus size never crosses the wire.
-    The centers relation is localCheckpoint'd each round (SURVEY §4's
-    iterative lineage cut — same as pagerank/Bahmani), so iteration t
-    does not replay iterations 1..t-1. A cluster that loses all
-    members simply drops out of the centers relation, identically on
+    Round-13 (guide §5 — the centroid relation is DRIVER-SIZED
+    metadata, O(√n·dim) doubles): each iteration collects the centroid
+    means straight to the driver (one job) and hands the matrix tuple
+    to the next assign's broadcast, instead of checkpointing a centers
+    DataFrame (one job) that the next assign then collected anyway (a
+    second job).  Lineage is cut by construction — the next iteration
+    starts from a broadcast matrix, not a plan.  A cluster that loses
+    all members simply drops out of the centroid rows, identically on
     both engines."""
     if iters < 1:
         raise ValueError(
@@ -1360,17 +1400,22 @@ def kmeans_lloyd(
         )
     if n_centers == "auto":
         n_centers = auto_n_centers(emb)
-    centers = ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    import numpy as np
+
     from mahout_samsara_book_spark.cache import track
 
+    centers = _centers_matrix(
+        ivf_centers(emb, n_centers, seed, id_col, vec_col)
+    )
     embp = ensure_min_partitions(emb)
     v = F.col(vec_col).cast("array<double>")
     assign = None
+    pdf = None
     for it in range(iters):
         assign = ivf_assign(embp, centers, id_col, vec_col)
         if it == iters - 1:
             # the LAST assignment feeds both this iteration's centroid
-            # means (checkpoint action) and the final sizes aggregate —
+            # means (collect action) and the final sizes aggregate —
             # tracked-persist it so the Arrow assign pass runs once,
             # not twice (it is an n-row, 2-long-column relation)
             assign = track(assign)
@@ -1380,16 +1425,19 @@ def kmeans_lloyd(
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("c"))
         )
-        centers = coo.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("center")
+        pdf = coo.toPandas()
+        # vectorized COO → matrix: pivot sorts cid rows and pos columns
+        # ascending; every surviving cluster carries all dims, so the
+        # frame is dense
+        wide = pdf.pivot(index="cid", columns="pos", values="c")
+        centers = (
+            wide.index.to_numpy(dtype=np.int64),
+            wide.to_numpy(dtype=np.float64),
         )
-        centers = centers.localCheckpoint(eager=True)
     sizes = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
-    final_coo = centers.select(
-        "cid", F.posexplode(F.col("center")).alias("pos", "c")
+    spark = emb.sparkSession
+    final_coo = spark.createDataFrame(
+        pdf[["cid", "pos", "c"]], schema="cid long, pos int, c double"
     )
     return final_coo.join(sizes, "cid")
 
