@@ -202,13 +202,28 @@ def item_similarity_llr(
             ).alias("llr"),
         )
     )
+    # similarity is symmetric: emit BOTH orientations of each scored
+    # pair map-side with one explode (round-13, guide §1.2) — the
+    # previous two-arm union referenced the scored subtree twice, and
+    # the physical planner does not reliably reuse the pair-aggregate
+    # exchange across union arms, so the most expensive stage could
+    # execute once per orientation
     both = scored.select(
-        F.col("ia").alias(item_col), F.col("ib").alias("other"), "llr"
-    ).unionByName(
-        scored.select(
-            F.col("ib").alias(item_col), F.col("ia").alias("other"), "llr"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias(item_col),
+                    F.col("ib").alias("other"),
+                    F.col("llr"),
+                ),
+                F.struct(
+                    F.col("ib").alias(item_col),
+                    F.col("ia").alias("other"),
+                    F.col("llr"),
+                ),
+            )
+        ).alias("e")
+    ).select(f"e.{item_col}", "e.other", "e.llr")
     w_rank = Window.partitionBy(item_col).orderBy(
         F.round(F.col("llr"), 9).desc(), F.col("other").asc()
     )
