@@ -1832,20 +1832,41 @@ def q_fmt_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the two bucketed writes are independent jobs into disjoint tables
     # — overlap them from driver threads (guide §2.6), same discipline
-    # as the dedup index's bucket/shingle writes
-    from concurrent.futures import ThreadPoolExecutor
+    # as the dedup index's bucket/shingle writes.  pyspark
+    # InheritableThread (ADVICE r12): saveAsTable issues catalog DDL,
+    # and the documented way to submit parallel driver-side jobs is an
+    # InheritableThread so JVM thread-local properties (job
+    # group/description/cancellation) are inherited and cleaned up —
+    # plain pool threads were fine on the in-memory catalog but flaky
+    # under a Hive/Derby metastore.
+    from pyspark import InheritableThread
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fl = pool.submit(
-            write_bucketed,
-            li, f"{db}.lineitem_b", ["l_orderkey"], 4, ["l_orderkey"],
-        )
-        fo = pool.submit(
-            write_bucketed,
-            orders, f"{db}.orders_b", ["o_orderkey"], 4, ["o_orderkey"],
-        )
-        fl.result()
-        fo.result()
+    errs: list = []
+
+    def _run(df, table, bucket_cols, n, sort_cols) -> None:
+        try:
+            write_bucketed(df, table, bucket_cols, n, sort_cols)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    threads = [
+        InheritableThread(
+            target=_run,
+            args=(li, f"{db}.lineitem_b", ["l_orderkey"], 4, ["l_orderkey"]),
+        ),
+        InheritableThread(
+            target=_run,
+            args=(
+                orders, f"{db}.orders_b", ["o_orderkey"], 4, ["o_orderkey"],
+            ),
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     lb = bucketed_table(spark, f"{db}.lineitem_b")
     ob = bucketed_table(spark, f"{db}.orders_b")
     out = (

@@ -911,6 +911,7 @@ def dedup_index_persist(
     and ``<path>/manifest`` lists the COMMITTED batch ids (the corpus
     build commits as ``INDEX_CORPUS_BATCH``, written last) — see
     :func:`dedup_index_append` for the crash-safe append protocol."""
+    _assert_index_id_type(corpus, id_col)
     rows = k // bands
     # fused shingle+signature build (one hash(id) exchange, see
     # _shingle_sig_fused); the two table writes are independent and
@@ -947,6 +948,42 @@ def dedup_index_persist(
 INDEX_CORPUS_BATCH = "corpus"
 
 
+def _assert_index_id_type(df: DataFrame, id_col: str) -> None:
+    """The persisted-index PROBE declares ``{id_col} long`` (see
+    :func:`committed_index_tables`), so every WRITE must carry a long
+    id — enforce the contract at write time instead of misreading at
+    probe time (ADVICE r12: an index written with non-long doc ids
+    previously failed, or silently misread, only when probed)."""
+    from pyspark.sql.types import LongType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, LongType):
+        raise TypeError(
+            f"dedup index contract: '{id_col}' must be BIGINT/long — got "
+            f"{dt.simpleString()}; the persisted-index probe reads the "
+            f"declared schema '{id_col} long' (cast before persisting)"
+        )
+
+
+def _manifest_local_path(mdir: str) -> str | None:
+    """POSIX path of a manifest directory when it is on the LOCAL
+    filesystem, else None — the ONE normalization both the driver-side
+    manifest write (:func:`_manifest_commit`) and read
+    (:func:`manifest_batch_ids`) share (ADVICE r12: the two previously
+    normalized differently — 'file:///x' became '//x' on one side, and
+    'file://host/x' slipped past a bare '://' test).  A ``file:`` URI
+    with a non-empty host is treated as REMOTE (delegated to Spark),
+    as is any other scheme."""
+    from urllib.parse import urlparse
+
+    if "://" not in mdir and not mdir.startswith("file:"):
+        return mdir  # bare local path
+    p = urlparse(mdir)
+    if p.scheme == "file" and not p.netloc:
+        return p.path
+    return None
+
+
 def _manifest_commit(spark, path: str, batch_id: str) -> None:
     """Append one committed-batch row to ``<path>/manifest`` — the
     ATOMIC COMMIT of an index write (VERDICT r11 item 3): probes filter
@@ -967,10 +1004,8 @@ def _manifest_commit(spark, path: str, batch_id: str) -> None:
     ``manifest/_SUCCESS`` as the build-complete sentinel.  Non-local
     paths (hdfs:/s3:/...) keep the Spark write."""
     mdir = path + "/manifest"
-    local = mdir[5:] if mdir.startswith("file:") else mdir
-    if local.startswith("//"):
-        local = local[1:]
-    if "://" not in local:
+    local = _manifest_local_path(mdir)
+    if local is not None:
         import os
         import uuid as _uuid
 
@@ -1015,10 +1050,8 @@ def manifest_batch_ids(spark, path: str) -> list[str]:
     import os as _os
 
     mdir = path + "/manifest"
-    local = mdir[5:].lstrip("/") if mdir.startswith("file:") else mdir
-    if mdir.startswith("file:"):
-        local = "/" + local
-    if _os.path.isdir(local):
+    local = _manifest_local_path(mdir)
+    if local is not None and _os.path.isdir(local):
         import pyarrow.parquet as _pq
 
         ids: list[str] = []
@@ -1242,6 +1275,7 @@ def dedup_index_append(
     per-writer indexes if parallel ingest is required."""
     import uuid
 
+    _assert_index_id_type(batch, id_col)
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     rows = k // bands
