@@ -186,11 +186,14 @@ def _shingle_sig_fused(
         pre, n, id_col, text_col, distinct=False
     ).dropDuplicates()
     if materialize:
+        # ONE eager checkpoint (the shingle relation — every consumer
+        # reads it); the signature aggregate over the checkpointed
+        # rows is a tracked CACHE instead of a second checkpoint, so
+        # it materializes inside the first consumer's job (the probe's
+        # candidate build) rather than costing its own serial job on
+        # the ingest chain
         sh = sh.localCheckpoint(eager=True)
-        sig = minhash_signatures(sh, k, seed, id_col).localCheckpoint(
-            eager=True
-        )
-        return sh, sig
+        return sh, track(minhash_signatures(sh, k, seed, id_col))
     return sh, minhash_signatures(sh, k, seed, id_col)
 
 
