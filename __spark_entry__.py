@@ -608,48 +608,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_coeff_tests": _q_coeff_tests,
     }
     # Ordering is deliberate: the driver's correctness gate truncates
-    # after ~50 queries.  Round-12 window (VERDICT r11 item 2 + the
-    # standing rule): (1) every query ADDED or IMPLEMENTATION-CHANGED
-    # in round 12; (2) the full 32-row r7-stale cohort (max graded
-    # round per name computed from CORRECTNESS_r*.json — after this
-    # head no graded row is older than r8); (3) the 8 stalest r8 rows
-    # (alphabetical prefix of the r8 cohort; the rest of r8 defers to
-    # r13, all with 3+ green grades and code untouched since r8).
-    rotation_r12 = [
-        # -- (1) new in round 12
-        "ev_stream_asof_ttl",       # new: idle-TTL as-of, eviction-graded
-        "rec_similarity_analysis",  # new: SimilarityAnalysis compose
-        "ev_stream_ingest",         # new: foreachBatch crawl-ingest
-        "dedup_compact_probe",      # new: probe-after-compaction
-        # -- (1) implementation changed in round 12
-        "dedup_ingest_lifecycle",   # r12: manifest commit + checkpointed
-        "dedup_incremental_persisted",  # r12: committed-batch semi-join
-        "dedup_incremental_append", # r12: committed-batch semi-join
-        "rec_cross_llr",            # r12: null-item_id secondary filter
-        "dedup_semantic",           # r12: count-cache file fingerprint
-        "emb_qr_thin",              # r12: thin_qr body → _chol_qr_pass
-        # -- (2) the 32 r7-stale rows
-        "ev_stream_dedup", "ev_stream_session", "ev_stream_stateful",
-        "ev_stream_windowed", "fmt_csv_roundtrip", "fmt_jsonl_roundtrip",
-        "fmt_partitioned_prune", "fmt_schema_merge", "graph_degree_hist",
-        "graph_pagerank", "rel_grouping_sets", "rel_pivot",
-        "rel_pricing_summary", "rel_revenue_by_nation",
-        "rel_running_totals", "rel_sales_rollup", "rel_semi_anti",
-        "rel_topk_customers", "sel_decontaminate_emb", "sim_lsh_buckets",
-        "text_argmax", "text_df_counts", "text_dictionary",
-        "text_fingerprint", "text_langid", "text_pii_redact",
-        "text_quality", "text_shingle_neighbors", "text_tfidf",
-        "text_token_stats", "text_tokenize_counts", "twcnb_train",
-        # -- (3) 8 stalest r8 rows (alphabetical prefix; the rest of
-        # the r8 cohort, rel_forecast_revenue onward, defers to r13)
-        "dedup_clusters", "ev_burst_windows", "ev_ewma_smooth",
-        "graph_triangles", "rel_custdist", "rel_decile_revenue",
-        "rel_disjunctive_revenue", "rel_dq_expectations",
+    # after ~50 queries.  Round-13 window (standing rule + VERDICT r12
+    # item 6): (1) every query whose implementation changed in the
+    # round-13 optimization pass — probe checkpoint/broadcast gating,
+    # observe()-fused graph loops, PMI/shingle shared-exchange, the
+    # rank-carrying IVF pass, the LLR orientation explode, the
+    # InheritableThread bucketed write; (2) the coverage-gap rows
+    # VERDICT r12 named (touched in r12, not in its sample); (3) the
+    # 29 alphabetically-first rows of the r8-stale cohort (max graded
+    # round per name computed from CORRECTNESS_r*.json — 38 rows were
+    # last graded in r8; the remaining 7, sketch_sample_quantiles
+    # through text_zipf_tail, defer to the next window, all with 3+
+    # green grades and code untouched since r8 except text_bpe_* /
+    # text_inverted_index which were examined-not-changed this round).
+    rotation_r13 = [
+        # -- (1) implementation changed in round 13
+        "dedup_ingest_lifecycle", "ev_stream_ingest",
+        "dedup_incremental_persisted", "dedup_incremental_append",
+        "dedup_compact_probe", "dedup_incremental",
+        "sel_dedup_survivors", "graph_kcore", "graph_components_lsls",
+        "text_pmi_pairs", "text_shingle_neighbors",
+        "ann_ivfpq_topk", "ann_ivfpq_probe", "ivf_topk", "kmeans_lloyd",
+        "rec_item_llr", "rec_similarity_analysis", "fmt_bucketed_join",
+        # -- (2) VERDICT r12 item 6 coverage-gap rows
+        "ev_stream_asof_wm", "docs_pipeline", "sel_canonical",
+        # -- (3) 29 stalest r8 rows (alphabetical prefix)
+        "rel_forecast_revenue", "rel_fuzzy_join", "rel_heavy_shippers",
+        "rel_histogram", "rel_idle_customers", "rel_local_volume",
+        "rel_market_share", "rel_order_priority", "rel_promo_share",
+        "rel_returned_items", "rel_salted_join", "rel_share_of_total",
+        "rel_skyline", "rel_small_qty_revenue", "rel_stats_agg",
+        "rel_supplier_counts", "rel_table_checksum",
+        "rel_top_quarter_supplier", "rel_top_suppliers",
+        "rel_volume_shipping", "rel_waiting_suppliers",
+        "rel_yearly_growth", "sel_priority_sample",
+        "sel_universe_sample", "sel_weighted_sample", "sketch_cms",
+        "sketch_hll", "sketch_hll_sliding", "sketch_kmv_intersect",
     ]
-    missing = set(rotation_r12) - full.keys()
+    missing = set(rotation_r13) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
-    assert len(rotation_r12) == len(set(rotation_r12)) == 50, len(rotation_r12)
-    head = {n: full[n] for n in rotation_r12}
+    assert len(rotation_r13) == len(set(rotation_r13)) == 50, len(rotation_r13)
+    head = {n: full[n] for n in rotation_r13}
     return {**head, **full}
 
 
