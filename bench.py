@@ -79,16 +79,14 @@ def main() -> None:
     # are re-pinned to the bypassing form — the old refs (0.70 min3 /
     # 2.004 min5) were measured through code whose speed the rounds
     # were themselves optimizing, so control_ratio conflated box drift
-    # with real optimization.  New quiet-box floor = quiet memoized
-    # end-bookend min3 (0.59-0.70 across r10-r13 records) + the
-    # per-call spark.read.parquet resolution cost the bypass
-    # re-introduces (~0.1 s × 3-4 resolutions); the box never went
-    # quiet during this round's pinning session (bypassing trio
-    # 1.69-2.6 under a 1.5-2x co-tenant load), so the floor is pinned
-    # from the decomposition above and should be re-pinned from the
-    # first quiet end bookend a future run records.
-    CONTROL_REF_SEC = 1.00  # min-of-5 family, bypassing form
-    CONTROL_REF3_SEC = 1.05  # min-of-3 family, bypassing form
+    # with real optimization.  Pinned from this round's first QUIET
+    # end bookend running the bypassing form (sf0.1, local[32]:
+    # min3 sum 0.654, min5 sum 0.637, disk 0.354 — the per-call
+    # resolution cost the bypass re-introduces is mostly absorbed by
+    # Spark's session file-status cache, so the bypassing floor sits
+    # only ~60 ms above the old memoized floor).
+    CONTROL_REF_SEC = 0.64  # min-of-5 family, bypassing form
+    CONTROL_REF3_SEC = 0.65  # min-of-3 family, bypassing form
     # Disk-bound control probe (VERDICT r11 item 1b): copytree/append
     # heavy rows (dedup_ingest_lifecycle, ev_stream_ingest) are
     # invisible to CPU-bound controls — a co-tenant saturating the
