@@ -203,7 +203,7 @@ def _q_coeff_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_abs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 column slice + B8 scalar op + A19 dabs, exploded to scalars."""
-    d = lineitem_drm(spark, sf_dir).slice_cols(1, 4).scalar_op("-", 1.0).abs()
+    d = lineitem_drm(spark, sf_dir, parallel=True).slice_cols(1, 4).scalar_op("-", 1.0).abs()
     return d.df.select(
         "row_id", F.posexplode("features").alias("pos", "v")
     ).select("row_id", F.col("pos").cast("long").alias("pos"), sci(F.col("v")).alias("v"))
@@ -251,7 +251,7 @@ def _q_mmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul, zero shuffle). Row keys preserved, duplicates included."""
     import numpy as np
 
-    a = lineitem_drm(spark, sf_dir)
+    a = lineitem_drm(spark, sf_dir, parallel=True)
     b = Drm.from_numpy(spark, np.array(_MMUL_B))
     out = a.mmul(b)
     return out.df.select(
@@ -521,7 +521,7 @@ def _q_map_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary numpy; the oracle replays the per-row semantics in SQL."""
     import numpy as np
 
-    d = lineitem_drm(spark, sf_dir)
+    d = lineitem_drm(spark, sf_dir, parallel=True)
 
     def center_rows(keys, block):
         return keys, block - block.mean(axis=1, keepdims=True)
