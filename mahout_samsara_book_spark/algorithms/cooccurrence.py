@@ -145,7 +145,14 @@ def item_similarity_llr(
     # vs 8.1 s at sf0.1 with 19-45 s spikes: the BroadcastExchange
     # build serializes the cache materialization against the main
     # query's stages and the BroadcastNestedLoopJoin breaks codegen
-    # around the score projection.  The eager count stays.)
+    # around the score projection.  Round-13 tried the OTHER direction
+    # too — counting n_users on the raw relation, provably equal for
+    # cap >= 1, so the cache materializes lazily inside the final job —
+    # and interleaved A/B said that also LOSES 10-20% (raw 4.2-4.6 s vs
+    # warmed 3.2-3.8 s on rec_item_llr at sf0.1): the raw count re-runs
+    # the primary build join that the cached distinct already holds,
+    # and the final job overlaps worse when it must also materialize
+    # the caches.  The eager cache-warming count stays.)
     capped = track(
         inter.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= max_prefs)
@@ -303,7 +310,9 @@ def cross_similarity_llr(
 
     # each capped side feeds three consumers (its item counts, the
     # user-universe count, its pair-join side) — track() persists one
-    # scan + cap window per side; the N count below warms both
+    # scan + cap window per side; the N count below warms both (the
+    # raw-relation count variant was tried and measured slower in
+    # round-13 — see item_similarity_llr's inline note).
     pa = track(_capped(primary, f"recxA{seed}:", max_prefs, _inter_primary))
     sb = track(_capped(secondary, f"recxB{seed}:", cap_b))
     n_users = (
