@@ -3019,8 +3019,32 @@ def q_dedup_ingest_lifecycle(
     b3 = docs.filter(F.col("doc_id") % 50 == 29).select(
         (F.col("doc_id") + DDX_REKEY2).alias("doc_id"), "text"
     )
-    outs = []
+    # Precompute every batch's fused shingle/signature build
+    # CONCURRENTLY before the sequential probe/append chain (round-13,
+    # guide §2.6): the builds depend only on the batch text — never on
+    # the index — so they are legal to overlap, while each PROBE must
+    # still bind the index snapshot its batch sees (single-writer
+    # order unchanged: ingest_batch(i) runs strictly before i+1).
+    # Serially the three build jobs cost ~0.8 s each ahead of their
+    # probes; submitted together they run while batch 1's probe holds
+    # the tail of the cluster.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mahout_samsara_book_spark.operators.dedup import (
+        _shingle_sig_fused,
+    )
+
     batches = [b1, b2, b3]
+    _pool = ThreadPoolExecutor(max_workers=3)
+    builds = [
+        _pool.submit(
+            _shingle_sig_fused,
+            b, 3, MINHASH_K, MINHASH_SEED, "doc_id", "text",
+            materialize=True,
+        )
+        for b in batches
+    ]
+    outs = []
     for i, b in enumerate(batches, start=1):
         # materialize NOW: the next ingest appends more index rows,
         # which this batch's probe must not see.  The LAST batch is
@@ -3033,6 +3057,7 @@ def q_dedup_ingest_lifecycle(
         # (guide §2.6) — per-batch wall ≈ max(probe, append), with the
         # cross-batch sequencing (single-writer) unchanged because
         # ingest_batch returns only after both finish.
+        sh_b, sig_b = builds[i - 1].result()
         outs.append(
             ingest_batch(
                 b, path, n=3, k=MINHASH_K, bands=LSH_BANDS,
@@ -3040,8 +3065,10 @@ def q_dedup_ingest_lifecycle(
                 materialize=lambda df, i=i: df.withColumn(
                     "batch", F.lit(i).cast("long")
                 ).localCheckpoint(),
+                _sh=sh_b, _sig=sig_b,
             )
         )
+    _pool.shutdown()
     union = outs[0]
     for o in outs[1:]:
         union = union.unionByName(o)

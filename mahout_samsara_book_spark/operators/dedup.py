@@ -1358,6 +1358,8 @@ def ingest_batch(
     batch_id: str | None = None,
     skip_if_committed: bool = False,
     materialize=None,
+    _sh: DataFrame | None = None,
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """One full crawl-ingest step against a persisted index: probe the
     batch (:func:`incremental_dedup_persisted`), then append its rows
@@ -1414,9 +1416,19 @@ def ingest_batch(
     # re-analyzed the fused subtree per reference, ~350 ms/probe), and
     # the overlapped probe/append threads can no longer both compute
     # an unmaterialized cache entry.  Both relations are batch-sized.
-    sh_b, sig_b = _shingle_sig_fused(
-        batch, n, k, seed, id_col, text_col, materialize=True
-    )
+    # ``_sh``/``_sig`` (round-13, guide §2.6): the fused build depends
+    # ONLY on the batch text, never on the index, so a caller that
+    # knows several batches up front (the lifecycle rows) can submit
+    # every build concurrently from driver threads and hand each
+    # ingest its finished pair — the build job no longer serializes
+    # ahead of the probe/append chain.  The single-writer contract is
+    # untouched: probe/append still run strictly per batch.
+    if _sh is None or _sig is None:
+        sh_b, sig_b = _shingle_sig_fused(
+            batch, n, k, seed, id_col, text_col, materialize=True
+        )
+    else:
+        sh_b, sig_b = _sh, _sig
     out = incremental_dedup_persisted(
         batch, path, n=n, k=k, bands=bands, seed=seed,
         threshold=threshold, id_col=id_col, text_col=text_col,
