@@ -330,7 +330,7 @@ def _q_point_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17 drmSampleKRows: deterministic seeded top-k over the portable
     md5 hash — the DuckDB oracle replays the identical ordering."""
-    block = lineitem_drm(spark, sf_dir).sample_k_rows(10, seed=42)
+    block = lineitem_drm(spark, sf_dir, parallel=True).sample_k_rows(10, seed=42)
     rows = [tuple(float(x) for x in r) for r in block]
     return spark.createDataFrame(rows, "f0 double, f1 double, f2 double, f3 double")
 

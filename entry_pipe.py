@@ -1715,7 +1715,7 @@ def q_rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-format-free and engine-portable by construction."""
     from mahout_samsara_book_spark.operators.hashing import h60
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallel=True)
     rowkey = F.concat_ws(
         ":",
         F.col("l_orderkey").cast("string"),

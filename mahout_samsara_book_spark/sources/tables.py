@@ -70,7 +70,9 @@ def ts_us(ev: DataFrame, col: str = "ts") -> F.Column:
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Base-table reader with a RESOLUTION memo (round 12, guide §6):
     every ``spark.read.parquet`` pays ~100 ms of driver work (file
     listing + footer schema read + relation resolution), and the bench
@@ -99,10 +101,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.applicationId,
         path,
         source_fingerprint(sf_dir, name),
+        bool(parallel),
     )
     df = _TABLE_MEMO.get(key)
     if df is None:
         df = spark.read.parquet(path)
+        if parallel:
+            # consumer-requested scan-parallelism floor — see
+            # _scan_parallelism_floor for the gate and the measured
+            # win/lose split that makes this opt-in
+            df = _scan_parallelism_floor(spark, df, path)
         _TABLE_MEMO[key] = df
     return df
 

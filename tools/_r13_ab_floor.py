@@ -52,7 +52,7 @@ def main() -> None:
         set_floor(on)
         for n in names:
             run(n)
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
         reg["rel_pricing_summary"](spark, sf_dir).write.format(
             "noop"
@@ -60,11 +60,17 @@ def main() -> None:
         ctrl.append(round(time.perf_counter() - t0, 3))
         release_tracked()
         for n in names:
-            pair = []
-            for on in (True, False):
+            # ALTERNATE the within-pair order per rep: the second run
+            # of a pair is systematically faster (page cache, JIT,
+            # allocator warmth — measured ~30% on an unwired control
+            # query), so a fixed order biases the verdict toward
+            # whichever arm runs second
+            order = (True, False) if rep % 2 == 0 else (False, True)
+            pair = {}
+            for on in order:
                 set_floor(on)
-                pair.append(run(n))
-            out[n].append(pair)
+                pair[on] = run(n)
+            out[n].append([pair[True], pair[False]])
     set_floor(True)
     print(json.dumps({"_control": ctrl, **out}))
     spark.stop()
