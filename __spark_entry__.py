@@ -622,7 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green grades and code untouched since r8 except text_bpe_* /
     # text_inverted_index which were examined-not-changed this round).
     rotation_r13 = [
-        # -- (1) implementation changed in round 13
+        # -- (1) implementation changed in round 13 (both sessions:
+        # session 2 added the scan-parallelism floor to the four drm_*
+        # rows below — they displace four sketch_* rows from group (3),
+        # each already holding 3+ green grades, to the next window)
         "dedup_ingest_lifecycle", "ev_stream_ingest",
         "dedup_incremental_persisted", "dedup_incremental_append",
         "dedup_compact_probe", "dedup_incremental",
@@ -630,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs", "text_shingle_neighbors",
         "ann_ivfpq_topk", "ann_ivfpq_probe", "ivf_topk", "kmeans_lloyd",
         "rec_item_llr", "rec_similarity_analysis", "fmt_bucketed_join",
+        "drm_abs_slice", "drm_mmul", "drm_map_block", "drm_sample_k",
         # -- (2) VERDICT r12 item 6 coverage-gap rows
         "ev_stream_asof_wm", "docs_pipeline", "sel_canonical",
         # -- (3) 29 stalest r8 rows (alphabetical prefix)
@@ -642,8 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_quarter_supplier", "rel_top_suppliers",
         "rel_volume_shipping", "rel_waiting_suppliers",
         "rel_yearly_growth", "sel_priority_sample",
-        "sel_universe_sample", "sel_weighted_sample", "sketch_cms",
-        "sketch_hll", "sketch_hll_sliding", "sketch_kmv_intersect",
+        "sel_universe_sample", "sel_weighted_sample",
     ]
     missing = set(rotation_r13) - full.keys()
     assert not missing, f"rotation names not in registry: {sorted(missing)}"
