@@ -30,6 +30,10 @@ from mahout_samsara_book_spark.operators.dedup import ingest_batch
 
 DOCS_SCHEMA = "doc_id long, text string"
 
+# A/B gate for the staged-file prebuild (round-13); shipping value
+# decided by interleaved measurement — see OPTIMIZATION_r13.md
+PREBUILD = True
+
 
 def run_stream_ingest(
     spark,
@@ -86,8 +90,13 @@ def run_stream_ingest(
         _shingle_sig_fused,
     )
 
-    _staged = sorted(
-        _glob.glob(batches_dir + "/*.parquet"), key=_os.path.getmtime
+    _staged = (
+        sorted(
+            _glob.glob(batches_dir + "/*.parquet"),
+            key=_os.path.getmtime,
+        )
+        if PREBUILD
+        else []
     )
     _pool = _TPE(max_workers=min(4, max(1, len(_staged))))
     _prebuilds = {
